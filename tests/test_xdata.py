@@ -1,0 +1,294 @@
+"""Tests for the xdata labeled-array core."""
+
+import numpy as np
+import pytest
+
+from xugrid_tpu import xdata
+from xugrid_tpu.xdata import DataArray, Dataset, Variable
+
+
+@pytest.fixture
+def da():
+    return DataArray(
+        np.arange(12.0).reshape(3, 4),
+        coords={"time": [10, 20, 30], "x": [0.0, 1.0, 2.0, 3.0]},
+        dims=("time", "x"),
+        name="v",
+        attrs={"units": "m"},
+    )
+
+
+class TestVariable:
+    def test_basic(self):
+        v = Variable(("a", "b"), np.zeros((2, 3)))
+        assert v.shape == (2, 3)
+        assert v.sizes == {"a": 2, "b": 3}
+        with pytest.raises(ValueError, match="dimensions"):
+            Variable(("a",), np.zeros((2, 3)))
+
+    def test_isel_outer_indexing(self):
+        v = Variable(("a", "b"), np.arange(12).reshape(3, 4))
+        out = v.isel({"a": np.array([0, 2]), "b": np.array([1, 3])})
+        # outer (orthogonal) indexing: 2x2 result, not pointwise
+        assert out.shape == (2, 2)
+        assert np.array_equal(out.data, [[1, 3], [9, 11]])
+
+    def test_broadcast(self):
+        a = Variable(("x",), np.array([1.0, 2.0]))
+        b = Variable(("y",), np.array([10.0, 20.0, 30.0]))
+        a2, b2 = xdata.broadcast_variables(a, b)
+        assert a2.dims == ("x", "y")
+        assert a2.shape == (2, 3)
+
+    def test_transpose(self):
+        v = Variable(("a", "b"), np.arange(6).reshape(2, 3))
+        assert v.transpose("b", "a").shape == (3, 2)
+
+
+class TestDataArray:
+    def test_construction(self, da):
+        assert da.dims == ("time", "x")
+        assert da.shape == (3, 4)
+        assert da.name == "v"
+        assert da.attrs["units"] == "m"
+        assert list(da.coords) == ["time", "x"]
+
+    def test_isel(self, da):
+        out = da.isel(time=0)
+        assert out.dims == ("x",)
+        assert np.array_equal(out.values, [0, 1, 2, 3])
+        # scalar coord retained
+        assert out.coords["time"].values == 10
+        out2 = da.isel(x=[0, 2])
+        assert out2.shape == (3, 2)
+        assert np.array_equal(out2.coords["x"].values, [0.0, 2.0])
+
+    def test_isel_missing_dim_raises(self, da):
+        with pytest.raises(ValueError, match="do not exist"):
+            da.isel(bogus=0)
+
+    def test_sel_scalar(self, da):
+        out = da.sel(time=20)
+        assert out.dims == ("x",)
+        assert np.array_equal(out.values, [4, 5, 6, 7])
+
+    def test_sel_slice(self, da):
+        out = da.sel(x=slice(1.0, 2.5))
+        assert out.shape == (3, 2)
+        assert np.array_equal(out.coords["x"].values, [1.0, 2.0])
+
+    def test_sel_array(self, da):
+        out = da.sel(time=[10, 30])
+        assert out.shape == (2, 4)
+
+    def test_sel_nearest(self, da):
+        out = da.sel(x=1.2, method="nearest")
+        assert np.array_equal(out.values, da.isel(x=1).values)
+
+    def test_sel_missing_raises(self, da):
+        with pytest.raises(KeyError):
+            da.sel(time=15)
+
+    def test_arithmetic_broadcast(self, da):
+        weights = DataArray([1.0, 2.0, 3.0, 4.0], coords={"x": da.coords["x"].values}, dims=("x",))
+        out = da * weights
+        assert out.dims == ("time", "x")
+        assert np.array_equal(out.values[0], [0, 2, 6, 12])
+
+    def test_arithmetic_scalar(self, da):
+        out = da + 1
+        assert out.values[0, 0] == 1.0
+        out = 2 * da
+        assert out.values[0, 1] == 2.0
+
+    def test_comparison(self, da):
+        mask = da > 5
+        assert mask.dtype == bool
+        assert mask.values.sum() == 6
+
+    def test_reductions(self, da):
+        assert da.mean().values == 5.5
+        m = da.mean(dim="time")
+        assert m.dims == ("x",)
+        assert np.allclose(m.values, [4, 5, 6, 7])
+
+    def test_reduction_skipna(self):
+        arr = DataArray([1.0, np.nan, 3.0], dims=("x",))
+        assert arr.mean().values == 2.0
+        assert np.isnan(arr.mean(skipna=False).values)
+
+    def test_where(self, da):
+        out = da.where(da > 5)
+        assert np.isnan(out.values[0, 0])
+        assert out.values[2, 3] == 11.0
+        out2 = da.where(da > 5, -1)
+        assert out2.values[0, 0] == -1
+
+    def test_where_drop(self, da):
+        cond = da.coords["time"] > 10
+        out = da.where(cond, drop=True)
+        assert out.sizes["time"] == 2
+
+    def test_fillna_notnull(self):
+        arr = DataArray([1.0, np.nan], dims=("x",))
+        assert np.array_equal(arr.fillna(0.0).values, [1.0, 0.0])
+        assert np.array_equal(arr.notnull().values, [True, False])
+        assert np.array_equal(arr.isnull().values, [False, True])
+
+    def test_rename(self, da):
+        out = da.rename("w")
+        assert out.name == "w"
+        out2 = da.rename({"x": "lon"})
+        assert out2.dims == ("time", "lon")
+        assert "lon" in out2._coords
+
+    def test_transpose(self, da):
+        out = da.transpose("x", "time")
+        assert out.shape == (4, 3)
+
+    def test_squeeze_expand(self, da):
+        e = da.expand_dims("layer")
+        assert e.dims == ("layer", "time", "x")
+        s = e.squeeze("layer", drop=True)
+        assert s.dims == ("time", "x")
+
+    def test_assign_coords(self, da):
+        out = da.assign_coords(y=("x", [9.0, 8.0, 7.0, 6.0]))
+        assert "y" in out._coords
+        assert out.coords["y"].dims == ("x",)
+
+    def test_getitem_coord(self, da):
+        t = da["time"]
+        assert isinstance(t, DataArray)
+        assert np.array_equal(t.values, [10, 20, 30])
+
+    def test_equals_identical(self, da):
+        assert da.equals(da.copy())
+        assert da.identical(da.copy())
+        assert not da.equals(da + 1)
+        renamed = da.rename("other")
+        assert renamed.equals(da)
+        assert not renamed.identical(da)
+
+    def test_to_dataset(self, da):
+        ds = da.to_dataset()
+        assert "v" in ds
+        assert ds["v"].equals(da)
+
+    def test_diff(self, da):
+        out = da.diff("x")
+        assert out.shape == (3, 3)
+        assert np.allclose(out.values, 1.0)
+
+    def test_stack_dims(self):
+        arr = DataArray(np.arange(24).reshape(2, 3, 4), dims=("t", "y", "x"))
+        out = arr.stack_dims("face", ["y", "x"])
+        assert out.dims == ("t", "face")
+        assert out.shape == (2, 12)
+        assert np.array_equal(out.values[0], np.arange(12))
+
+
+class TestDataset:
+    @pytest.fixture
+    def ds(self, da):
+        ds = da.to_dataset()
+        ds["w"] = (("x",), np.array([1.0, 2.0, 3.0, 4.0]))
+        ds.attrs["title"] = "test"
+        return ds
+
+    def test_basic(self, ds):
+        assert set(ds.data_vars) == {"v", "w"}
+        assert set(ds.coords) == {"time", "x"}
+        assert ds.sizes == {"time": 3, "x": 4}
+
+    def test_getitem_list(self, ds):
+        sub = ds[["v"]]
+        assert set(sub.data_vars) == {"v"}
+        assert set(sub.coords) == {"time", "x"}
+
+    def test_isel_sel(self, ds):
+        out = ds.isel(time=0)
+        assert out["v"].dims == ("x",)
+        assert out["w"].dims == ("x",)
+        out2 = ds.sel(x=slice(0, 1.5))
+        assert out2.sizes["x"] == 2
+
+    def test_drop_rename(self, ds):
+        assert set(ds.drop_vars("w").data_vars) == {"v"}
+        r = ds.rename({"v": "vv", "x": "lon"})
+        assert "vv" in r
+        assert r["vv"].dims == ("time", "lon")
+
+    def test_merge(self, ds):
+        other = Dataset({"q": (("time",), np.zeros(3))})
+        merged = ds.merge(other)
+        assert set(merged.data_vars) == {"v", "w", "q"}
+        conflicting = Dataset({"w": (("x",), np.zeros(4))})
+        with pytest.raises(ValueError, match="conflicting"):
+            ds.merge(conflicting)
+
+    def test_concat(self, ds):
+        c = xdata.concat([ds, ds], dim="time")
+        assert c.sizes["time"] == 6
+        # w has no time dim and equal values: not concatenated
+        assert c["w"].dims == ("x",)
+
+    def test_map(self, ds):
+        out = ds.map(lambda a: a * 2)
+        assert np.array_equal(out["w"].values, [2, 4, 6, 8])
+
+    def test_to_dataframe(self, ds):
+        df = ds.to_dataframe()
+        assert set(df.columns) == {"v", "w"}
+        assert len(df) == 12
+
+    def test_full_like(self, ds):
+        f = xdata.full_like(ds, 7.0)
+        assert (f["v"].values == 7.0).all()
+        assert np.array_equal(f.coords["x"].values, [0, 1, 2, 3])
+
+
+class TestIO:
+    def test_netcdf_roundtrip(self, da, tmp_path):
+        ds = da.to_dataset()
+        ds["conn"] = (
+            ("face", "nmax"),
+            np.array([[0, 1, 2, -1], [1, 2, 3, -1]], dtype=np.int32),
+            {"_FillValue": -1, "start_index": 0},
+        )
+        path = tmp_path / "test.nc"
+        ds.to_netcdf(path)
+        back = xdata.open_dataset(path)
+        assert set(back.data_vars) == {"v", "conn"}
+        assert np.allclose(back["v"].values, da.values)
+        assert back["v"].attrs["units"] == "m"
+        # integer var with _FillValue stays integer; attr moved to encoding
+        assert back["conn"].dtype.kind == "i"
+        assert back["conn"].encoding["_FillValue"] == -1
+        assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
+
+    def test_zarr_roundtrip(self, da, tmp_path):
+        ds = da.to_dataset()
+        store = tmp_path / "test.zarr"
+        ds.to_zarr(store)
+        back = xdata.open_zarr(store)
+        assert np.allclose(back["v"].values, da.values)
+        assert back["v"].dims == ("time", "x")
+        assert np.array_equal(back.coords["time"].values, [10, 20, 30])
+
+
+class TestApplyUfunc:
+    def test_simple(self, da):
+        out = xdata.apply_ufunc(np.square, da)
+        assert out.dims == da.dims
+        assert np.array_equal(out.values, da.values**2)
+
+    def test_core_dims_reduce(self, da):
+        out = xdata.apply_ufunc(
+            lambda x: x.sum(axis=-1),
+            da,
+            input_core_dims=[["x"]],
+            output_core_dims=[[]],
+        )
+        assert out.dims == ("time",)
+        assert np.allclose(out.values, da.values.sum(axis=1))

@@ -1,0 +1,35 @@
+"""Label-based indexing helpers (pandas-backed)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+
+def as_index(values) -> pd.Index:
+    return pd.Index(np.asarray(values))
+
+
+def resolve_label_indexer(index: pd.Index, indexer: Any, method=None):
+    """
+    Translate a label-based indexer (scalar, slice, or array of labels)
+    into positional indices along one dimension.
+    """
+    if isinstance(indexer, slice):
+        return index.slice_indexer(indexer.start, indexer.stop, indexer.step)
+    if np.ndim(indexer) == 0:
+        if method is None:
+            loc = index.get_loc(indexer)
+        else:
+            loc = index.get_indexer([indexer], method=method)[0]
+            if loc == -1:
+                raise KeyError(indexer)
+        return int(loc) if np.isscalar(loc) or isinstance(loc, (int, np.integer)) else loc
+    labels = np.asarray(indexer)
+    locs = index.get_indexer(labels, method=method)
+    if (locs == -1).any():
+        missing = labels[locs == -1]
+        raise KeyError(f"not all values found in index: {missing[:10]}")
+    return locs

@@ -1,0 +1,168 @@
+"""
+NetCDF I/O.
+
+Uses the netCDF4 library when available (NetCDF4/HDF5 files); otherwise
+falls back to scipy.io.netcdf_file (NetCDF3 classic), which covers UGRID
+interchange without any extra dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xugrid_tpu.xdata.dataset import Dataset
+from xugrid_tpu.xdata.variable import Variable
+
+try:
+    import netCDF4
+
+    HAS_NETCDF4 = True
+except ImportError:
+    HAS_NETCDF4 = False
+
+
+def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
+    attrs = dict(attrs)
+    encoding = {}
+    if decode_cf:
+        fill = attrs.pop("_FillValue", None)
+        scale = attrs.pop("scale_factor", None)
+        offset = attrs.pop("add_offset", None)
+        if fill is not None:
+            encoding["_FillValue"] = fill
+            if np.issubdtype(data.dtype, np.floating):
+                data = np.where(data == fill, np.nan, data)
+            # integer data keeps its fill value; topology ingest handles it.
+        if scale is not None or offset is not None:
+            data = data.astype(np.float64)
+            if scale is not None:
+                data = data * scale
+            if offset is not None:
+                data = data + offset
+    return Variable(dims, data, attrs, encoding)
+
+
+def open_dataset(path, decode_cf: bool = True, engine=None) -> Dataset:
+    if HAS_NETCDF4 and engine != "scipy":
+        return _open_netcdf4(path, decode_cf)
+    return _open_scipy(path, decode_cf)
+
+
+def _open_scipy(path, decode_cf: bool) -> Dataset:
+    from scipy.io import netcdf_file
+
+    with netcdf_file(str(path), "r", mmap=False) as f:
+        ds = Dataset(attrs={k: _decode_attr(v) for k, v in f._attributes.items()})
+        for name, var in f.variables.items():
+            data = np.asarray(var.data)
+            # scipy returns big-endian views; normalize to native byte order
+            # (pandas/jax reject non-native endianness).
+            if data.dtype.byteorder not in ("=", "|"):
+                data = data.astype(data.dtype.newbyteorder("="))
+            else:
+                data = data.copy()
+            attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
+            ds._variables[name] = _decode_variable(
+                name, tuple(var.dimensions), data, attrs, decode_cf
+            )
+        _mark_coords(ds)
+    return ds
+
+
+def _open_netcdf4(path, decode_cf: bool) -> Dataset:
+    with netCDF4.Dataset(str(path), "r") as f:
+        ds = Dataset(attrs={k: f.getncattr(k) for k in f.ncattrs()})
+        for name, var in f.variables.items():
+            var.set_auto_maskandscale(False)
+            data = np.asarray(var[...])
+            attrs = {k: var.getncattr(k) for k in var.ncattrs()}
+            ds._variables[name] = _decode_variable(
+                name, tuple(var.dimensions), data, attrs, decode_cf
+            )
+        _mark_coords(ds)
+    return ds
+
+
+def _decode_attr(value):
+    if isinstance(value, bytes):
+        return value.decode("utf-8", errors="replace")
+    return value
+
+
+def _mark_coords(ds: Dataset) -> None:
+    """Mark 1-D vars named after their dim, plus CF 'coordinates' refs."""
+    referenced: set = set()
+    for var in ds._variables.values():
+        coords_attr = var.attrs.get("coordinates")
+        if coords_attr:
+            referenced.update(str(coords_attr).split())
+    for name, var in ds._variables.items():
+        if var.dims == (name,) or name in referenced:
+            ds._coord_names.add(name)
+
+
+_NC3_DTYPES = {
+    np.dtype(np.int64): np.int32,
+    np.dtype(np.uint64): np.int32,
+    np.dtype(np.uint32): np.int32,
+    np.dtype(np.uint16): np.int32,
+    np.dtype(np.bool_): np.int8,
+    np.dtype(np.float16): np.float32,
+}
+
+
+def to_netcdf(ds: Dataset, path, engine=None, **kwargs) -> None:
+    if HAS_NETCDF4 and engine != "scipy":
+        _write_netcdf4(ds, path)
+        return
+    _write_scipy(ds, path)
+
+
+def _write_scipy(ds: Dataset, path) -> None:
+    from scipy.io import netcdf_file
+
+    with netcdf_file(str(path), "w") as f:
+        for k, v in ds.attrs.items():
+            setattr(f, k, v)
+        sizes = ds.dims_sizes()
+        for dim, size in sizes.items():
+            f.createDimension(dim, size)
+        for name, var in ds._variables.items():
+            data = np.asarray(var.data)
+            target = _NC3_DTYPES.get(data.dtype)
+            if target is not None:
+                data = data.astype(target)
+            if data.dtype.kind in "US":
+                # encode strings as char arrays is out of scope; store repr
+                continue
+            nc_var = f.createVariable(name, data.dtype, tuple(var.dims))
+            if var.ndim == 0:
+                nc_var.assignValue(data)
+            else:
+                nc_var[:] = data
+            for k, v in var.attrs.items():
+                setattr(nc_var, k, v)
+            fill = var.encoding.get("_FillValue")
+            if fill is not None and "_FillValue" not in var.attrs:
+                nc_var._FillValue = fill
+
+
+def _write_netcdf4(ds: Dataset, path) -> None:
+    with netCDF4.Dataset(str(path), "w") as f:
+        for k, v in ds.attrs.items():
+            f.setncattr(k, v)
+        for dim, size in ds.dims_sizes().items():
+            f.createDimension(dim, size)
+        for name, var in ds._variables.items():
+            data = np.asarray(var.data)
+            fill = var.attrs.get("_FillValue", var.encoding.get("_FillValue"))
+            nc_var = f.createVariable(
+                name, data.dtype, tuple(var.dims), fill_value=fill
+            )
+            if var.ndim == 0:
+                nc_var.assignValue(data)
+            else:
+                nc_var[...] = data
+            for k, v in var.attrs.items():
+                if k != "_FillValue":
+                    nc_var.setncattr(k, v)

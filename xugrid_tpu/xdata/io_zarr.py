@@ -1,0 +1,135 @@
+"""
+Minimal self-contained zarr v2 directory store I/O.
+
+Implements just enough of the zarr v2 spec (JSON metadata + zlib-compressed
+C-order chunks, xarray's ``_ARRAY_DIMENSIONS`` convention) to round-trip
+datasets without the zarr package.  When the real zarr/xarray stack is
+present it reads these stores transparently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from xugrid_tpu.xdata.dataset import Dataset
+from xugrid_tpu.xdata.variable import Variable
+
+_COMPRESSOR = {"id": "zlib", "level": 4}
+
+
+def _dtype_str(dtype: np.dtype) -> str:
+    return dtype.str
+
+
+def to_zarr(ds: Dataset, store, **kwargs) -> None:
+    root = Path(store)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    (root / ".zattrs").write_text(json.dumps(_json_safe(ds.attrs)))
+    for name, var in ds._variables.items():
+        _write_array(root / str(name), var)
+
+
+def _write_array(path: Path, var: Variable) -> None:
+    path.mkdir(parents=True, exist_ok=True)
+    data = np.ascontiguousarray(np.asarray(var.data))
+    if data.dtype.kind == "U":
+        data = data.astype("S")
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(data.shape) if data.ndim else [1],
+        "dtype": _dtype_str(data.dtype),
+        "compressor": _COMPRESSOR,
+        "fill_value": None,
+        "order": "C",
+        "filters": None,
+    }
+    (path / ".zarray").write_text(json.dumps(meta))
+    attrs = _json_safe(dict(var.attrs))
+    attrs["_ARRAY_DIMENSIONS"] = list(map(str, var.dims))
+    (path / ".zattrs").write_text(json.dumps(attrs))
+    chunk_key = ".".join(["0"] * max(data.ndim, 1))
+    (path / chunk_key).write_bytes(zlib.compress(data.tobytes(), 4))
+
+
+def open_zarr(store, **kwargs) -> Dataset:
+    root = Path(store)
+    if not (root / ".zgroup").exists():
+        raise FileNotFoundError(f"not a zarr store: {store}")
+    attrs = {}
+    if (root / ".zattrs").exists():
+        attrs = json.loads((root / ".zattrs").read_text())
+    ds = Dataset(attrs=attrs)
+    for child in sorted(root.iterdir()):
+        if not child.is_dir() or not (child / ".zarray").exists():
+            continue
+        name = child.name
+        meta = json.loads((child / ".zarray").read_text())
+        var_attrs = {}
+        dims = None
+        if (child / ".zattrs").exists():
+            var_attrs = json.loads((child / ".zattrs").read_text())
+            dims = var_attrs.pop("_ARRAY_DIMENSIONS", None)
+        shape = tuple(meta["shape"])
+        dtype = np.dtype(meta["dtype"])
+        chunks = tuple(meta["chunks"])
+        data = _read_chunks(child, shape, chunks, dtype, meta)
+        if dims is None:
+            dims = tuple(f"{name}_dim_{i}" for i in range(len(shape)))
+        ds._variables[name] = Variable(tuple(dims), data, var_attrs)
+    from xugrid_tpu.xdata.io_netcdf import _mark_coords
+
+    _mark_coords(ds)
+    return ds
+
+
+def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
+    compressor = meta.get("compressor")
+    ndim = max(len(shape), 1)
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [1]
+    out = np.zeros(shape if shape else (), dtype=dtype)
+    import itertools
+
+    for idx in itertools.product(*(range(g) for g in grid)):
+        key = ".".join(map(str, idx)) if idx else "0"
+        raw = (path / key).read_bytes()
+        if compressor and compressor.get("id") == "zlib":
+            raw = zlib.decompress(raw)
+        elif compressor and compressor.get("id") == "blosc":
+            raise ImportError("blosc-compressed zarr requires the zarr package")
+        chunk_shape = tuple(
+            min(c, s - i * c) for i, c, s in zip(idx, chunks, shape)
+        )
+        full_chunk = np.frombuffer(raw, dtype=dtype).reshape(
+            chunks if shape else ()
+        )
+        if shape:
+            sel = tuple(slice(0, cs) for cs in chunk_shape)
+            target = tuple(
+                slice(i * c, i * c + cs)
+                for i, c, cs in zip(idx, chunks, chunk_shape)
+            )
+            out[target] = full_chunk[sel]
+        else:
+            out = full_chunk
+    return out
+
+
+def _json_safe(obj):
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
