@@ -1,0 +1,245 @@
+"""
+Matplotlib plotting of UGRID data.
+
+Parity target: xugrid/plot/plot.py:53-676 — pcolormesh / tripcolor /
+line / contour(f) / imshow / scatter / surface with facet dispatch via
+``uda.ugrid.plot``.  (Facet grids over extra dimensions are not yet
+implemented.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xugrid_tpu.constants import FILL_VALUE
+from xugrid_tpu.ugrid.connectivity import close_polygons
+
+
+def _ensure_ax(ax=None, **subplot_kws):
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(**subplot_kws)
+    return ax
+
+
+def _unpack(grid_or_accessor, darray):
+    """Accept (grid, values) or an accessor-style pair."""
+    values = None
+    if darray is not None:
+        values = np.asarray(
+            darray.data if hasattr(darray, "data") else darray
+        ).squeeze()
+    return grid_or_accessor, values
+
+
+def _add_colorbar(ax, artist, add_colorbar):
+    if add_colorbar:
+        ax.figure.colorbar(artist, ax=ax)
+
+
+def line(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
+    """Plot the edges of the grid as a LineCollection; optional edge
+    values as colors."""
+    from matplotlib.collections import LineCollection
+
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    segments = grid.node_coordinates[grid.edge_node_connectivity]
+    kwargs.setdefault("colors", "#000033" if values is None else None)
+    if values is not None:
+        kwargs.pop("colors")
+    collection = LineCollection(segments, **kwargs)
+    if values is not None:
+        collection.set_array(values)
+    ax.add_collection(collection)
+    ax.autoscale_view()
+    if values is not None:
+        _add_colorbar(ax, collection, add_colorbar)
+    return collection
+
+
+def scatter(grid, darray=None, dim=None, ax=None, add_colorbar: bool = False, **kwargs):
+    """Scatter the coordinates of a facet, colored by its values."""
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    dim = dim or grid.core_dimension
+    coords = grid.get_coordinates(dim)
+    artist = ax.scatter(coords[:, 0], coords[:, 1], c=values, **kwargs)
+    if values is not None:
+        _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+def pcolormesh(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
+    """Draw face values as filled polygons (PolyCollection)."""
+    from matplotlib.collections import PolyCollection
+
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    closed, _ = close_polygons(grid.face_node_connectivity)
+    vertices = grid.node_coordinates[closed]
+    collection = PolyCollection(vertices, **kwargs)
+    if values is not None:
+        collection.set_array(values)
+    ax.add_collection(collection)
+    ax.autoscale_view()
+    if values is not None:
+        _add_colorbar(ax, collection, add_colorbar)
+    return collection
+
+
+def tripcolor(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
+    """Draw node values on the grid triangulation."""
+    import matplotlib.tri
+
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    (node_x, node_y, triangles), _ = grid.triangulation
+    triangulation = matplotlib.tri.Triangulation(node_x, node_y, triangles)
+    artist = ax.tripcolor(triangulation, values, **kwargs)
+    _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+def _contour_triangulation(grid, values, location):
+    import matplotlib.tri
+
+    if location == "node":
+        (node_x, node_y, triangles), _ = grid.triangulation
+        z = values
+    else:  # face values -> centroid triangulation
+        (node_x, node_y, triangles), face_index = grid.centroid_triangulation
+        z = values[face_index]
+    return matplotlib.tri.Triangulation(node_x, node_y, triangles), z
+
+
+def contour(grid, darray=None, ax=None, location="node", add_colorbar=False, **kwargs):
+    """Contour lines of node or face data."""
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    triangulation, z = _contour_triangulation(grid, values, location)
+    artist = ax.tricontour(triangulation, z, **kwargs)
+    _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+def contourf(grid, darray=None, ax=None, location="node", add_colorbar=False, **kwargs):
+    """Filled contours of node or face data."""
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    triangulation, z = _contour_triangulation(grid, values, location)
+    artist = ax.tricontourf(triangulation, z, **kwargs)
+    _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+def surface(grid, darray=None, ax=None, location="node", add_colorbar=False, **kwargs):
+    """3D triangular surface plot."""
+    import matplotlib.pyplot as plt
+
+    grid, values = _unpack(grid, darray)
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    triangulation, z = _contour_triangulation(grid, values, location)
+    artist = ax.plot_trisurf(triangulation, z, **kwargs)
+    _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+def imshow(
+    grid,
+    darray=None,
+    ax=None,
+    resolution=None,
+    add_colorbar: bool = False,
+    **kwargs,
+):
+    """Rasterize face data and draw with imshow (default >= 500 px)."""
+    grid, values = _unpack(grid, darray)
+    ax = _ensure_ax(ax)
+    xmin, ymin, xmax, ymax = grid.bounds
+    if resolution is None:
+        resolution = max(xmax - xmin, ymax - ymin) / 500
+    x, y, index = grid.rasterize(resolution)
+    img = np.where(index != -1, values[np.maximum(index, 0)], np.nan)
+    kwargs.setdefault("origin", "upper")
+    kwargs.setdefault("extent", (x.min(), x.max(), y.min(), y.max()))
+    artist = ax.imshow(img, **kwargs)
+    _add_colorbar(ax, artist, add_colorbar)
+    return artist
+
+
+class _PlotMethods:
+    """``uda.ugrid.plot``: dispatch by the data's facet."""
+
+    def __init__(self, accessor):
+        self._accessor = accessor
+
+    def _dispatch(self):
+        grid = self._accessor.grid
+        obj = self._accessor.obj
+        dims = set(obj.dims)
+        if grid.core_dimension in dims and grid.topology_dimension == 2:
+            return "face"
+        if grid.node_dimension in dims:
+            return "node"
+        if grid.edge_dimension in dims:
+            return "edge"
+        raise ValueError(
+            f"Data dimensions {obj.dims} do not include a UGRID dimension "
+            f"of grid {grid.name}"
+        )
+
+    def __call__(self, **kwargs):
+        facet = self._dispatch()
+        if facet == "face":
+            return self.pcolormesh(**kwargs)
+        elif facet == "node":
+            return self.tripcolor(**kwargs)
+        return self.line(**kwargs)
+
+    def _grid_and_data(self):
+        return self._accessor.grid, self._accessor.obj
+
+    def pcolormesh(self, **kwargs):
+        grid, da = self._grid_and_data()
+        return pcolormesh(grid, da, **kwargs)
+
+    def tripcolor(self, **kwargs):
+        grid, da = self._grid_and_data()
+        return tripcolor(grid, da, **kwargs)
+
+    def line(self, **kwargs):
+        grid, da = self._grid_and_data()
+        facet = self._dispatch()
+        return line(grid, da if facet == "edge" else None, **kwargs)
+
+    def scatter(self, **kwargs):
+        grid, da = self._grid_and_data()
+        dims = set(da.dims)
+        dim = next(iter(grid.dims & dims))
+        return scatter(grid, da, dim=dim, **kwargs)
+
+    def contour(self, **kwargs):
+        grid, da = self._grid_and_data()
+        facet = self._dispatch()
+        location = "face" if facet == "face" else "node"
+        return contour(grid, da, location=location, **kwargs)
+
+    def contourf(self, **kwargs):
+        grid, da = self._grid_and_data()
+        facet = self._dispatch()
+        location = "face" if facet == "face" else "node"
+        return contourf(grid, da, location=location, **kwargs)
+
+    def surface(self, **kwargs):
+        grid, da = self._grid_and_data()
+        facet = self._dispatch()
+        location = "face" if facet == "face" else "node"
+        return surface(grid, da, location=location, **kwargs)
+
+    def imshow(self, **kwargs):
+        grid, da = self._grid_and_data()
+        return imshow(grid, da, **kwargs)

@@ -1,0 +1,240 @@
+"""
+Interpolation of missing values on UGRID topologies.
+
+* ``interpolate_na_helper``: broadcast a 1D fill function over extra
+  (time/layer) dimensions.
+* ``laplace_interpolate``: solve Laplace's equation over the unknown
+  entities with known values as Dirichlet boundaries.
+
+The iterative path is a **jit-compiled conjugate-gradient** solve with a
+Jacobi (diagonal) preconditioner over a static-shape COO matvec
+(segment-sum).  The reference uses a sequential numba ILU0 factorization
+(xugrid/ugrid/interpolate.py:30-204) — triangular solves are inherently
+serial and map poorly onto a vector machine, whereas CG iterations are
+pure sparse matvecs that run at HBM bandwidth on TPU.  Multiple
+right-hand sides (extra dims) are solved batched via vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import scipy.sparse
+from scipy.sparse.linalg import spsolve
+
+from xugrid_tpu import xdata
+from xugrid_tpu.constants import FloatArray
+
+
+def _cg_solve_host(rows, cols, vals, diag, b, x0, rtol, atol, maxiter):
+    """Jacobi-preconditioned CG on device (jax), batched over leading b dim."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n = b.shape[-1]
+
+    @partial(jax.jit, static_argnames=("maxiter",))
+    def solve(rows, cols, vals, diag, b, x0, rtol, atol, maxiter):
+        def matvec(x):
+            return jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
+
+        minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+
+        def one(b1, x1):
+            r = b1 - matvec(x1)
+            z = minv * r
+            p = z
+            rz = jnp.vdot(r, z)
+            bnorm = jnp.linalg.norm(b1)
+            tol = jnp.maximum(atol, rtol * bnorm)
+
+            def cond(state):
+                x, r, z, p, rz, k = state
+                return (jnp.linalg.norm(r) > tol) & (k < maxiter)
+
+            def body(state):
+                x, r, z, p, rz, k = state
+                Ap = matvec(p)
+                alpha = rz / jnp.vdot(p, Ap)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = minv * r
+                rz_new = jnp.vdot(r, z)
+                beta = rz_new / rz
+                p = z + beta * p
+                return x, r, z, p, rz_new, k + 1
+
+            x, r, *_ = jax.lax.while_loop(
+                cond, body, (x1, r, z, p, rz, jnp.int32(0))
+            )
+            return x
+
+        if b.ndim == 1:
+            return one(b, x0)
+        return jax.vmap(one)(b, x0)
+
+    return np.asarray(
+        solve(rows, cols, vals, diag, b, x0, float(rtol), float(atol), int(maxiter))
+    )
+
+
+def laplace_interpolate(
+    data: FloatArray,
+    connectivity: scipy.sparse.csr_matrix,
+    use_weights: bool = True,
+    components_labels: Optional[np.ndarray] = None,
+    direct_solve: bool = False,
+    delta: float = 0.0,
+    relax: float = 0.0,
+    rtol: float = 0.0,
+    atol: float = 1.0e-4,
+    maxiter: int = 500,
+) -> FloatArray:
+    """
+    Fill NaNs in ``data`` by Laplace interpolation over the adjacency
+    graph ``connectivity``.
+
+    ``data`` may be 1D (n,) or 2D (n_extra, n): extra rows sharing the
+    same NaN pattern are solved as batched right-hand sides.
+    ``delta``/``relax`` are accepted for reference API parity (ILU0
+    tuning knobs); the Jacobi-CG solver does not use them.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    squeeze = data.ndim == 1
+    matrix2d = np.atleast_2d(data)
+    isnull = np.isnan(matrix2d[0])
+    if not isnull.any():
+        return data.copy()
+    notnull = ~isnull
+    if not notnull.any():
+        raise ValueError("All values are NA.")
+
+    # Guard: unknowns in components without any known value stay NaN.
+    keep_nan = np.zeros(len(isnull), dtype=bool)
+    if components_labels is not None:
+        for label in np.unique(components_labels):
+            in_comp = components_labels == label
+            if not (notnull & in_comp).any():
+                keep_nan |= in_comp
+    solve_mask = isnull & ~keep_nan
+    if not solve_mask.any():
+        return data.copy()
+
+    n = connectivity.shape[0]
+    unknown = np.flatnonzero(solve_mask)
+    known = np.flatnonzero(notnull)
+    # Build the Laplacian rows for the unknowns: L = D - W.
+    W = connectivity.tocsr().astype(np.float64)
+    if not use_weights:
+        W = W.copy()
+        W.data = np.ones_like(W.data)
+    # Global index -> position in the unknown set (-1 for known).
+    position = np.full(n, -1, dtype=np.int64)
+    position[unknown] = np.arange(len(unknown))
+
+    sub = W[unknown]  # (n_unknown, n)
+    coo = sub.tocoo()
+    is_unknown_col = solve_mask[coo.col]
+    rows_uu = coo.row[is_unknown_col]
+    cols_uu = position[coo.col[is_unknown_col]]
+    vals_uu = -coo.data[is_unknown_col]
+    diag = np.asarray(sub.sum(axis=1)).ravel()
+
+    # Right-hand side: sum of weights to known neighbors times values.
+    is_known_col = notnull[coo.col]
+    rows_uk = coo.row[is_known_col]
+    cols_uk = coo.col[is_known_col]
+    w_uk = coo.data[is_known_col]
+
+    n_extra = matrix2d.shape[0]
+    b = np.zeros((n_extra, len(unknown)))
+    for k in range(n_extra):
+        np.add.at(b[k], rows_uk, w_uk * matrix2d[k, cols_uk])
+
+    # Assemble A = diag + offdiag(uu) in COO, with the diagonal entries
+    # appended so the matvec covers both.
+    rows = np.concatenate([rows_uu, np.arange(len(unknown))])
+    cols = np.concatenate([cols_uu, np.arange(len(unknown))])
+    vals = np.concatenate([vals_uu, diag])
+
+    if direct_solve:
+        A = scipy.sparse.coo_matrix(
+            (vals, (rows, cols)), shape=(len(unknown), len(unknown))
+        ).tocsr()
+        solutions = np.stack([spsolve(A, b[k]) for k in range(n_extra)])
+    else:
+        x0 = np.zeros_like(b)
+        # Initial guess: mean of known values per row.
+        means = np.nanmean(matrix2d, axis=1)
+        x0 += means[:, None]
+        solutions = _cg_solve_host(
+            rows, cols, vals, diag, b, x0, rtol, atol, maxiter
+        )
+
+    out = matrix2d.copy()
+    out[:, unknown] = solutions
+    return out[0] if squeeze else out
+
+
+def nearest_interpolate(
+    coordinates: FloatArray,
+    data: FloatArray,
+    max_distance: float,
+) -> FloatArray:
+    """Standalone nearest-fill on arbitrary coordinates."""
+    from scipy.spatial import KDTree
+
+    isnull = np.isnan(data)
+    if isnull.all():
+        raise ValueError("All values are NA.")
+    if not isnull.any():
+        return data.copy()
+    i_source = np.flatnonzero(~isnull)
+    i_target = np.flatnonzero(isnull)
+    tree = KDTree(coordinates[i_source])
+    _, index = tree.query(
+        coordinates[i_target], distance_upper_bound=max_distance, workers=-1
+    )
+    keep = index < len(i_source)
+    out = data.copy()
+    out[i_target[keep]] = data[i_source[index[keep]]]
+    return out
+
+
+def interpolate_na_helper(
+    da: xdata.DataArray,
+    ugrid_dim: str,
+    func: Callable,
+    kwargs: dict,
+) -> xdata.DataArray:
+    """
+    Apply a 1D fill function along ``ugrid_dim``, broadcasting over any
+    extra dimensions (reference: interpolate.py:333-351 uses
+    apply_ufunc(vectorize=True)).
+    """
+    extra_dims = [d for d in da.dims if d != ugrid_dim]
+    transposed = da.transpose(*extra_dims, ugrid_dim)
+    values = np.asarray(transposed.data, dtype=np.float64)
+    flat = values.reshape(-1, values.shape[-1])
+
+    if func is laplace_interpolate and len(flat) > 1:
+        # Batched solve when the NaN pattern matches across rows.
+        patterns = np.isnan(flat)
+        if (patterns == patterns[0]).all():
+            filled = laplace_interpolate(flat, **kwargs)
+        else:
+            filled = np.stack([func(row, **kwargs) for row in flat])
+    else:
+        filled = np.stack([func(row, **kwargs) for row in flat])
+    filled = filled.reshape(values.shape)
+
+    out = xdata.DataArray(
+        filled,
+        dims=tuple(extra_dims) + (ugrid_dim,),
+        name=da.name,
+        attrs=dict(da.attrs),
+    )
+    out._coords.update(transposed._coords)
+    return out.transpose(*da.dims)

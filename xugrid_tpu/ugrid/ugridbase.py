@@ -1,0 +1,1013 @@
+"""
+AbstractUgrid: shared machinery of Ugrid1d and Ugrid2d.
+
+Parity target: xugrid/ugrid/ugridbase.py:122-1599 (attrs/indexes
+bookkeeping, fill_value/start_index normalization, derived connectivity
+caches, spatial query dispatch, CRS plumbing, partition labeling).
+Differences from the reference are architectural: the metadata layer is
+xdata (not xarray), the spatial index is the in-repo BVH (not
+numba_celltree), and partition labeling uses the built-in space-filling
+-curve partitioner (no METIS dependency).
+"""
+
+from __future__ import annotations
+
+import abc
+import copy
+import warnings
+from itertools import chain
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from scipy.sparse import coo_matrix, csr_matrix
+from scipy.spatial import KDTree
+
+from xugrid_tpu import xdata
+from xugrid_tpu.constants import FILL_VALUE, BoolArray, FloatArray, IntArray
+from xugrid_tpu.ugrid import connectivity, conventions
+from xugrid_tpu.ugrid.crs import CrsPlaceholder, crs_from_attrs, crs_to_attrs
+from xugrid_tpu.ugrid.selection_utils import get_sorted_section_coords
+
+
+def numeric_bound(v: Union[float, None], other: float) -> float:
+    return other if v is None else v
+
+
+def as_pandas_index(index, n: int) -> pd.Index:
+    """Normalize bool/int arrays to a unique pandas Index of positions."""
+    if isinstance(index, np.ndarray):
+        if index.size > n:
+            raise ValueError(
+                f"index size {index.size} is larger than dimension size: {n}"
+            )
+        if np.issubdtype(index.dtype, np.bool_):
+            if index.all():
+                pd_index = pd.RangeIndex(0, n)
+            else:
+                pd_index = pd.Index(np.arange(n)[index])
+        elif np.issubdtype(index.dtype, np.integer):
+            pd_index = pd.Index(index)
+        else:
+            raise TypeError(f"index should be bool or integer. Received: {index.dtype}")
+    elif isinstance(index, pd.Index):
+        pd_index = index
+    else:
+        raise TypeError(
+            "index should be pandas Index or numpy array. Received: "
+            f"{type(index).__name__}"
+        )
+    if not pd_index.is_unique:
+        raise ValueError(
+            "index contains repeated values; only subsets will result "
+            "in valid UGRID topology."
+        )
+    return pd_index
+
+
+def align(obj, grids, old_indexes):
+    """
+    After a forwarded xdata operation: detect changed indexes on UGRID
+    dimensions and subset the grids accordingly.
+    Reference behavior: ugridbase.py:81-119.
+    """
+    if old_indexes is None:
+        return obj, grids
+
+    ugrid_dims = set(
+        chain.from_iterable(grid.dims for grid in grids)
+    ).intersection(old_indexes)
+    new_indexes = {
+        k: index
+        for k, index in obj.indexes.items()
+        if k in ugrid_dims and not index.equals(old_indexes[k])
+    }
+    if not new_indexes:
+        return obj, grids
+
+    new_grids = []
+    for grid in grids:
+        grid_dims = grid.dims.intersection(new_indexes)
+        if grid_dims:
+            ugrid_indexes = {dim: new_indexes[dim] for dim in grid_dims}
+            newgrid, indexers = grid.isel(indexers=ugrid_indexes, return_index=True)
+            indexers = {
+                k: v.to_numpy() if hasattr(v, "to_numpy") else np.asarray(v)
+                for k, v in indexers.items()
+                if k in obj.dims and k not in new_indexes
+            }
+            obj = obj.isel(indexers)
+            new_grids.append(newgrid)
+        else:
+            new_grids.append(grid)
+    return obj, new_grids
+
+
+class AbstractUgrid(abc.ABC):
+    # -- abstract surface ---------------------------------------------------
+    @property
+    @abc.abstractmethod
+    def topology_dimension(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def core_dimension(self) -> str: ...
+
+    @property
+    @abc.abstractmethod
+    def dims(self) -> set: ...
+
+    @property
+    @abc.abstractmethod
+    def sizes(self) -> dict: ...
+
+    @property
+    @abc.abstractmethod
+    def coords(self) -> dict: ...
+
+    @property
+    @abc.abstractmethod
+    def facets(self) -> dict: ...
+
+    @abc.abstractmethod
+    def to_dataset(self, other=None, optional_attributes: bool = False): ...
+
+    @abc.abstractmethod
+    def topology_subset(self, index, return_index: bool = False): ...
+
+    @abc.abstractmethod
+    def clip_box(self, xmin, ymin, xmax, ymax): ...
+
+    @abc.abstractmethod
+    def _clear_geometry_properties(self): ...
+
+    @abc.abstractmethod
+    def get_coordinates(self, dim: str) -> FloatArray: ...
+
+    @property
+    def dimensions(self):
+        warnings.warn(
+            ".dimensions is deprecated; use .dims (set of names) or "
+            ".sizes (mapping to lengths) instead.",
+            FutureWarning,
+        )
+        return self.sizes
+
+    # -- connectivity format helpers ---------------------------------------
+    @staticmethod
+    def format_connectivity_as_dense(sparse_connectivity) -> IntArray:
+        """CSR/COO connectivity → padded dense (-1 fill)."""
+        if isinstance(sparse_connectivity, np.ndarray):
+            return sparse_connectivity
+        return connectivity.to_dense(sparse_connectivity)
+
+    @staticmethod
+    def format_connectivity_as_sparse(dense_connectivity) -> csr_matrix:
+        """Padded dense (-1 fill) connectivity → CSR."""
+        if isinstance(dense_connectivity, csr_matrix):
+            return dense_connectivity
+        if isinstance(dense_connectivity, coo_matrix):
+            return dense_connectivity.tocsr()
+        return connectivity.to_sparse(dense_connectivity)
+
+    # -- construction helpers ----------------------------------------------
+    def _initialize_indexes_attrs(self, name, dataset, indexes, attrs) -> None:
+        defaults = conventions.default_topology_attrs(name, self.topology_dimension)
+        if dataset is None:
+            if attrs is None:
+                x, y = defaults["node_coordinates"].split()
+                indexes = {"node_x": x, "node_y": y}
+            else:
+                if indexes is None:
+                    raise ValueError("indexes must be provided for attrs")
+                defaults.update(attrs)
+            self._indexes = indexes
+            self._attrs = defaults
+        else:
+            if attrs is not None:
+                raise ValueError("Provide either dataset or attrs, not both.")
+            if indexes is None:
+                raise ValueError("indexes must be provided for dataset")
+            derived_dims = conventions.ugrid_roles(dataset).dimensions[name]
+            self._indexes = indexes
+            self._attrs = {
+                **defaults,
+                **derived_dims,
+                **dataset._variables[name].attrs,
+            }
+        self._attrs["name"] = name
+
+    def rename(self, name: str, return_name_dict: bool = False):
+        """Rename all topology variables to the default scheme of ``name``."""
+        old_attrs = self._attrs
+        new_attrs = conventions.default_topology_attrs(name, self.topology_dimension)
+
+        name_dict = {self.name: name}
+        skip = ("cf_role", "long_name", "topology_dimension")
+        for key, value in old_attrs.items():
+            if key in new_attrs and key not in skip:
+                split_new = new_attrs[key].split()
+                split_old = str(value).split()
+                if len(split_new) != len(split_old):
+                    raise ValueError(
+                        f"Number of entries does not match on {key}: "
+                        f"{split_new} versus {split_old}"
+                    )
+                for old_name, new_name in zip(split_old, split_new):
+                    name_dict[old_name] = new_name
+
+        new = self.copy()
+        new.name = name
+        new._attrs = new_attrs
+        new._indexes = {k: name_dict[v] for k, v in new._indexes.items()}
+        if new._dataset is not None:
+            present = (
+                set(new._dataset._variables) | set(new._dataset.dims_sizes())
+            )
+            new._dataset = new._dataset.rename(
+                {k: v for k, v in name_dict.items() if k in present}
+            )
+        if return_name_dict:
+            return new, name_dict
+        return new
+
+    def _propagate_properties(self, other) -> None:
+        other.start_index = self.start_index
+        other.fill_value = self.fill_value
+
+    @staticmethod
+    def _single_topology(dataset) -> str:
+        topologies = conventions.ugrid_roles(dataset).topology
+        if len(topologies) == 0:
+            raise ValueError("Dataset contains no UGRID topology variable.")
+        if len(topologies) > 1:
+            raise ValueError(
+                f"Dataset contains {len(topologies)} topology variables, "
+                "please specify the topology variable name to use."
+            )
+        return topologies[0]
+
+    def _filtered_attrs(self, dataset) -> dict:
+        """Drop attr entries naming variables/dims absent from dataset."""
+        topodim = self.topology_dimension
+        attrs = self._attrs.copy()
+        present_dims = set(dataset.dims_sizes())
+        present_vars = set(dataset._variables)
+
+        ugrid_dims = conventions._DIM_NAMES[topodim] + tuple(
+            dims[0] for dims in conventions._CONNECTIVITY_DIMS.values()
+        )
+        for key in ugrid_dims:
+            if key in attrs and attrs[key] not in present_dims:
+                attrs.pop(key)
+        for key in conventions._CONNECTIVITY_NAMES[topodim]:
+            if key in attrs and attrs[key] not in present_vars:
+                attrs.pop(key)
+        for coord in conventions._COORD_NAMES[topodim]:
+            if coord in attrs:
+                names = [n for n in attrs[coord].split(" ") if n in present_vars]
+                if names:
+                    attrs[coord] = " ".join(names)
+                else:
+                    attrs.pop(coord)
+        return attrs
+
+    # -- fill value / start index -------------------------------------------
+    @property
+    def fill_value(self) -> int:
+        """Fill value for UGRID connectivity arrays."""
+        return self._fill_value
+
+    @fill_value.setter
+    def fill_value(self, value: int):
+        self._fill_value = value
+
+    @property
+    def start_index(self) -> int:
+        """Start index for UGRID connectivity arrays."""
+        return self._start_index
+
+    @start_index.setter
+    def start_index(self, value: int):
+        if value not in (0, 1):
+            raise ValueError(f"start_index must be 0 or 1, received: {value}")
+        self._start_index = value
+
+    @staticmethod
+    def _prepare_connectivity(da, fill_value, dtype, coredim: str) -> np.ndarray:
+        """
+        Normalize a connectivity variable read from file: core dimension
+        first, unified -1 fill, integer dtype.  Handles both raw integer
+        fills and NaN-decoded floats (xugrid/ugridbase.py:663-689).
+        """
+        data = np.asarray(da.data)
+        if da.dims[0] != coredim:
+            data = data.T
+        data = data.copy()
+        file_fill = da.encoding.get("_FillValue", da.attrs.get("_FillValue"))
+        if file_fill is not None and not np.isnan(np.asarray(file_fill)).any():
+            is_fill = data == file_fill
+        elif np.issubdtype(data.dtype, np.floating):
+            is_fill = np.isnan(data)
+        else:
+            is_fill = data == fill_value
+        data[is_fill] = fill_value
+        cast = data.astype(dtype, copy=False)
+        if (cast[~is_fill] < 0).any():
+            raise ValueError("connectivity contains negative values")
+        return cast
+
+    def _adjust_connectivity(self, conn: IntArray) -> IntArray:
+        """Write-side: restore the user's fill_value / start_index."""
+        c = conn.copy()
+        if self.start_index == 0 and self.fill_value == FILL_VALUE:
+            return c
+        is_fill = c == FILL_VALUE
+        if self.start_index:
+            c[~is_fill] += self.start_index
+        if self.fill_value != FILL_VALUE:
+            c[is_fill] = self.fill_value
+        return c
+
+    # -- CRS ---------------------------------------------------------------
+    @staticmethod
+    def _extract_crs(dataset, topology: str):
+        roles = conventions.ugrid_roles(dataset)
+        grid_mapping_name = roles.grid_mapping_names[topology]
+        stdname_projected = roles.is_projected[topology]
+        crs = None
+        if grid_mapping_name is not None:
+            crs = crs_from_attrs(dataset._variables[grid_mapping_name].attrs)
+
+        if not (crs is None or isinstance(crs, CrsPlaceholder)):
+            is_projected = crs.is_projected
+            if stdname_projected is not None and stdname_projected != is_projected:
+                warnings.warn(
+                    "standard_name suggests "
+                    f"{'projected' if stdname_projected else 'geographic'} "
+                    f"coordinates, but the CRS ({crs}) is "
+                    f"{'projected' if is_projected else 'geographic'}. "
+                    "The CRS will take priority.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            return crs, is_projected
+
+        if stdname_projected is not None:
+            is_projected = stdname_projected
+        else:
+            warnings.warn(
+                "No CRS or recognizable standard_name found for topology "
+                f"'{topology}'. Assuming projected coordinates.",
+                UserWarning,
+                stacklevel=2,
+            )
+            is_projected = True
+        return crs, is_projected
+
+    @staticmethod
+    def _validate_crs(crs: Any, is_projected: bool):
+        if crs is None or isinstance(crs, CrsPlaceholder):
+            return crs, is_projected
+        import pyproj
+
+        _crs = pyproj.CRS.from_user_input(crs)
+        if not (_crs.is_projected ^ _crs.is_geographic):
+            raise ValueError(
+                f"Unsupported CRS: {crs}. CRS should either be geographic "
+                "(latitude / longitude) or projected."
+            )
+        return _crs, _crs.is_projected
+
+    def set_crs(self, crs=None, epsg: Optional[int] = None, allow_override: bool = False):
+        """Set the CRS without transforming geometry."""
+        import pyproj
+
+        if crs is not None:
+            crs = pyproj.CRS.from_user_input(crs)
+        elif epsg is not None:
+            crs = pyproj.CRS.from_epsg(epsg)
+        else:
+            raise ValueError("Must pass either crs or epsg.")
+        crs, is_projected = self._validate_crs(crs, crs.is_projected)
+        if not allow_override and self.crs is not None and not self.crs == crs:
+            raise ValueError(
+                "The Ugrid already has a CRS which is not equal to the "
+                "passed CRS. Specify 'allow_override=True' to replace it "
+                "without transformation, or use '.to_crs' to transform."
+            )
+        self.crs = crs
+        self.is_projected = is_projected
+
+    def to_crs(self, crs=None, epsg: Optional[int] = None):
+        """Transform node geometry to a new CRS."""
+        import pyproj
+
+        if self.crs is None:
+            raise ValueError(
+                "Cannot transform naive geometries. Set a crs first."
+            )
+        if isinstance(self.crs, CrsPlaceholder):
+            raise ValueError(
+                "Cannot transform geometries: the current CRS is a "
+                "placeholder (pyproj missing or unparseable grid mapping). "
+                "Use .set_crs(..., allow_override=True) first."
+            )
+        if crs is not None:
+            crs = pyproj.CRS.from_user_input(crs)
+        elif epsg is not None:
+            crs = pyproj.CRS.from_epsg(epsg)
+        else:
+            raise ValueError("Must pass either crs or epsg.")
+        crs, is_projected = self._validate_crs(crs, crs.is_projected)
+        grid = self.copy()
+        if self.crs.is_exact_same(crs):
+            return grid
+        transformer = pyproj.Transformer.from_crs(
+            crs_from=self.crs, crs_to=crs, always_xy=True
+        )
+        node_x, node_y = transformer.transform(xx=grid.node_x, yy=grid.node_y)
+        grid.node_x = node_x
+        grid.node_y = node_y
+        grid._clear_geometry_properties()
+        grid._dataset = None
+        grid.crs = crs
+        grid.is_projected = is_projected
+        return grid
+
+    @property
+    def is_geographic(self) -> bool:
+        return not self.is_projected
+
+    def write_grid_mapping(self, dataset, grid_mapping_name: Optional[str] = None):
+        """
+        Write CF grid_mapping attributes to a mapping variable and stamp
+        every variable sharing this topology's dimensions.
+        """
+        if self.crs is None:
+            return dataset
+        dataset = dataset.copy(deep=False)
+        if grid_mapping_name is None:
+            grid_mapping_name = f"{self.name}_crs"
+        fill = np.int32(np.iinfo(np.int32).min + 1)
+        dataset._variables[grid_mapping_name] = xdata.Variable(
+            (), fill, attrs=crs_to_attrs(self.crs)
+        )
+        for var in dataset._variables.values():
+            if set(self.dims) & set(var.dims):
+                var.attrs["grid_mapping"] = grid_mapping_name
+        return dataset
+
+    def _update_coordinate_attrs(self, obj) -> None:
+        for role, name in self._indexes.items():
+            if name in getattr(obj, "_coords", {}):
+                obj._coords[name].attrs = dict(
+                    conventions.DEFAULT_ATTRS[role][self.is_projected]
+                )
+            elif isinstance(obj, xdata.Dataset) and name in obj._variables:
+                obj._variables[name].attrs = dict(
+                    conventions.DEFAULT_ATTRS[role][self.is_projected]
+                )
+            if self._dataset is not None and name in self._dataset._variables:
+                self._dataset._variables[name].attrs = dict(
+                    conventions.DEFAULT_ATTRS[role][self.is_projected]
+                )
+
+    # -- generic dunder/util ------------------------------------------------
+    def __repr__(self) -> str:
+        if self._dataset:
+            return self._dataset.__repr__()
+        return self.to_dataset().__repr__()
+
+    def equals(self, other) -> bool:
+        if other is self:
+            return True
+        if isinstance(other, type(self)):
+            return self.to_dataset().identical(other.to_dataset())
+        return False
+
+    def copy(self):
+        """Create a deep copy."""
+        return copy.deepcopy(self)
+
+    @property
+    def attrs(self) -> dict:
+        return copy.deepcopy(self._attrs)
+
+    @property
+    def node_dimension(self) -> str:
+        """Name of the node dimension."""
+        return self._attrs["node_dimension"]
+
+    @property
+    def edge_dimension(self) -> str:
+        """Name of the edge dimension."""
+        return self._attrs["edge_dimension"]
+
+    @property
+    def max_connectivity_dimensions(self) -> tuple:
+        return ()
+
+    @property
+    def max_connectivity_sizes(self) -> dict:
+        return {}
+
+    # -- geometry -----------------------------------------------------------
+    @property
+    def node_coordinates(self) -> FloatArray:
+        """Coordinates (x, y) of the nodes (vertices)."""
+        return np.column_stack([self.node_x, self.node_y])
+
+    @property
+    def n_node(self) -> int:
+        """Number of nodes (vertices)."""
+        return self.node_x.size
+
+    @property
+    def n_edge(self) -> int:
+        """Number of edges."""
+        return self.edge_node_connectivity.shape[0]
+
+    @property
+    def edge_x(self) -> FloatArray:
+        """x-coordinate of every edge midpoint."""
+        if self._edge_x is None:
+            self._edge_x = self.node_x[self.edge_node_connectivity].mean(axis=1)
+        return self._edge_x
+
+    @property
+    def edge_y(self) -> FloatArray:
+        """y-coordinate of every edge midpoint."""
+        if self._edge_y is None:
+            self._edge_y = self.node_y[self.edge_node_connectivity].mean(axis=1)
+        return self._edge_y
+
+    @property
+    def edge_coordinates(self) -> FloatArray:
+        """Midpoint (x, y) of every edge."""
+        return np.column_stack([self.edge_x, self.edge_y])
+
+    @property
+    def edge_node_coordinates(self) -> FloatArray:
+        """Node coordinates of every edge: (n_edge, 2, 2)."""
+        return self.node_coordinates[self.edge_node_connectivity]
+
+    @property
+    def edge_length(self) -> FloatArray:
+        """Length of every edge."""
+        dxy = np.diff(self.edge_node_coordinates, axis=1)[:, 0, :]
+        return np.linalg.norm(dxy, axis=-1)
+
+    @property
+    def bounds(self) -> tuple:
+        """(xmin, ymin, xmax, ymax) of the nodes."""
+        if any(
+            v is None for v in (self._xmin, self._ymin, self._xmax, self._ymax)
+        ):
+            self._xmin = self.node_x.min()
+            self._ymin = self.node_y.min()
+            self._xmax = self.node_x.max()
+            self._ymax = self.node_y.max()
+        return (self._xmin, self._ymin, self._xmax, self._ymax)
+
+    @property
+    def edge_bounds(self) -> FloatArray:
+        """(n_edge, 4): minx, miny, maxx, maxy per edge."""
+        x = self.node_x[self.edge_node_connectivity]
+        y = self.node_y[self.edge_node_connectivity]
+        return np.column_stack(
+            [x.min(axis=1), y.min(axis=1), x.max(axis=1), y.max(axis=1)]
+        )
+
+    # -- derived connectivities ----------------------------------------------
+    @property
+    def node_edge_connectivity(self) -> csr_matrix:
+        """Node to edge connectivity (CSR)."""
+        if self._node_edge_connectivity is None:
+            self._node_edge_connectivity = connectivity.invert_dense_to_sparse(
+                self.edge_node_connectivity
+            )
+        return self._node_edge_connectivity
+
+    @property
+    def node_node_connectivity(self) -> csr_matrix:
+        """Node adjacency (CSR); data holds the connecting edge index."""
+        if self._node_node_connectivity is None:
+            self._node_node_connectivity = connectivity.node_node_connectivity(
+                self.edge_node_connectivity
+            )
+        return self._node_node_connectivity
+
+    @property
+    def edge_edge_connectivity(self) -> csr_matrix:
+        """Edge adjacency (CSR); data holds the shared node index."""
+        return connectivity.edge_edge_connectivity(
+            self.edge_node_connectivity, self.node_edge_connectivity
+        )
+
+    @property
+    def directed_node_node_connectivity(self) -> csr_matrix:
+        """Directed node adjacency (CSR); data holds the edge index."""
+        return connectivity.directed_node_node_connectivity(
+            self.edge_node_connectivity
+        )
+
+    @property
+    def directed_edge_edge_connectivity(self) -> csr_matrix:
+        """Directed (downstream) edge adjacency (CSR)."""
+        return connectivity.directed_edge_edge_connectivity(
+            self.edge_node_connectivity, self.node_edge_connectivity
+        )
+
+    @staticmethod
+    def _connectivity_weights(conn: csr_matrix, coordinates: FloatArray) -> FloatArray:
+        """Normalized inverse-distance weights for adjacency data."""
+        coo = conn.tocoo()
+        distance = np.linalg.norm(
+            coordinates[coo.col] - coordinates[coo.row], axis=1
+        )
+        return distance.mean() / distance
+
+    # -- coordinate assignment ------------------------------------------------
+    def set_node_coords(self, node_x: str, node_y: str, obj, is_projected=True, crs=None):
+        """Use coordinates ``node_x``/``node_y`` of obj as grid node coords."""
+        if " " in node_x or " " in node_y:
+            raise ValueError("coordinate names may not contain spaces")
+        x = np.asarray(obj[node_x].data)
+        y = np.asarray(obj[node_y].data)
+        if x.ndim != 1 or x.size != self.n_node:
+            raise ValueError(
+                "shape of node_x does not match n_node of grid: "
+                f"{x.shape} versus {self.n_node}"
+            )
+        if y.ndim != 1 or y.size != self.n_node:
+            raise ValueError(
+                "shape of node_y does not match n_node of grid: "
+                f"{y.shape} versus {self.n_node}"
+            )
+        node_coords = [
+            c
+            for c in self._attrs["node_coordinates"].split(" ")
+            if c not in (node_x, node_y)
+        ]
+        node_coords.extend((node_x, node_y))
+        self._clear_geometry_properties()
+        self.node_x = np.ascontiguousarray(x)
+        self.node_y = np.ascontiguousarray(y)
+        self._attrs["node_coordinates"] = " ".join(node_coords)
+        self._indexes["node_x"] = node_x
+        self._indexes["node_y"] = node_y
+        self.crs, self.is_projected = self._validate_crs(crs, is_projected)
+
+    def _assign_coords(self, obj, facet: str, x: FloatArray, y: FloatArray, dim: str):
+        xname = self._indexes.get(f"{facet}_x", f"{self.name}_{facet}_x")
+        yname = self._indexes.get(f"{facet}_y", f"{self.name}_{facet}_y")
+        coords = {
+            xname: xdata.DataArray(
+                x, dims=(dim,), attrs=conventions.DEFAULT_ATTRS[f"{facet}_x"][self.is_projected]
+            ),
+            yname: xdata.DataArray(
+                y, dims=(dim,), attrs=conventions.DEFAULT_ATTRS[f"{facet}_y"][self.is_projected]
+            ),
+        }
+        return obj.assign_coords(coords)
+
+    def assign_node_coords(self, obj):
+        """Assign this grid's node coordinates to the object."""
+        return self._assign_coords(
+            obj, "node", self.node_x, self.node_y, self.node_dimension
+        )
+
+    def assign_edge_coords(self, obj):
+        """Assign this grid's edge coordinates to the object."""
+        return self._assign_coords(
+            obj, "edge", self.edge_x, self.edge_y, self.edge_dimension
+        )
+
+    # -- spatial queries ------------------------------------------------------
+    @property
+    def node_kdtree(self):
+        if self._node_kdtree is None:
+            self._node_kdtree = KDTree(self.node_coordinates)
+        return self._node_kdtree
+
+    @property
+    def edge_kdtree(self):
+        if self._edge_kdtree is None:
+            self._edge_kdtree = KDTree(self.edge_coordinates)
+        return self._edge_kdtree
+
+    def locate_nearest_node(self, points: FloatArray, max_distance: float = np.inf):
+        """Nearest grid node per point; -1 when beyond max_distance."""
+        _, indices = self.node_kdtree.query(
+            points, distance_upper_bound=max_distance, workers=-1
+        )
+        indices[indices == self.n_node] = -1
+        return indices
+
+    def locate_nearest_edge(self, points: FloatArray, max_distance: float = np.inf):
+        """Nearest grid edge (by midpoint) per point; -1 beyond max_distance."""
+        _, indices = self.edge_kdtree.query(
+            points, distance_upper_bound=max_distance, workers=-1
+        )
+        indices[indices == self.n_edge] = -1
+        return indices
+
+    def locate_points(self, points: FloatArray, tolerance: Optional[float] = None):
+        """Index of the core entity containing each point (-1 outside)."""
+        return self.celltree.locate_points(points, tolerance)
+
+    def intersect_edges(self, edges: FloatArray):
+        """
+        Intersect segments with the grid.
+
+        Returns (edge_index, core_index, intersections).
+        """
+        return self.celltree.intersect_edges(edges)
+
+    def intersect_line(self, obj, start: Sequence[float], end: Sequence[float]):
+        """Cross-section along the line from start to end."""
+        if len(start) != 2 or len(end) != 2:
+            raise ValueError("Start and end coordinate pairs must have length two")
+        return self._sel_line(obj, start, end)
+
+    def _sel_line(self, obj, start, end):
+        dim = self.core_dimension
+        edges = np.array([[start, end]])
+        _, index, xy = self.intersect_edges(edges)
+        coords, index = self._section_coordinates(edges, xy, dim, index, self.name)
+        return obj.isel({dim: index}).assign_coords(coords)
+
+    def _sel_yline(self, obj, x: slice, y: FloatArray):
+        xmin, _, xmax, _ = self.bounds
+        if y.size != 1:
+            raise ValueError(
+                "If x is a slice without steps, y should be a single value"
+            )
+        y = y[0]
+        return self._sel_line(
+            obj,
+            start=(numeric_bound(x.start, xmin), y),
+            end=(numeric_bound(x.stop, xmax), y),
+        )
+
+    def _sel_xline(self, obj, x: FloatArray, y: slice):
+        _, ymin, _, ymax = self.bounds
+        if x.size != 1:
+            raise ValueError(
+                "If y is a slice without steps, x should be a single value"
+            )
+        x = x[0]
+        return self._sel_line(
+            obj,
+            start=(x, numeric_bound(y.start, ymin)),
+            end=(x, numeric_bound(y.stop, ymax)),
+        )
+
+    def intersect_linestring(self, obj, linestring):
+        """Cross-section along a (shapely) linestring."""
+        import shapely
+
+        xy = shapely.get_coordinates([linestring])
+        return self.intersect_segments(obj, np.stack((xy[:-1], xy[1:]), axis=1))
+
+    def intersect_segments(self, obj, edges: FloatArray):
+        """Cross-section along a polyline given as (n, 2, 2) segments."""
+        edge_index, core_index, intersections = self.intersect_edges(edges)
+
+        edge_length = np.linalg.norm(edges[:, 1] - edges[:, 0], axis=1)
+        cumulative = np.concatenate([[0.0], np.cumsum(edge_length[:-1])])
+        if self.topology_dimension == 2:
+            xy = intersections.mean(axis=1)
+        else:
+            xy = intersections
+        distance = np.linalg.norm(xy - edges[edge_index, 0], axis=1)
+        s = distance + cumulative[edge_index]
+
+        dim = self.core_dimension
+        coords, core_index = get_sorted_section_coords(
+            s, xy, dim, core_index, self.name
+        )
+        return obj.isel({dim: core_index}).assign_coords(coords)
+
+    def sel_points(
+        self,
+        obj,
+        x: FloatArray,
+        y: FloatArray,
+        method: Optional[str] = None,
+        out_of_bounds: str = "warn",
+        fill_value=np.nan,
+        tolerance: Optional[float] = None,
+    ):
+        """
+        Select values at point locations.
+
+        Data on the core facet is looked up by containment (or nearest if
+        ``method="nearest"``); data on other facets by nearest entity.
+        out_of_bounds: "warn" | "raise" | "ignore" | "drop".
+        Reference behavior: ugridbase.py:1125-1259.
+        """
+        if method not in (None, "nearest"):
+            raise ValueError(f"method must be None or 'nearest', got: {method}")
+        options = ("warn", "raise", "ignore", "drop")
+        if out_of_bounds not in options:
+            raise ValueError(
+                f"out_of_bounds must be one of {', '.join(options)}, "
+                f"received: {out_of_bounds}"
+            )
+
+        x = np.atleast_1d(np.asarray(x, dtype=float))
+        y = np.atleast_1d(np.asarray(y, dtype=float))
+        if x.shape != y.shape:
+            raise ValueError("shape of x does not match shape of y")
+        if x.ndim != 1:
+            raise ValueError("x and y must be 1d")
+        xy = np.column_stack([x, y])
+
+        point_dim = f"{self.name}_points"
+        core_indexer = self.locate_points(xy, tolerance)
+        keep = slice(None, None)
+        condition = None
+        valid = core_indexer != -1
+        if not valid.all():
+            msg = "Not all points are located on the topology."
+            if out_of_bounds == "raise":
+                raise ValueError(msg)
+            elif out_of_bounds == "warn":
+                warnings.warn(msg, UserWarning, stacklevel=2)
+                condition = xdata.DataArray(valid, dims=(point_dim,))
+            elif out_of_bounds == "ignore":
+                condition = xdata.DataArray(valid, dims=(point_dim,))
+            else:  # drop
+                core_indexer = core_indexer[valid]
+                keep = valid
+        xy_sel = xy[keep]
+
+        core_dim = self.core_dimension
+        other_dims = self.dims.intersection(obj.dims) - {core_dim}
+        facets = {v: k for k, v in self.facets.items()}
+        if core_dim in obj.dims:
+            if method == "nearest":
+                core_indexer = self._locate_nearest(
+                    facet=facets[core_dim], points=xy_sel
+                )
+            indexers = {core_dim: xdata.DataArray(core_indexer, dims=(point_dim,))}
+        else:
+            indexers = {}
+        for dim in other_dims:
+            indexer = self._locate_nearest(facet=facets[dim], points=xy_sel)
+            indexers[dim] = xdata.DataArray(indexer, dims=(point_dim,))
+
+        selection = obj.isel(indexers).assign_coords(
+            {
+                f"{self.name}_x": (point_dim, xy[keep, 0]),
+                f"{self.name}_y": (point_dim, xy[keep, 1]),
+            }
+        )
+        if condition is not None:
+            if isinstance(selection, xdata.Dataset):
+                out = selection.copy(deep=False)
+                for varname in list(out.data_vars):
+                    if point_dim in out._variables[varname].dims:
+                        out[varname] = out[varname].where(condition, other=fill_value)
+                selection = out
+            else:
+                selection = selection.where(condition, other=fill_value)
+        return selection
+
+    def sel(self, obj, x=None, y=None):
+        """
+        Orthogonal selection in UGRID x/y: box (slices), line (slice +
+        scalar), or points (arrays).  Reference: ugridbase.py:1462-1506.
+        """
+        if x is None:
+            x = slice(None, None)
+        if y is None:
+            y = slice(None, None)
+        x = self._validate_indexer(x)
+        y = self._validate_indexer(y)
+        if isinstance(x, slice) and isinstance(y, slice):
+            f = self._sel_box
+        elif isinstance(x, slice) and isinstance(y, np.ndarray):
+            f = self._sel_yline
+        elif isinstance(x, np.ndarray) and isinstance(y, slice):
+            f = self._sel_xline
+        elif isinstance(x, np.ndarray) and isinstance(y, np.ndarray):
+            y, x = (a.ravel() for a in np.meshgrid(y, x, indexing="ij"))
+            f = self.sel_points
+        else:
+            raise TypeError(
+                f"Invalid indexer types: {type(x).__name__}, {type(y).__name__}"
+            )
+        return f(obj, x, y)
+
+    def find_ugrid_dim(self, obj) -> str:
+        """The single UGRID dimension present in the object."""
+        ugrid_dims = self.dims.intersection(obj.dims)
+        if len(ugrid_dims) != 1:
+            raise ValueError(
+                "UgridDataArray should contain exactly one of the UGRID "
+                f"dimensions: {self.dims}"
+            )
+        return ugrid_dims.pop()
+
+    def _precheck(self, multi_index):
+        dim, index = multi_index.popitem()
+        for check_dim, check_index in multi_index.items():
+            if not index.equals(check_index):
+                raise ValueError(
+                    f"UGRID dimensions do not align: {dim} versus {check_dim}"
+                )
+        return index
+
+    def _postcheck(self, indexers, finalized_indexers):
+        for dim, indexer in indexers.items():
+            if dim != self.core_dimension:
+                if not indexer.equals(finalized_indexers[dim]):
+                    raise ValueError(
+                        f"This subset selection of UGRID dimension {dim} "
+                        "results in an invalid topology"
+                    )
+
+    # -- data array creation --------------------------------------------------
+    def _create_data_array(self, data, dimension: str):
+        from xugrid_tpu.core.wrap import UgridDataArray
+
+        data = np.asarray(data)
+        if data.ndim != 1:
+            raise ValueError(
+                "Can only create DataArrays from 1D arrays. "
+                f"Data has {data.ndim} dimensions."
+            )
+        len_grid = self.sizes[dimension]
+        if len(data) != len_grid:
+            raise ValueError(
+                f"Conflicting sizes for dimension {dimension}: length "
+                f"{len(data)} on the data, but length {len_grid} on the grid."
+            )
+        da = xdata.DataArray(data=data, dims=(dimension,))
+        return UgridDataArray(da, self)
+
+    # -- partitioning ---------------------------------------------------------
+    def _validate_partitioning_weights(self, weights) -> None:
+        facet = {v: k for k, v in self.facets.items()}[self.core_dimension]
+        n_expected = getattr(self, f"n_{facet}")
+        if weights is None:
+            return
+        if weights.shape != (n_expected,):
+            raise ValueError(
+                f"Wrong shape on weights. Expected a 1D array with "
+                f"{n_expected} elements, received array with shape: "
+                f"{weights.shape}"
+            )
+        if not np.issubdtype(weights.dtype, np.integer):
+            raise TypeError(
+                f"Wrong type on weights. Expected an integer array, "
+                f"received: {weights.dtype}"
+            )
+        if np.any(weights < 0):
+            raise ValueError(
+                "Wrong values on weights. Weights should be greater or "
+                "equal to zero."
+            )
+
+    def label_partitions(self, n_part: int, weights: Optional[IntArray] = None):
+        """
+        Generate partition labels for this topology.
+
+        Uses the built-in partitioner (space-filling-curve with greedy
+        boundary refinement; see ugrid/partitioning.py).  The reference
+        delegates to METIS (ugridbase.py:1528-1571); the SFC approach
+        produces contiguous, balanced parts without the C dependency and
+        maps directly onto device sharding.
+        """
+        from xugrid_tpu.core.wrap import UgridDataArray
+        from xugrid_tpu.ugrid.partitioning import partition_labels
+
+        self._validate_partitioning_weights(weights)
+        facet = {v: k for k, v in self.facets.items()}[self.core_dimension]
+        coordinates = self.get_coordinates(self.core_dimension)
+        adjacency = getattr(self, f"{facet}_{facet}_connectivity")
+        labels = partition_labels(coordinates, n_part, adjacency, weights)
+        return UgridDataArray(
+            xdata.DataArray(labels, dims=(self.core_dimension,), name="labels"),
+            self,
+        )
+
+    def partition(self, n_part: int, weights: Optional[IntArray] = None):
+        """Partition this topology into ``n_part`` topologies."""
+        from xugrid_tpu.ugrid.partitioning import labels_to_indices
+
+        labels = self.label_partitions(n_part, weights)
+        indices = labels_to_indices(labels.values)
+        return [self.topology_subset(index) for index in indices]
+
+    def plot(self, **kwargs):
+        """Plot the edges of the mesh."""
+        from xugrid_tpu.plot import line
+
+        return line(self, **kwargs)
+
+
+UgridType = AbstractUgrid

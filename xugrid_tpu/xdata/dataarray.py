@@ -332,8 +332,13 @@ class DataArray:
                 raise ValueError(f"dimensions {unknown} do not exist")
             indexers = {k: v for k, v in indexers.items() if k in self.dims}
         clean = {}
+        renames = {}
         for k, v in indexers.items():
             if isinstance(v, DataArray):
+                # Named-indexer semantics: the indexed axis takes the
+                # indexer's dimension name (like xarray pointwise sel).
+                if v.ndim == 1 and v.dims[0] != k:
+                    renames[k] = v.dims[0]
                 v = v.data
             clean[k] = v
         new_var = self.variable.isel(clean)
@@ -344,7 +349,15 @@ class DataArray:
             if drop and cv.ndim == 0:
                 continue
             new_coords[name] = cv
-        return DataArray._construct(new_var, new_coords, self.name)
+        out = DataArray._construct(new_var, new_coords, self.name)
+        if renames:
+            out = out.rename(renames)
+            # Drop the old dim-named index coordinate: its values are
+            # positions in the source dim, meaningless on the new dim.
+            for old, new in renames.items():
+                if new in out._coords and out._coords[new].dims == (new,):
+                    del out._coords[new]
+        return out
 
     def sel(self, indexers=None, method=None, tolerance=None, drop: bool = False, **kwargs) -> "DataArray":
         indexers = self._resolve_indexers(indexers, kwargs)

@@ -347,8 +347,11 @@ class Dataset:
         if unknown and missing_dims == "raise":
             raise ValueError(f"dimensions {unknown} do not exist")
         clean = {}
+        renames = {}
         for k, v in indexers.items():
             if isinstance(v, DataArray):
+                if v.ndim == 1 and v.dims[0] != k:
+                    renames[k] = v.dims[0]
                 v = v.data
             clean[k] = v
         out = Dataset(attrs=dict(self.attrs))
@@ -359,6 +362,13 @@ class Dataset:
                 continue
             out._variables[name] = new_var
         out._coord_names = {n for n in self._coord_names if n in out._variables}
+        if renames:
+            out = out.rename({k: v for k, v in renames.items()})
+            for old, new in renames.items():
+                var = out._variables.get(new)
+                if var is not None and var.dims == (new,) and new in out._coord_names:
+                    del out._variables[new]
+                    out._coord_names.discard(new)
         return out
 
     def sel(self, indexers=None, method=None, drop: bool = False, **kwargs) -> "Dataset":

@@ -90,11 +90,18 @@ def _decode_attr(value):
 
 
 def _mark_coords(ds: Dataset) -> None:
-    """Mark 1-D vars named after their dim, plus CF 'coordinates' refs."""
+    """Mark 1-D vars named after their dim, plus CF 'coordinates' refs.
+
+    The consumed ``coordinates`` attributes move to encoding (CF decode)."""
     referenced: set = set()
+    global_coords = ds.attrs.pop("coordinates", None)
+    if global_coords:
+        ds.encoding["coordinates"] = global_coords
+        referenced.update(str(global_coords).split())
     for var in ds._variables.values():
-        coords_attr = var.attrs.get("coordinates")
+        coords_attr = var.attrs.pop("coordinates", None)
         if coords_attr:
+            var.encoding["coordinates"] = coords_attr
             referenced.update(str(coords_attr).split())
     for name, var in ds._variables.items():
         if var.dims == (name,) or name in referenced:
@@ -111,7 +118,43 @@ _NC3_DTYPES = {
 }
 
 
+def annotate_cf_coordinates(ds: Dataset) -> Dataset:
+    """
+    Stamp the CF ``coordinates`` attribute on data variables so
+    coordinate status survives a file round-trip (dim-named coords are
+    recovered by name alone).
+    """
+    auxiliary = [
+        name
+        for name in ds._coord_names
+        if ds._variables[name].dims != (name,)
+    ]
+    if not auxiliary:
+        return ds
+    out = ds.copy(deep=False)
+    referenced = set()
+    for name, var in out._variables.items():
+        if name in out._coord_names:
+            continue
+        relevant = [
+            c for c in auxiliary if set(out._variables[c].dims) <= set(var.dims)
+        ]
+        if relevant and "coordinates" not in var.attrs:
+            var = Variable(var.dims, var.data, dict(var.attrs), var.encoding)
+            var.attrs["coordinates"] = " ".join(relevant)
+            out._variables[name] = var
+            referenced.update(relevant)
+    # Coordinates referenced by no data variable go into the global
+    # coordinates attribute (xarray convention for orphaned coords).
+    orphaned = [c for c in auxiliary if c not in referenced]
+    if orphaned:
+        out.attrs = dict(out.attrs)
+        out.attrs["coordinates"] = " ".join(orphaned)
+    return out
+
+
 def to_netcdf(ds: Dataset, path, engine=None, **kwargs) -> None:
+    ds = annotate_cf_coordinates(ds)
     if HAS_NETCDF4 and engine != "scipy":
         _write_netcdf4(ds, path)
         return
@@ -137,7 +180,9 @@ def _write_scipy(ds: Dataset, path) -> None:
                 continue
             nc_var = f.createVariable(name, data.dtype, tuple(var.dims))
             if var.ndim == 0:
-                nc_var.assignValue(data)
+                # scipy's assignValue is broken for true scalars; write
+                # through the underlying array instead.
+                nc_var.data[...] = data
             else:
                 nc_var[:] = data
             for k, v in var.attrs.items():

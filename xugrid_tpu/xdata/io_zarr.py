@@ -27,6 +27,9 @@ def _dtype_str(dtype: np.dtype) -> str:
 
 
 def to_zarr(ds: Dataset, store, **kwargs) -> None:
+    from xugrid_tpu.xdata.io_netcdf import annotate_cf_coordinates
+
+    ds = annotate_cf_coordinates(ds)
     root = Path(store)
     root.mkdir(parents=True, exist_ok=True)
     (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
