@@ -8,8 +8,11 @@ apply) execute without TPU hardware.  Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# Force, don't setdefault: the surrounding environment exports
+# JAX_PLATFORMS=axon (the TPU tunnel), which is slow/flaky for unit tests
+# and computes at f32 precision.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "1"
 # Persistent compile cache: kernel compiles dominate test time otherwise.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -22,6 +25,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
+# The axon sitecustomize may override the JAX_ENABLE_X64 env var; force it.
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -28,6 +28,13 @@ from xugrid_tpu.core.common import (
     zeros_like,
 )
 from xugrid_tpu.core.wrap import UgridDataArray, UgridDataset
+from xugrid_tpu.regrid import (
+    BarycentricInterpolator,
+    CentroidLocatorRegridder,
+    NetworkGridder,
+    OverlapRegridder,
+    RelativeOverlapRegridder,
+)
 from xugrid_tpu.ugrid.conventions import UgridRolesAccessor, ugrid_roles
 from xugrid_tpu.ugrid.partitioning import merge_partitions
 from xugrid_tpu.ugrid.ugrid1d import Ugrid1d
@@ -42,6 +49,11 @@ __all__ = [
     "UgridDataArray",
     "UgridDataset",
     "UgridRolesAccessor",
+    "BarycentricInterpolator",
+    "CentroidLocatorRegridder",
+    "NetworkGridder",
+    "OverlapRegridder",
+    "RelativeOverlapRegridder",
     "ugrid_roles",
     "concat",
     "full_like",

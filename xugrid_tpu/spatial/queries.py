@@ -266,7 +266,7 @@ def count_box_overlaps_kernel(query_boxes, tree: DeviceBVH, prim_bbox, n_interna
             ok = (prim_ids >= 0) & jax.vmap(
                 lambda b: _bbox_overlaps_box(b, qbox, 0.0)
             )(boxes)
-            return count + jnp.sum(ok), False
+            return count + jnp.sum(ok, dtype=jnp.int32), False
 
         return _traverse(tree, n_internal, leaf_size, hit_fn, leaf_fn, jnp.int32(0))
 
@@ -295,7 +295,7 @@ def emit_box_overlaps_kernel(
             offs = n + jnp.cumsum(ok.astype(jnp.int32)) - ok.astype(jnp.int32)
             pos = jnp.where(ok & (offs < capacity), offs, capacity)
             out = out.at[pos].set(jnp.where(ok, prim_ids, -1), mode="drop")
-            return (out, n + jnp.sum(ok)), False
+            return (out, n + jnp.sum(ok, dtype=jnp.int32)), False
 
         init = (jnp.full((capacity,), -1, dtype=jnp.int32), jnp.int32(0))
         (out, n) = _traverse(tree, n_internal, leaf_size, hit_fn, leaf_fn, init)
