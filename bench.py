@@ -1,0 +1,164 @@
+"""
+Benchmark: 1M-face overlap regrid (weight build + apply) and celltree
+point location, per BASELINE.json.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The primary metric is the regrid apply throughput (effective GB/s of
+weight/value traffic through the windowed apply kernel).  vs_baseline is
+measured against a scipy CSR matvec on the host CPU — the same
+C-compiled sparse apply the reference's numba loop approximates.
+
+Environment: runs on whatever jax.devices() provides (the driver runs it
+on one real TPU chip).  Set BENCH_SMALL=1 for a quick local sanity run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+)
+
+SMALL = os.environ.get("BENCH_SMALL") == "1"
+
+
+def quad_mesh(nx, ny, dx=1.0):
+    x = np.arange(nx + 1.0) * dx
+    y = np.arange(ny + 1.0) * dx
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    verts = np.column_stack([xx.ravel(), yy.ravel()])
+    j, i = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    nid = lambda ii, jj: jj * (nx + 1) + ii  # noqa: E731
+    faces = np.stack(
+        [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)], axis=-1
+    ).reshape(-1, 4)
+    return verts, faces
+
+
+def main():
+    import xugrid_tpu as xu
+    from xugrid_tpu.core.sparse import MatrixCSR, PaddedCSR
+    from xugrid_tpu.regrid import reduce as reductions
+    from xugrid_tpu.regrid.apply import _apply_windowed
+
+    if SMALL:
+        n_side, t_side, n_extra, n_points = 100, 64, 4, 4096
+    else:
+        n_side, t_side, n_extra, n_points = 1000, 512, 20, 1_000_000
+
+    rng = np.random.default_rng(42)
+
+    # --- source mesh: n_side^2 quads, jittered interior nodes ----------
+    t0 = time.perf_counter()
+    verts, faces = quad_mesh(n_side, n_side)
+    jitter = rng.uniform(-0.15, 0.15, verts.shape)
+    edge = (
+        (verts[:, 0] == 0)
+        | (verts[:, 1] == 0)
+        | (verts[:, 0] == n_side)
+        | (verts[:, 1] == n_side)
+    )
+    jitter[edge] = 0.0
+    verts = verts + jitter
+    grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+    mesh_build_s = time.perf_counter() - t0
+
+    # --- weight build: overlap with a t_side^2 raster -------------------
+    dx = n_side / t_side
+    tx = np.arange(t_side + 1.0) * dx
+    tverts, tfaces = quad_mesh(t_side, t_side, dx=dx)
+    target = xu.Ugrid2d(tverts[:, 0], tverts[:, 1], -1, tfaces)
+
+    t0 = time.perf_counter()
+    tree = grid.celltree  # BVH build
+    bvh_build_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ti, si, areas = tree.intersect_faces(
+        target.node_coordinates, target.face_node_connectivity, -1
+    )
+    weight_build_s = time.perf_counter() - t0
+    csr = MatrixCSR.from_triplet(ti, si, areas, n=target.n_face, m=grid.n_face)
+    padded = PaddedCSR.from_csr(csr, dtype=np.float32)
+
+    # --- apply: n_extra time slices, steady state -----------------------
+    source = rng.normal(size=(n_extra, grid.n_face)).astype(np.float32)
+    src_d = jnp.asarray(source)
+    idx_d = jnp.asarray(padded.indices)
+    w_d = jnp.asarray(padded.weights)
+
+    out = _apply_windowed(src_d, idx_d, w_d, reductions.mean)
+    out.block_until_ready()  # compile + warm
+    reps = 3 if SMALL else 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = _apply_windowed(src_d, idx_d, w_d, reductions.mean)
+    out.block_until_ready()
+    apply_s = (time.perf_counter() - t0) / reps
+
+    # effective traffic: gathered values + weights + indices + output
+    nnz_padded = padded.n * padded.w_max
+    bytes_per_slice = nnz_padded * (4 + 4 + 4) + padded.n * 4
+    apply_gbps = n_extra * bytes_per_slice / apply_s / 1e9
+
+    # --- celltree locate throughput -------------------------------------
+    pts = rng.uniform(0.5, n_side - 0.5, (n_points, 2))
+    found = tree.locate_points(pts)  # compile + warm
+    t0 = time.perf_counter()
+    found = tree.locate_points(pts)
+    locate_s = time.perf_counter() - t0
+    locate_qps = n_points / locate_s
+    hit_rate = float((found >= 0).mean())
+
+    # --- host CPU baseline: scipy CSR matvec (the C-speed equivalent of
+    # the reference's numba apply loop) ----------------------------------
+    import scipy.sparse
+
+    W = scipy.sparse.csr_matrix(
+        (csr.data, csr.indices, csr.indptr), shape=(csr.n, csr.m)
+    ).astype(np.float32)
+    wsum = np.asarray(W.sum(axis=1)).ravel()
+    wsum[wsum == 0] = 1.0
+    src64 = source
+    _ = W @ src64[0]  # warm
+    t0 = time.perf_counter()
+    for k in range(n_extra):
+        _ = (W @ src64[k]) / wsum
+    cpu_apply_s = time.perf_counter() - t0
+    cpu_bytes = n_extra * (csr.nnz * (4 + 4 + 4) + csr.n * 4)
+    cpu_gbps = cpu_bytes / cpu_apply_s / 1e9
+
+    result = {
+        "metric": f"{grid.n_face}-face overlap regrid apply throughput",
+        "value": round(apply_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(apply_gbps / cpu_gbps, 3),
+        "weight_build_s": round(weight_build_s, 3),
+        "bvh_build_s": round(bvh_build_s, 3),
+        "apply_s_per_pass": round(apply_s, 4),
+        "cpu_csr_gbps": round(cpu_gbps, 3),
+        "locate_queries_per_s": round(locate_qps, 1),
+        "locate_hit_rate": round(hit_rate, 4),
+        "nnz": int(csr.nnz),
+        "n_extra": n_extra,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

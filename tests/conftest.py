@@ -25,7 +25,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-# The axon sitecustomize may override the JAX_ENABLE_X64 env var; force it.
+# The axon sitecustomize imports jax at interpreter startup and pins the
+# platform/x64 settings; env vars set afterwards are ignored.  Only
+# explicit config.update calls reliably override it.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
