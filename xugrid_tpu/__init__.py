@@ -69,3 +69,6 @@ __all__ = [
     "zeros_like",
     "xdata",
 ]
+
+from xugrid_tpu import data  # noqa: E402  (sample datasets)
+__all__.append("data")

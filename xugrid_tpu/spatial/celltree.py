@@ -99,19 +99,24 @@ class CellTree2d:
         points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         n = len(points)
         tol = self._tol(tolerance)
-        padded = _pad_queries(points, _batch_size(n), fill=np.nan)
-        out, overflow = q.locate_points_kernel(
-            jnp.asarray(padded),
-            self._tree,
-            self._poly_xy,
-            self.bvh.n_internal,
-            self.bvh.leaf_size,
-            self._depth,
-            self.FRONTIER,
-            tol,
-        )
-        out = np.array(out)[:n]
-        overflow = np.asarray(overflow)[:n]
+        out = np.empty(n, dtype=np.int32)
+        overflow = np.empty(n, dtype=bool)
+        for start in range(0, n, self.CHUNK):
+            stop = min(start + self.CHUNK, n)
+            n_chunk = stop - start
+            padded = _pad_queries(points[start:stop], _batch_size(n_chunk), fill=np.nan)
+            out_c, ov_c = q.locate_points_kernel(
+                jnp.asarray(padded),
+                self._tree,
+                self._poly_xy,
+                self.bvh.n_internal,
+                self.bvh.leaf_size,
+                self._depth,
+                self.FRONTIER,
+                tol,
+            )
+            out[start:stop] = np.asarray(out_c)[:n_chunk]
+            overflow[start:stop] = np.asarray(ov_c)[:n_chunk]
         if overflow.any():
             # More containing nodes than the frontier held at some level:
             # escalate those queries with a 4x frontier, then fall back to
@@ -146,11 +151,38 @@ class CellTree2d:
                 out[redo2] = np.asarray(exact)[: len(redo2)]
         return out
 
-    def _candidates(self, query_boxes: np.ndarray):
-        """Two-pass candidate join: (query_index, tree_index) arrays."""
+    #: queries per kernel launch: bounds device memory and per-launch
+    #: runtime (long launches can trip remote-TPU watchdogs).
+    CHUNK = 1 << 16
+
+    def _frontier_candidates(self, query_boxes: np.ndarray, frontier: int):
+        """One frontier-descent candidate pass over (chunked) queries."""
+        n = len(query_boxes)
+        out_rows = []
+        overflow_rows = []
+        for start in range(0, n, self.CHUNK):
+            chunk = query_boxes[start : start + self.CHUNK]
+            n_chunk = len(chunk)
+            padded = _pad_queries(chunk, _batch_size(n_chunk), fill=np.nan)
+            padded[n_chunk:] = [np.inf, np.inf, -np.inf, -np.inf]
+            cands, overflow = q.box_candidates_kernel(
+                jnp.asarray(padded),
+                self._tree,
+                self._prim_bbox,
+                self.bvh.n_internal,
+                self.bvh.leaf_size,
+                self._depth,
+                frontier,
+            )
+            out_rows.append(np.asarray(cands)[:n_chunk])
+            overflow_rows.append(np.asarray(overflow)[:n_chunk])
+        return np.concatenate(out_rows), np.concatenate(overflow_rows)
+
+    def _twopass_candidates(self, query_boxes: np.ndarray):
+        """Exact two-pass (count then emit) join; final fallback for
+        queries overlapping very many nodes (e.g. long segments)."""
         n = len(query_boxes)
         n_pad = _batch_size(n)
-        # Padded queries get inverted boxes: no overlaps.
         padded = _pad_queries(query_boxes, n_pad, fill=np.nan)
         padded[n:] = [np.inf, np.inf, -np.inf, -np.inf]
         boxes = jnp.asarray(padded)
@@ -161,8 +193,7 @@ class CellTree2d:
         )
         max_count = int(counts.max()) if n else 0
         if max_count == 0:
-            empty = np.empty(0, dtype=np.int64)
-            return empty, empty
+            return np.full((n, 1), -1, dtype=np.int32)
         capacity = max(8, q.next_pow2(max_count))
         out, _ = q.emit_box_overlaps_kernel(
             boxes,
@@ -172,13 +203,51 @@ class CellTree2d:
             self.bvh.leaf_size,
             capacity,
         )
-        out = np.asarray(out)[:n]
-        valid = out >= 0
-        query_index = np.broadcast_to(
-            np.arange(n)[:, None], out.shape
-        )[valid]
-        tree_index = out[valid].astype(np.int64)
-        return query_index.astype(np.int64), tree_index
+        return np.asarray(out)[:n]
+
+    def _candidates(self, query_boxes: np.ndarray):
+        """
+        Candidate join: (query_index, tree_index) pairs of potentially
+        overlapping boxes.  Frontier descent first (dense, fast),
+        escalating frontier width for overflowing queries, with the
+        two-pass while-loop join as the exact fallback.
+        """
+        n = len(query_boxes)
+        if n == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty
+        out, overflow = self._frontier_candidates(query_boxes, self.FRONTIER * 2)
+        rows = [out]
+        row_queries = [np.arange(n)[~overflow] if overflow.any() else np.arange(n)]
+        if overflow.any():
+            rows[0] = out[~overflow]
+            redo = np.flatnonzero(overflow)
+            out2, overflow2 = self._frontier_candidates(
+                query_boxes[redo], self.FRONTIER * 8
+            )
+            if overflow2.any():
+                rows.append(out2[~overflow2])
+                row_queries.append(redo[~overflow2])
+                redo2 = redo[overflow2]
+                out3 = self._twopass_candidates(query_boxes[redo2])
+                rows.append(out3)
+                row_queries.append(redo2)
+            else:
+                rows.append(out2)
+                row_queries.append(redo)
+
+        query_index_parts = []
+        tree_index_parts = []
+        for block, queries in zip(rows, row_queries):
+            valid = block >= 0
+            query_index_parts.append(
+                np.broadcast_to(queries[:, None], block.shape)[valid]
+            )
+            tree_index_parts.append(block[valid])
+        query_index = np.concatenate(query_index_parts).astype(np.int64)
+        tree_index = np.concatenate(tree_index_parts).astype(np.int64)
+        order = np.lexsort((tree_index, query_index))
+        return query_index[order], tree_index[order]
 
     def intersect_edges(self, edges: np.ndarray):
         """
@@ -206,18 +275,24 @@ class CellTree2d:
                 np.empty((0, 2, 2), dtype=np.float64),
             )
         n = len(edge_index)
-        n_pad = _batch_size(n)
-        p0 = _pad_queries(edges[edge_index, 0], n_pad)
-        p1 = _pad_queries(edges[edge_index, 1], n_pad)
-        cands = _pad_queries(
-            face_index.astype(np.int32)[:, None], n_pad, fill=-1
-        )
-        valid, t0, t1 = q.clip_segments_by_faces_kernel(
-            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(cands), self._poly_xy
-        )
-        valid = np.asarray(valid)[:n, 0]
-        t0 = np.asarray(t0)[:n, 0]
-        t1 = np.asarray(t1)[:n, 0]
+        valid = np.empty(n, dtype=bool)
+        t0 = np.empty(n, dtype=np.float64)
+        t1 = np.empty(n, dtype=np.float64)
+        for start in range(0, n, self.CHUNK):
+            stop = min(start + self.CHUNK, n)
+            n_chunk = stop - start
+            n_pad = _batch_size(n_chunk)
+            p0 = _pad_queries(edges[edge_index[start:stop], 0], n_pad)
+            p1 = _pad_queries(edges[edge_index[start:stop], 1], n_pad)
+            cands = _pad_queries(
+                face_index[start:stop].astype(np.int32)[:, None], n_pad, fill=-1
+            )
+            v_c, t0_c, t1_c = q.clip_segments_by_faces_kernel(
+                jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(cands), self._poly_xy
+            )
+            valid[start:stop] = np.asarray(v_c)[:n_chunk, 0]
+            t0[start:stop] = np.asarray(t0_c)[:n_chunk, 0]
+            t1[start:stop] = np.asarray(t1_c)[:n_chunk, 0]
         keep = valid
         edge_index = edge_index[keep]
         face_index = face_index[keep]
@@ -253,14 +328,18 @@ class CellTree2d:
             return query_index, tree_index, np.empty(0, dtype=np.float64)
         query_xy = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
         n = len(query_index)
-        n_pad = _batch_size(n)
-        qi = _pad_queries(query_index.astype(np.int32), n_pad, fill=-1)
-        ti = _pad_queries(tree_index.astype(np.int32), n_pad, fill=-1)
-        areas = np.asarray(
-            q.polygon_overlap_areas_kernel(
-                jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
-            )
-        )[:n]
+        areas = np.empty(n, dtype=np.float64)
+        for start in range(0, n, self.CHUNK):
+            stop = min(start + self.CHUNK, n)
+            n_chunk = stop - start
+            n_pad = _batch_size(n_chunk)
+            qi = _pad_queries(query_index[start:stop].astype(np.int32), n_pad, fill=-1)
+            ti = _pad_queries(tree_index[start:stop].astype(np.int32), n_pad, fill=-1)
+            areas[start:stop] = np.asarray(
+                q.polygon_overlap_areas_kernel(
+                    jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
+                )
+            )[:n_chunk]
         keep = areas > 0.0
         return query_index[keep], tree_index[keep], areas[keep]
 
@@ -384,7 +463,10 @@ class EdgeCellTree2d:
         return query_index[keep], tree_index[keep], pts[keep]
 
     # share candidate machinery with CellTree2d
+    CHUNK = CellTree2d.CHUNK
     _candidates = CellTree2d._candidates
+    _frontier_candidates = CellTree2d._frontier_candidates
+    _twopass_candidates = CellTree2d._twopass_candidates
 
 
 def _segment_intersections(p0, p1, q0, q1):

@@ -109,8 +109,13 @@ def _traverse(tree: DeviceBVH, n_internal: int, leaf_size: int, hit_fn, leaf_fn,
 # kernel.
 
 
-def _descend_to_leaves(p, node_bbox, depth, frontier, tolerance):
-    """Candidate leaf-level node ids (frontier,) for one point; -1 padded."""
+def _descend_frontier(hit_fn, node_bbox, depth, frontier):
+    """
+    Generic frontier descent for ONE query: level-by-level expansion of
+    the complete tree keeping up to ``frontier`` overlapping nodes.
+    hit_fn(bboxes (k, 4)) -> (k,) bool.
+    Returns (leaf-level node ids (frontier,), overflow flag).
+    """
     f0 = jnp.full((frontier,), -1, dtype=jnp.int32).at[0].set(0)
 
     def level_step(carry, _):
@@ -121,7 +126,7 @@ def _descend_to_leaves(p, node_bbox, depth, frontier, tolerance):
         ).reshape(2 * frontier)
         cvalid = jnp.repeat(valid, 2)
         bbox = node_bbox[jnp.maximum(children, 0)]
-        hit = cvalid & jax.vmap(lambda b: _bbox_contains_point(b, p, tolerance))(bbox)
+        hit = cvalid & hit_fn(bbox)
         n_hit = jnp.sum(hit)
         # Pack hit children left via cumsum offsets; extra slot absorbs
         # non-hits and capacity overflow (cheaper than a sort).
@@ -136,6 +141,50 @@ def _descend_to_leaves(p, node_bbox, depth, frontier, tolerance):
 
     (f, overflow), _ = jax.lax.scan(level_step, (f0, False), None, length=depth)
     return f, overflow
+
+
+def _descend_to_leaves(p, node_bbox, depth, frontier, tolerance):
+    """Candidate leaf-level node ids for one point; -1 padded."""
+
+    def hit_fn(bbox):
+        return jax.vmap(lambda b: _bbox_contains_point(b, p, tolerance))(bbox)
+
+    return _descend_frontier(hit_fn, node_bbox, depth, frontier)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def box_candidates_kernel(
+    query_boxes, tree: DeviceBVH, prim_bbox, n_internal, leaf_size, depth, frontier
+):
+    """
+    Frontier-descent candidate join for box queries: for each query box,
+    the primitives whose AABB overlaps it, in a dense
+    (n_q, frontier * leaf_size) buffer (-1 padded), plus overflow flags.
+    Replaces the two-pass while-loop join on the hot path: no
+    data-dependent control flow at all.
+    """
+
+    def descend(qbox):
+        def hit_fn(bbox):
+            return jax.vmap(lambda b: _bbox_overlaps_box(b, qbox, 0.0))(bbox)
+
+        leaves, overflow = _descend_frontier(
+            hit_fn, tree.node_bbox, depth, frontier
+        )
+        leaf_ids = jnp.where(leaves >= 0, leaves - n_internal, -1)
+        starts = jnp.maximum(leaf_ids, 0) * leaf_size
+        window = starts[:, None] + jnp.arange(leaf_size)[None, :]
+        prim_ids = tree.prim_index[window.reshape(-1)]
+        prim_ids = jnp.where(
+            jnp.repeat(leaf_ids >= 0, leaf_size), prim_ids, -1
+        )
+        boxes = prim_bbox[jnp.maximum(prim_ids, 0)]
+        ok = (prim_ids >= 0) & jax.vmap(
+            lambda b: _bbox_overlaps_box(b, qbox, 0.0)
+        )(boxes)
+        return jnp.where(ok, prim_ids, -1), overflow
+
+    return jax.vmap(descend)(query_boxes)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
