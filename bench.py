@@ -53,7 +53,7 @@ def main():
     import xugrid_tpu as xu
     from xugrid_tpu.core.sparse import MatrixCSR, PaddedCSR
     from xugrid_tpu.regrid import reduce as reductions
-    from xugrid_tpu.regrid.apply import _apply_windowed
+    from xugrid_tpu.regrid.apply import _apply_windowed_T, _pad_minor
 
     if SMALL:
         n_side, t_side, n_extra, n_points = 100, 64, 4, 4096
@@ -96,18 +96,36 @@ def main():
     padded = PaddedCSR.from_csr(csr, dtype=np.float32)
 
     # --- apply: n_extra time slices, steady state -----------------------
+    # Slice-minor layout: the extra dimension on the lane axis so every
+    # gather fetches a contiguous row (see regrid/apply.py).
     source = rng.normal(size=(n_extra, grid.n_face)).astype(np.float32)
-    src_d = jnp.asarray(source)
+    E = _pad_minor(n_extra)
+    sourceT = np.zeros((grid.n_face, E), dtype=np.float32)
+    sourceT[:, :n_extra] = source.T
+    src_d = jnp.asarray(sourceT)
     idx_d = jnp.asarray(padded.indices)
     w_d = jnp.asarray(padded.weights)
 
-    out = _apply_windowed(src_d, idx_d, w_d, reductions.mean)
-    out.block_until_ready()  # compile + warm
-    reps = 3 if SMALL else 5
+    # Loop the passes inside one jit call: the remote-relay round trip
+    # (~100ms) would otherwise dominate per-pass timing.
+    reps = 5 if SMALL else 10
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def apply_reps(srcT, idx, w, reduction, n_reps):
+        def body(i, acc):
+            # Perturb the input per iteration to defeat loop-invariant
+            # hoisting of the apply.
+            out = _apply_windowed_T(
+                srcT + i.astype(srcT.dtype) * 1e-12, idx, w, reduction
+            )
+            return acc + jnp.nansum(out)
+
+        return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+    checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = _apply_windowed(src_d, idx_d, w_d, reductions.mean)
-    out.block_until_ready()
+    checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
     apply_s = (time.perf_counter() - t0) / reps
 
     # effective traffic: gathered values + weights + indices + output

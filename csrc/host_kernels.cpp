@@ -1,0 +1,119 @@
+// Host-side native kernels for xugrid_tpu.
+//
+// The device tier (JAX/XLA/Pallas) owns all batched compute; these are
+// the setup-time builders where single-thread numpy costs dominate at
+// the 10M-primitive scale:
+//
+//  * kd_order: recursive alternating-axis capacity splits (the BVH
+//    primitive ordering). numpy needs one full lexsort per tree level
+//    (O(L * n log n)); here each level is an O(n) nth_element partition
+//    over ranges, parallelized across subtrees.
+//  * hilbert_distance: Hilbert curve indices for partitioning/sharding.
+//
+// Built as a plain shared library; Python binds via ctypes
+// (xugrid_tpu/utils/native.py) with numpy fallbacks when the library is
+// unavailable.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Order `n` 2D points by recursive alternating-axis splits. The split
+// position of each range is the left subtree's slot capacity, so the
+// resulting order aligns exactly with complete-tree leaf blocks.
+// xy: (n, 2) row-major doubles. out: n int64 indices.
+void kd_order(const double* xy, int64_t n, int32_t n_levels,
+              int64_t capacity, int64_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = i;
+
+    struct Range {
+        int64_t begin, end, cap;
+    };
+    std::vector<Range> current{{0, n, capacity}};
+    std::vector<Range> next;
+
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+
+    for (int32_t level = 0; level < n_levels; ++level) {
+        const int axis = level % 2;
+        next.clear();
+        next.reserve(current.size() * 2);
+
+        auto process = [&](size_t lo, size_t hi) {
+            for (size_t r = lo; r < hi; ++r) {
+                const Range rg = current[r];
+                const int64_t count = rg.end - rg.begin;
+                if (count <= 0) continue;
+                const int64_t left_cap = rg.cap / 2;
+                const int64_t split = std::min(count, left_cap);
+                auto cmp = [&](int64_t a, int64_t b) {
+                    return xy[2 * a + axis] < xy[2 * b + axis];
+                };
+                if (split > 0 && split < count) {
+                    std::nth_element(out + rg.begin, out + rg.begin + split,
+                                     out + rg.end, cmp);
+                }
+            }
+        };
+
+        // Parallelize across ranges once there are enough of them.
+        if (current.size() >= 4 && hw > 1) {
+            const size_t n_ranges = current.size();
+            const size_t n_threads = std::min<size_t>(hw, n_ranges);
+            std::vector<std::thread> threads;
+            const size_t per = (n_ranges + n_threads - 1) / n_threads;
+            for (size_t t = 0; t < n_threads; ++t) {
+                const size_t lo = t * per;
+                const size_t hi = std::min(n_ranges, lo + per);
+                if (lo < hi) threads.emplace_back(process, lo, hi);
+            }
+            for (auto& th : threads) th.join();
+        } else {
+            process(0, current.size());
+        }
+
+        for (const Range& rg : current) {
+            const int64_t count = rg.end - rg.begin;
+            const int64_t left_cap = rg.cap / 2;
+            const int64_t split = std::min(count, left_cap);
+            next.push_back({rg.begin, rg.begin + split, left_cap});
+            next.push_back({rg.begin + split, rg.end, rg.cap - left_cap});
+        }
+        current.swap(next);
+    }
+}
+
+// Hilbert curve distance for n 2D points quantized to 2^order cells.
+void hilbert_distance(const double* xy, int64_t n, int32_t order,
+                      double xmin, double ymin, double xextent,
+                      double yextent, uint64_t* out) {
+    const uint64_t side = (1ull << order) - 1ull;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t x = (uint64_t)((xy[2 * i] - xmin) / xextent * (double)side);
+        uint64_t y =
+            (uint64_t)((xy[2 * i + 1] - ymin) / yextent * (double)side);
+        uint64_t rx, ry, d = 0;
+        for (uint64_t s = 1ull << (order - 1); s > 0; s >>= 1) {
+            rx = (x & s) > 0 ? 1 : 0;
+            ry = (y & s) > 0 ? 1 : 0;
+            d += s * s * ((3 * rx) ^ ry);
+            // rotate
+            if (ry == 0) {
+                if (rx == 1) {
+                    x = s - 1 - x;
+                    y = s - 1 - y;
+                }
+                uint64_t t = x;
+                x = y;
+                y = t;
+            }
+        }
+        out[i] = d;
+    }
+}
+
+}  // extern "C"

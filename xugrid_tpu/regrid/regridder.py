@@ -23,7 +23,7 @@ from xugrid_tpu import xdata
 from xugrid_tpu.core.sparse import MatrixCOO, MatrixCSR, PaddedCSR
 from xugrid_tpu.core.wrap import UgridDataArray, UgridDataset
 from xugrid_tpu.regrid import reduce
-from xugrid_tpu.regrid.apply import _apply_coo_gather, apply_weights
+from xugrid_tpu.regrid.apply import apply_coo_gather, apply_weights
 from xugrid_tpu.regrid.structured import StructuredGrid2d
 from xugrid_tpu.regrid.unstructured import UnstructuredGrid2d
 from xugrid_tpu.ugrid.ugrid2d import Ugrid2d
@@ -291,18 +291,11 @@ class CentroidLocatorRegridder(BaseRegridder):
     def _regrid_array(self, source):
         source_grid = self._source
         first_dims_shape = source.shape[: -source_grid.ndim]
-        source2d = source.reshape((-1, source_grid.size))
-        if not np.issubdtype(source2d.dtype, np.floating):
-            source2d = source2d.astype(np.float64)
-        import jax.numpy as jnp
-
-        out = _apply_coo_gather(
-            jnp.asarray(source2d),
-            jnp.asarray(self._weights.row),
-            jnp.asarray(self._weights.col),
-            self._weights.n,
+        source = source.reshape(first_dims_shape + (-1,))
+        out = apply_coo_gather(
+            self._weights.row, self._weights.col, source, self._weights.n
         )
-        return np.asarray(out).reshape(first_dims_shape + self._target.shape)
+        return out.reshape(first_dims_shape + self._target.shape)
 
     def regrid_dataarray(self, source, source_dims):
         self._reduction = None  # gather path; no reduction needed

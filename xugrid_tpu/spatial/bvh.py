@@ -68,6 +68,12 @@ def kd_order(xy: np.ndarray, n_levels: int, capacity: int) -> np.ndarray:
     the median) so the order aligns exactly with the complete-tree leaf
     blocks.  Vectorized: one lexsort per level over (segment, coordinate).
     """
+    from xugrid_tpu.utils.native import kd_order_native
+
+    native = kd_order_native(xy, n_levels, capacity)
+    if native is not None:
+        return native
+
     n = len(xy)
     order = np.arange(n)
     seg = np.zeros(n, dtype=np.int64)

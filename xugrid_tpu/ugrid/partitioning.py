@@ -39,6 +39,12 @@ def hilbert_distance(xy: np.ndarray, order: int = 16) -> np.ndarray:
     Unlike the Morton/Z curve, consecutive Hilbert cells are always
     spatially adjacent, so contiguous index ranges form compact parts.
     """
+    from xugrid_tpu.utils.native import hilbert_distance_native
+
+    native = hilbert_distance_native(xy, order)
+    if native is not None:
+        return native
+
     lo = xy.min(axis=0)
     hi = xy.max(axis=0)
     extent = np.maximum(hi - lo, 1e-300)

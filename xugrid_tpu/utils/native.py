@@ -1,0 +1,132 @@
+"""
+ctypes bindings for the native host kernels (csrc/host_kernels.cpp).
+
+The shared library is compiled on demand with g++ into a cache
+directory; every entry point has a pure-numpy fallback so the framework
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_SOURCE = _REPO_ROOT / "csrc" / "host_kernels.cpp"
+_BUILD_DIR = Path(
+    os.environ.get(
+        "XUGRID_TPU_BUILD_DIR", Path.home() / ".cache" / "xugrid_tpu"
+    )
+)
+
+
+def _compile() -> Path | None:
+    if not _SOURCE.exists():
+        return None
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    lib_path = _BUILD_DIR / "libhost_kernels.so"
+    if lib_path.exists() and lib_path.stat().st_mtime >= _SOURCE.stat().st_mtime:
+        return lib_path
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        "-pthread",
+        str(_SOURCE),
+        "-o",
+        str(lib_path),
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return lib_path
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _compile()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    lib.kd_order.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.kd_order.restype = None
+    lib.hilbert_distance.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.hilbert_distance.restype = None
+    _LIB = lib
+    return _LIB
+
+
+def kd_order_native(xy: np.ndarray, n_levels: int, capacity: int):
+    """Native kd_order, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xy = np.ascontiguousarray(xy, dtype=np.float64)
+    out = np.empty(len(xy), dtype=np.int64)
+    lib.kd_order(
+        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(xy),
+        n_levels,
+        capacity,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def hilbert_distance_native(xy: np.ndarray, order: int = 16):
+    """Native Hilbert distances, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xy = np.ascontiguousarray(xy, dtype=np.float64)
+    lo = xy.min(axis=0)
+    hi = xy.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-300)
+    out = np.empty(len(xy), dtype=np.uint64)
+    lib.hilbert_distance(
+        xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(xy),
+        order,
+        float(lo[0]),
+        float(lo[1]),
+        float(extent[0]),
+        float(extent[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
