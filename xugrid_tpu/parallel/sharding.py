@@ -24,7 +24,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+import warnings as _warnings
+
+with _warnings.catch_warnings():
+    # jax.experimental.shard_map is deprecated in favor of jax.shard_map,
+    # but the new entry point changed the check_rep kwarg; use the stable
+    # experimental path while both exist.
+    _warnings.simplefilter("ignore", DeprecationWarning)
+    from jax.experimental.shard_map import shard_map
 
 from xugrid_tpu.core.sparse import PaddedCSR
 from xugrid_tpu.regrid import reduce as reductions
