@@ -238,6 +238,69 @@ def clip_polygons_area(subject, clip, n_out: int | None = None):
     return jnp.where(count >= 3, area, 0.0)
 
 
+def convex_overlap_area(subject, clip):
+    """
+    Area of intersection of two convex padded polygons — scatter-free.
+
+    The intersection of convex polygons is convex; its vertices are
+    exactly (a) subject vertices inside clip, (b) clip vertices inside
+    subject, (c) edge-edge intersection points.  We gather all m+k+m*k
+    candidates with validity flags, angle-sort them around the valid
+    centroid, and run a masked shoelace (invalid points sort to the end
+    and are replaced by the first vertex, contributing zero area).
+
+    Unlike Sutherland-Hodgman this needs no scatters or sequential
+    vertex-list building — every step is a dense vectorized op, which is
+    what the TPU VPU wants.  Same convexity assumption as the
+    reference's clipping (numba_celltree).
+    """
+    m = subject.shape[-2]
+    k = clip.shape[-2]
+
+    sa, sb = polygon_edges(subject)
+    ca, cb = polygon_edges(clip)
+
+    # (a) subject vertices inside clip, (b) clip vertices inside subject.
+    sub_in = jax.vmap(lambda p: point_in_polygon(p, clip, 0.0))(subject)
+    clip_in = jax.vmap(lambda p: point_in_polygon(p, subject, 0.0))(clip)
+
+    # (c) pairwise edge intersections (m*k,).
+    def seg_pair(i, j):
+        return segment_segment_intersection(sa[i], sb[i], ca[j], cb[j])
+
+    ii = jnp.repeat(jnp.arange(m), k)
+    jj = jnp.tile(jnp.arange(k), m)
+    hit, pts = jax.vmap(seg_pair)(ii, jj)
+    # Degenerate (padding) edges never intersect anything meaningful:
+    s_degen = jnp.all(sa == sb, axis=-1)
+    c_degen = jnp.all(ca == cb, axis=-1)
+    hit = hit & ~s_degen[ii] & ~c_degen[jj]
+
+    candidates = jnp.concatenate([subject, clip, pts], axis=0)
+    valid = jnp.concatenate([sub_in, clip_in, hit], axis=0)
+    candidates = jnp.where(valid[:, None], candidates, 0.0)
+
+    n_valid = jnp.sum(valid)
+    center = jnp.sum(candidates, axis=0) / jnp.maximum(n_valid, 1)
+    angle = jnp.where(
+        valid,
+        jnp.arctan2(candidates[:, 1] - center[1], candidates[:, 0] - center[0]),
+        jnp.inf,
+    )
+    order = jnp.argsort(angle)
+    pts_sorted = candidates[order]
+    valid_sorted = valid[order]
+    # Invalid entries (angle=inf) are a suffix: replace by the first
+    # vertex so they form zero-area duplicates.
+    pts_final = jnp.where(valid_sorted[:, None], pts_sorted, pts_sorted[0])
+
+    a = pts_final
+    b = jnp.roll(pts_final, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    area = 0.5 * jnp.abs(jnp.sum(cross))
+    return jnp.where(n_valid >= 3, area, 0.0)
+
+
 def mean_value_weights(point, poly, tolerance):
     """
     Mean value coordinates of ``point`` w.r.t. padded polygon ``poly``.

@@ -1,0 +1,192 @@
+"""
+Uniform grid-hash spatial index: the candidate-join engine.
+
+BVH traversal is irregular, data-dependent work — exactly what TPUs (and
+XLA's gather lowering) dislike; profiling showed the frontier-descent
+candidate join dominated weight builds at the 1M-face scale.  The
+grid-hash splits the problem the TPU-native way (SURVEY.md §7 "grid-hash
+hybrid index"):
+
+* **host (numpy, C-speed)**: bin primitives into a uniform grid sized to
+  ~2 primitives/cell; candidate generation is pure vectorized index
+  arithmetic over CSR bins;
+* **device (jitted kernels)**: the dense exact tests (point-in-polygon,
+  polygon clipping) over the emitted candidate pairs.
+
+Primitives larger than the 99th-percentile extent go into a small
+"oversize" list checked brute-force (keeps cells small on meshes with a
+few huge cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xugrid_tpu.constants import IntDType
+
+
+class GridHash:
+    """Uniform-bin index over primitive bounding boxes."""
+
+    def __init__(self, prim_bboxes: np.ndarray, target_per_cell: float = 2.0):
+        boxes = np.asarray(prim_bboxes, dtype=np.float64)
+        finite = np.isfinite(boxes).all(axis=1)
+        self.boxes = boxes
+        self.n_prim = len(boxes)
+
+        fb = boxes[finite]
+        if len(fb) == 0:
+            raise ValueError("no finite bounding boxes")
+        self.xmin = float(fb[:, 0].min())
+        self.ymin = float(fb[:, 1].min())
+        xmax = float(fb[:, 2].max())
+        ymax = float(fb[:, 3].max())
+        extent_x = max(xmax - self.xmin, 1e-300)
+        extent_y = max(ymax - self.ymin, 1e-300)
+
+        # Oversize primitives: beyond the 99th percentile extent.
+        w = fb[:, 2] - fb[:, 0]
+        h = fb[:, 3] - fb[:, 1]
+        w99 = np.quantile(w, 0.99)
+        h99 = np.quantile(h, 0.99)
+        finite_ids = np.flatnonzero(finite)
+        oversize_mask = (w > 4 * max(w99, 1e-300)) | (h > 4 * max(h99, 1e-300))
+        self.oversize = finite_ids[oversize_mask]
+        regular_ids = finite_ids[~oversize_mask]
+        rb = fb[~oversize_mask]
+
+        # Cell size: ~target_per_cell prims per cell, at least the p99
+        # extent so each prim covers O(1) cells.
+        n_cells_target = max(1, int(len(rb) / target_per_cell))
+        aspect = extent_x / extent_y
+        ny = max(1, int(np.sqrt(n_cells_target / aspect)))
+        nx = max(1, n_cells_target // ny)
+        dx = max(extent_x / nx, w99, 1e-300)
+        dy = max(extent_y / ny, h99, 1e-300)
+        self.nx = max(1, int(np.ceil(extent_x / dx)))
+        self.ny = max(1, int(np.ceil(extent_y / dy)))
+        self.dx = extent_x / self.nx
+        self.dy = extent_y / self.ny
+
+        # Emit (cell, prim) pairs for all covered cells.
+        ix0, iy0, ix1, iy1 = self._cell_ranges(rb)
+        span_x = ix1 - ix0 + 1
+        span_y = iy1 - iy0 + 1
+        counts = span_x * span_y
+        total = int(counts.sum())
+        prim_rep = np.repeat(regular_ids, counts)
+        # Per-entry offset within its prim's span block.
+        from xugrid_tpu.regrid.utils import alt_cumsum
+
+        offsets = np.arange(total) - np.repeat(alt_cumsum(counts), counts)
+        span_x_rep = np.repeat(span_x, counts)
+        cell_x = np.repeat(ix0, counts) + offsets % span_x_rep
+        cell_y = np.repeat(iy0, counts) + offsets // span_x_rep
+        cell = cell_y * self.nx + cell_x
+
+        order = np.argsort(cell, kind="stable")
+        self.bin_prims = prim_rep[order].astype(IntDType)
+        bin_counts = np.bincount(cell, minlength=self.nx * self.ny)
+        self.bin_start = np.zeros(self.nx * self.ny + 1, dtype=IntDType)
+        np.cumsum(bin_counts, out=self.bin_start[1:])
+        # Contiguous per-column copies: 1D fancy gathers are much faster
+        # than 2D row gathers in the query filter.
+        self._bx0 = np.ascontiguousarray(self.boxes[:, 0])
+        self._by0 = np.ascontiguousarray(self.boxes[:, 1])
+        self._bx1 = np.ascontiguousarray(self.boxes[:, 2])
+        self._by1 = np.ascontiguousarray(self.boxes[:, 3])
+
+    def _cell_ranges(self, boxes):
+        ix0 = np.clip(
+            ((boxes[:, 0] - self.xmin) / self.dx).astype(np.int64), 0, self.nx - 1
+        )
+        iy0 = np.clip(
+            ((boxes[:, 1] - self.ymin) / self.dy).astype(np.int64), 0, self.ny - 1
+        )
+        ix1 = np.clip(
+            ((boxes[:, 2] - self.xmin) / self.dx).astype(np.int64), 0, self.nx - 1
+        )
+        iy1 = np.clip(
+            ((boxes[:, 3] - self.ymin) / self.dy).astype(np.int64), 0, self.ny - 1
+        )
+        return ix0, iy0, ix1, iy1
+
+    def query_boxes(self, query_boxes: np.ndarray):
+        """
+        Candidate join: (query_index, prim_index) pairs whose bounding
+        boxes overlap.  Exact bbox filtering included; duplicates
+        removed.
+        """
+        from xugrid_tpu.regrid.utils import alt_cumsum
+
+        qb = np.asarray(query_boxes, dtype=np.float64)
+        n_q = len(qb)
+        valid_q = np.isfinite(qb).all(axis=1) & (qb[:, 0] <= qb[:, 2])
+        ids_q = np.flatnonzero(valid_q)
+        b = qb[valid_q]
+        if len(b) == 0:
+            empty = np.empty(0, dtype=IntDType)
+            return empty, empty
+
+        ix0, iy0, ix1, iy1 = self._cell_ranges(b)
+        span_x = ix1 - ix0 + 1
+        span_y = iy1 - iy0 + 1
+        counts = span_x * span_y
+        total = int(counts.sum())
+        q_rep = np.repeat(np.arange(len(b)), counts)
+        offsets = np.arange(total) - np.repeat(alt_cumsum(counts), counts)
+        span_x_rep = np.repeat(span_x, counts)
+        cell_x = np.repeat(ix0, counts) + offsets % span_x_rep
+        cell_y = np.repeat(iy0, counts) + offsets // span_x_rep
+        cell = cell_y * self.nx + cell_x
+
+        # Expand each (query, cell) into the cell's primitives.
+        start = self.bin_start[cell]
+        n_in_bin = self.bin_start[cell + 1] - start
+        total2 = int(n_in_bin.sum())
+        pair_q = np.repeat(q_rep, n_in_bin)
+        inner = np.arange(total2) - np.repeat(alt_cumsum(n_in_bin), n_in_bin)
+        pair_p = self.bin_prims[np.repeat(start, n_in_bin) + inner]
+
+        # Oversize primitives: brute force against all queries.
+        if len(self.oversize) > 0:
+            ob = self.boxes[self.oversize]
+            hit = (
+                (ob[None, :, 0] <= b[:, None, 2])
+                & (ob[None, :, 2] >= b[:, None, 0])
+                & (ob[None, :, 1] <= b[:, None, 3])
+                & (ob[None, :, 3] >= b[:, None, 1])
+            )
+            oq, op = np.nonzero(hit)
+            pair_q = np.concatenate([pair_q, oq])
+            pair_p = np.concatenate([pair_p, self.oversize[op]])
+
+        # Exact bbox filter (column-wise 1D gathers).
+        qx0 = b[:, 0][pair_q]
+        qy0 = b[:, 1][pair_q]
+        qx1 = b[:, 2][pair_q]
+        qy1 = b[:, 3][pair_q]
+        keep = (
+            (self._bx0[pair_p] <= qx1)
+            & (self._bx1[pair_p] >= qx0)
+            & (self._by0[pair_p] <= qy1)
+            & (self._by1[pair_p] >= qy0)
+        )
+        pair_q = pair_q[keep]
+        pair_p = pair_p[keep]
+
+        # Deduplicate (a prim may share several cells with one query).
+        key = pair_q.astype(np.int64) * self.n_prim + pair_p
+        unique_key = np.unique(key)
+        pair_q = (unique_key // self.n_prim).astype(IntDType)
+        pair_p = (unique_key % self.n_prim).astype(IntDType)
+        return ids_q[pair_q].astype(IntDType), pair_p
+
+    def query_points(self, points: np.ndarray):
+        """
+        Candidate join for points: (point_index, prim_index) pairs where
+        the point falls inside the primitive's bounding box.
+        """
+        pts = np.asarray(points, dtype=np.float64)
+        boxes = np.column_stack([pts, pts])
+        return self.query_boxes(boxes)

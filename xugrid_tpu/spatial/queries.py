@@ -388,7 +388,7 @@ def polygon_overlap_areas_kernel(subject_ids, clip_ids, subject_xy, clip_xy):
     def one(si, ci):
         s = subject_xy[jnp.maximum(si, 0)]
         c = clip_xy[jnp.maximum(ci, 0)]
-        area = geo.clip_polygons_area(s, c)
+        area = geo.convex_overlap_area(s, c)
         return jnp.where((si >= 0) & (ci >= 0), area, 0.0)
 
     return jax.vmap(one)(subject_ids, clip_ids)
@@ -406,6 +406,18 @@ def barycentric_weights_kernel(points, face_index, poly_xy, tolerance):
         poly = poly_xy[jnp.maximum(fi, 0)]
         w = geo.mean_value_weights(p, poly, tolerance)
         return jnp.where(fi >= 0, w, jnp.zeros_like(w))
+
+    return jax.vmap(one)(points, face_index)
+
+
+@jax.jit
+def points_in_polygons_kernel(points, face_index, poly_xy, tolerance):
+    """Pairwise exact test: is points[i] inside poly_xy[face_index[i]]?"""
+
+    def one(p, fi):
+        poly = poly_xy[jnp.maximum(fi, 0)]
+        inside = geo.point_in_polygon(p, poly, tolerance)
+        return inside & (fi >= 0)
 
     return jax.vmap(one)(points, face_index)
 
