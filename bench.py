@@ -133,6 +133,55 @@ def main():
     bytes_per_slice = nnz_padded * (4 + 4 + 4) + padded.n * 4
     apply_gbps = n_extra * bytes_per_slice / apply_s / 1e9
 
+    # --- Pallas tiled apply (one-hot MXU matmul over VMEM slabs) --------
+    pallas_apply_s = None
+    try:
+        from xugrid_tpu.regrid.pallas_apply import (
+            pallas_windowed_mean,
+            plan_auto,
+        )
+
+        plan = plan_auto(padded.indices)
+        if plan is not None and jax.default_backend() == "tpu":
+            starts, tile = plan
+            block = 512
+            n_blocks = len(starts)
+            n_pad = n_blocks * block
+            idx_p = np.full((n_pad, padded.w_max), -1, np.int32)
+            idx_p[: padded.n] = padded.indices
+            w_p = np.zeros((n_pad, padded.w_max), np.float32)
+            w_p[: padded.n] = padded.weights
+            E_pad = 128
+            m_needed = max(grid.n_face, int(starts.max()) + tile)
+            srcT_p = np.zeros((m_needed, E_pad), np.float32)
+            srcT_p[: grid.n_face, :n_extra] = source.T
+
+            @partial(jax.jit, static_argnums=(4, 5, 6))
+            def pallas_reps(srcT, idx, w, st, blk, tl, n_reps):
+                def body(i, acc):
+                    out = pallas_windowed_mean(
+                        srcT + i.astype(srcT.dtype) * 1e-12, idx, w, st, blk, tl
+                    )
+                    return acc + jnp.nansum(out)
+
+                return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+            dsrc = jnp.asarray(srcT_p)
+            didx = jnp.asarray(idx_p)
+            dw = jnp.asarray(w_p)
+            dst = jnp.asarray(starts)
+            _ = float(pallas_reps(dsrc, didx, dw, dst, block, tile, reps))
+            t0 = time.perf_counter()
+            _ = float(pallas_reps(dsrc, didx, dw, dst, block, tile, reps))
+            pallas_apply_s = (time.perf_counter() - t0) / reps
+    except Exception as exc:  # pragma: no cover - perf fallback only
+        print(f"pallas path unavailable: {exc!r}", file=sys.stderr)
+
+    best_apply_s = apply_s
+    if pallas_apply_s is not None and pallas_apply_s < apply_s:
+        best_apply_s = pallas_apply_s
+    apply_gbps = n_extra * bytes_per_slice / best_apply_s / 1e9
+
     # --- celltree locate throughput -------------------------------------
     pts = rng.uniform(0.5, n_side - 0.5, (n_points, 2))
     found = tree.locate_points(pts)  # compile + warm
@@ -168,6 +217,9 @@ def main():
         "weight_build_s": round(weight_build_s, 3),
         "bvh_build_s": round(bvh_build_s, 3),
         "apply_s_per_pass": round(apply_s, 4),
+        "pallas_apply_s_per_pass": (
+            round(pallas_apply_s, 4) if pallas_apply_s is not None else None
+        ),
         "cpu_csr_gbps": round(cpu_gbps, 3),
         "locate_queries_per_s": round(locate_qps, 1),
         "locate_hit_rate": round(hit_rate, 4),

@@ -1,0 +1,115 @@
+"""Observability: timing registry and the Pallas apply kernel.
+
+The reference has no profiling layer (SURVEY.md §5 green-field); these
+tests cover the TimingRegistry plumbing and the interpret-mode
+correctness of the tiled Pallas regrid-apply kernel.
+"""
+
+import numpy as np
+import pytest
+
+from xugrid_tpu.utils.profiling import TimingRegistry, timings
+
+
+def test_timing_registry():
+    reg = TimingRegistry()
+    with reg.timed("stage.a"):
+        pass
+    with reg.timed("stage.a"):
+        pass
+    reg.record("stage.b", 0.5)
+    summary = reg.summary()
+    assert summary["stage.a"]["count"] == 2
+    assert summary["stage.b"]["total_s"] == 0.5
+    report = reg.report()
+    assert "stage.a" in report and "stage.b" in report
+    reg.reset()
+    assert reg.summary() == {}
+
+
+def test_global_registry_instrumented_by_grid_hash():
+    from xugrid_tpu.spatial.grid_hash import GridHash
+
+    timings.reset()
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0], [1.0, 0.0, 2.0, 1.0]])
+    gh = GridHash(boxes)
+    gh.query_points(np.array([[0.5, 0.5]]))
+    summary = timings.summary()
+    assert "grid_hash.build" in summary
+    assert "grid_hash.query_boxes" in summary
+    timings.reset()
+
+
+class TestPallasApply:
+    def _case(self, n=2048, w=7, m=3000, E=8, seed=0):
+        rng = np.random.default_rng(seed)
+        sourceT = rng.normal(size=(m, E)).astype(np.float32)
+        base = (np.arange(n) * (m / n)).astype(np.int64)
+        indices = np.clip(
+            base[:, None] + rng.integers(-20, 20, size=(n, w)), 0, m - 1
+        ).astype(np.int32)
+        indices[rng.random((n, w)) < 0.2] = -1
+        weights = rng.random((n, w)).astype(np.float32)
+        weights[indices < 0] = 0.0
+        return sourceT, indices, weights
+
+    def _reference(self, sourceT, indices, weights):
+        m = sourceT.shape[0]
+        valid = indices >= 0
+        wv = np.where(valid, weights, 0.0)
+        num = np.einsum("nw,nwe->ne", wv, sourceT[np.clip(indices, 0, m - 1)])
+        den = wv.sum(axis=1, keepdims=True)
+        return np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+
+    def test_plan_blocks(self):
+        from xugrid_tpu.regrid.pallas_apply import plan_auto, plan_blocks
+
+        sourceT, indices, weights = self._case()
+        starts, ok = plan_blocks(indices, 256, 512)
+        assert ok
+        assert len(starts) == 2048 // 256
+        # Tile smaller than the block span: must report not-ok.
+        _, ok_small = plan_blocks(indices, 2048, 64)
+        assert not ok_small
+        # Auto planner picks a covering power-of-two tile.
+        starts2, tile = plan_auto(indices, block=256)
+        assert tile >= 512 and (tile & (tile - 1)) == 0
+        assert len(starts2) == len(starts)
+        # Scattered indices (no locality): auto planner declines.
+        rng = np.random.default_rng(1)
+        scattered = rng.integers(0, 10**6, size=(2048, 7)).astype(np.int32)
+        assert plan_auto(scattered, block=256, max_tile=4096) is None
+
+    def test_interpret_matches_reference(self):
+        from xugrid_tpu.regrid.pallas_apply import apply_windowed_mean_pallas
+
+        sourceT, indices, weights = self._case()
+        out = apply_windowed_mean_pallas(
+            sourceT, indices, weights, block=256, tile=512, interpret=True
+        )
+        assert out is not None
+        ref = self._reference(sourceT, indices, weights)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_duplicate_indices_accumulate(self):
+        from xugrid_tpu.regrid.pallas_apply import apply_windowed_mean_pallas
+
+        sourceT, indices, weights = self._case(n=256, w=4, m=400)
+        indices[:, 1] = indices[:, 0]  # duplicate slot
+        weights[indices < 0] = 0.0
+        out = apply_windowed_mean_pallas(
+            sourceT, indices, weights, block=128, tile=512, interpret=True
+        )
+        ref = self._reference(sourceT, indices, weights)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_span_violation_returns_none(self):
+        from xugrid_tpu.regrid.pallas_apply import apply_windowed_mean_pallas
+
+        sourceT, indices, weights = self._case()
+        indices[0, 0] = 0
+        indices[0, 1] = 2999  # span 3000 > any reasonable tile
+        out = apply_windowed_mean_pallas(
+            sourceT, indices, weights, block=256, tile=512, interpret=True
+        )
+        assert out is None

@@ -20,6 +20,7 @@ TPU-first design, two layers:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -62,6 +63,28 @@ def _apply_coo_gather_T(sourceT, row, col, n_target):
     return out.at[row].set(sourceT[col])
 
 
+def _pallas_eligible(reduction, source2d) -> bool:
+    """
+    The tiled Pallas kernel covers the flagship path: weighted-mean
+    reduction on TPU, float32 data (the one-hot MXU matmul is f32), no
+    NaNs in the source (reduce.mean skips them; the matmul propagates).
+    XUGRID_TPU_PALLAS=0 disables; =1 also allows float64 sources (cast
+    down to f32, ~1e-7 relative loss).
+    """
+    flag = os.environ.get("XUGRID_TPU_PALLAS", "")
+    if flag == "0":
+        return False
+    from xugrid_tpu.regrid import reduce
+
+    if reduction is not reduce.mean:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if source2d.dtype != np.float32 and flag != "1":
+        return False
+    return not np.isnan(source2d).any()
+
+
 def apply_weights(
     weights: PaddedCSR,
     source: np.ndarray,
@@ -82,6 +105,18 @@ def apply_weights(
         source2d = source2d.astype(dtype)
     if not np.issubdtype(source2d.dtype, np.floating):
         source2d = source2d.astype(np.float64)
+
+    if _pallas_eligible(reduction, source2d):
+        from xugrid_tpu.regrid.pallas_apply import apply_windowed_mean_pallas
+
+        out = apply_windowed_mean_pallas(
+            source2d.T.astype(np.float32), weights.indices, weights.weights
+        )
+        if out is not None:
+            return out.T.astype(source2d.dtype).reshape(
+                leading + (target_size,)
+            )
+
     n_extra = source2d.shape[0]
     E = _pad_minor(n_extra)
     sourceT = np.zeros((source2d.shape[1], E), dtype=source2d.dtype)

@@ -32,6 +32,7 @@ from xugrid_tpu.spatial import queries as q
 from xugrid_tpu.spatial.bvh import edge_bounding_boxes, face_bounding_boxes
 from xugrid_tpu.spatial.geometry import pad_polygons
 from xugrid_tpu.spatial.grid_hash import GridHash
+from xugrid_tpu.utils.profiling import timed
 
 
 def _batch_size(n: int) -> int:
@@ -112,7 +113,8 @@ class CellTree2d:
         out = np.full(n, -1, dtype=np.int32)
         if len(pair_q) == 0:
             return out
-        inside = self._points_in_faces(points[pair_q], pair_p, tol)
+        with timed("celltree.exact_point_in_face"):
+            inside = self._points_in_faces(points[pair_q], pair_p, tol)
         hit_q = pair_q[inside]
         hit_p = pair_p[inside]
         # First (lowest-index) containing face per point, matching the
@@ -206,21 +208,22 @@ class CellTree2d:
         query_xy = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
         n = len(query_index)
         areas = np.empty(n, dtype=np.float64)
-        for start in range(0, n, self.CHUNK):
-            stop = min(start + self.CHUNK, n)
-            n_chunk = stop - start
-            n_pad = _batch_size(n_chunk)
-            qi = _pad_queries(
-                query_index[start:stop].astype(np.int32), n_pad, fill=-1
-            )
-            ti = _pad_queries(
-                tree_index[start:stop].astype(np.int32), n_pad, fill=-1
-            )
-            areas[start:stop] = np.asarray(
-                q.polygon_overlap_areas_kernel(
-                    jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
+        with timed("celltree.exact_overlap_areas"):
+            for start in range(0, n, self.CHUNK):
+                stop = min(start + self.CHUNK, n)
+                n_chunk = stop - start
+                n_pad = _batch_size(n_chunk)
+                qi = _pad_queries(
+                    query_index[start:stop].astype(np.int32), n_pad, fill=-1
                 )
-            )[:n_chunk]
+                ti = _pad_queries(
+                    tree_index[start:stop].astype(np.int32), n_pad, fill=-1
+                )
+                areas[start:stop] = np.asarray(
+                    q.polygon_overlap_areas_kernel(
+                        jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
+                    )
+                )[:n_chunk]
         keep = areas > 0.0
         return query_index[keep], tree_index[keep], areas[keep]
 

@@ -23,12 +23,17 @@ from __future__ import annotations
 import numpy as np
 
 from xugrid_tpu.constants import IntDType
+from xugrid_tpu.utils.profiling import timed
 
 
 class GridHash:
     """Uniform-bin index over primitive bounding boxes."""
 
     def __init__(self, prim_bboxes: np.ndarray, target_per_cell: float = 2.0):
+        with timed("grid_hash.build"):
+            self._build(prim_bboxes, target_per_cell)
+
+    def _build(self, prim_bboxes, target_per_cell):
         boxes = np.asarray(prim_bboxes, dtype=np.float64)
         finite = np.isfinite(boxes).all(axis=1)
         self.boxes = boxes
@@ -117,6 +122,10 @@ class GridHash:
         boxes overlap.  Exact bbox filtering included; duplicates
         removed.
         """
+        with timed("grid_hash.query_boxes"):
+            return self._query_boxes(query_boxes)
+
+    def _query_boxes(self, query_boxes):
         from xugrid_tpu.regrid.utils import alt_cumsum
 
         qb = np.asarray(query_boxes, dtype=np.float64)

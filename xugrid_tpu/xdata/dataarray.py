@@ -676,6 +676,14 @@ class DataArray:
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
 
+    def dropna(self, dim: str, how: str = "any") -> "DataArray":
+        """Drop positions along ``dim`` containing NaN (any/all over the
+        other dimensions)."""
+        axis = tuple(i for i, d in enumerate(self.dims) if d != dim)
+        isnan = np.isnan(np.asarray(self.data))
+        mask = isnan.any(axis=axis) if how == "any" else isnan.all(axis=axis)
+        return self.isel({dim: np.flatnonzero(~mask)})
+
     def interpolate_na(self, dim=None, **kwargs):
         raise NotImplementedError(
             "Use uda.ugrid.interpolate_na for topology-aware interpolation"
