@@ -15,6 +15,7 @@
 // unavailable.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -113,6 +114,92 @@ void hilbert_distance(const double* xy, int64_t n, int32_t order,
             }
         }
         out[i] = d;
+    }
+}
+
+// Per-face axis-aligned bounding boxes, honoring -1 fill values.
+// faces: (n, nv) int64 row-major; out: (n, 4) doubles (xmin,ymin,xmax,ymax).
+void face_bbox(const int64_t* faces, int64_t n, int64_t nv, const double* x,
+               const double* y, double* out) {
+    auto process = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            double x0 = 1e300, y0 = 1e300, x1 = -1e300, y1 = -1e300;
+            bool any = false;
+            for (int64_t j = 0; j < nv; ++j) {
+                const int64_t node = faces[i * nv + j];
+                if (node < 0) continue;
+                any = true;
+                const double px = x[node], py = y[node];
+                x0 = std::min(x0, px);
+                y0 = std::min(y0, py);
+                x1 = std::max(x1, px);
+                y1 = std::max(y1, py);
+            }
+            if (!any) x0 = y0 = x1 = y1 = std::nan("");
+            out[4 * i + 0] = x0;
+            out[4 * i + 1] = y0;
+            out[4 * i + 2] = x1;
+            out[4 * i + 3] = y1;
+        }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (n > 100000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (n + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per;
+            const int64_t hi = std::min(n, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, n);
+    }
+}
+
+// --- uniform grid-hash binning (counting sort over covered cells) -----
+static inline int64_t gh_clamp(int64_t v, int64_t hi) {
+    return v < 0 ? 0 : (v > hi ? hi : v);
+}
+
+// Pass 1: count (cell, prim) pairs into bin_start[cell + 1] (caller
+// zeroes it, length nx*ny + 1), prefix-sum in place.  Returns the total.
+int64_t grid_hash_count(const double* boxes, int64_t k, double xmin,
+                        double ymin, double dx, double dy, int64_t nx,
+                        int64_t ny, int64_t* bin_start) {
+    for (int64_t i = 0; i < k; ++i) {
+        const double* b = boxes + 4 * i;
+        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
+        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
+        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) / dx), nx - 1);
+        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) / dy), ny - 1);
+        for (int64_t cy = iy0; cy <= iy1; ++cy)
+            for (int64_t cx = ix0; cx <= ix1; ++cx)
+                ++bin_start[cy * nx + cx + 1];
+    }
+    const int64_t n_cells = nx * ny;
+    for (int64_t c = 0; c < n_cells; ++c) bin_start[c + 1] += bin_start[c];
+    return bin_start[n_cells];
+}
+
+// Pass 2: scatter primitive ids into bin_prims (CSR contents), sorted by
+// cell and stable in primitive order.  cursor: scratch copy of
+// bin_start[0..nx*ny), mutated.
+void grid_hash_fill(const double* boxes, const int64_t* ids, int64_t k,
+                    double xmin, double ymin, double dx, double dy,
+                    int64_t nx, int64_t ny, int64_t* cursor,
+                    int64_t* bin_prims) {
+    for (int64_t i = 0; i < k; ++i) {
+        const double* b = boxes + 4 * i;
+        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
+        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
+        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) / dx), nx - 1);
+        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) / dy), ny - 1);
+        const int64_t id = ids[i];
+        for (int64_t cy = iy0; cy <= iy1; ++cy)
+            for (int64_t cx = ix0; cx <= ix1; ++cx)
+                bin_prims[cursor[cy * nx + cx]++] = id;
     }
 }
 

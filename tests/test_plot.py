@@ -1,0 +1,128 @@
+"""Plotting: artists and facet grids (reference: xugrid/plot/plot.py)."""
+
+import numpy as np
+import pytest
+
+mpl = pytest.importorskip("matplotlib")
+mpl.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import xugrid_tpu as xu  # noqa: E402
+from xugrid_tpu.xdata import DataArray  # noqa: E402
+
+
+@pytest.fixture
+def grid():
+    # 3x3 quad grid
+    nx = ny = 3
+    x = np.arange(nx + 1.0)
+    y = np.arange(ny + 1.0)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    verts = np.column_stack([xx.ravel(), yy.ravel()])
+    j, i = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    nid = lambda ii, jj: jj * (nx + 1) + ii  # noqa: E731
+    faces = np.stack(
+        [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)], axis=-1
+    ).reshape(-1, 4)
+    return xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+
+
+@pytest.fixture
+def face_uda(grid):
+    values = np.arange(grid.n_face, dtype=float)
+    return xu.UgridDataArray(
+        DataArray(values, dims=(grid.face_dimension,), name="z"), grid
+    )
+
+
+@pytest.fixture
+def node_uda(grid):
+    values = grid.node_coordinates.sum(axis=1)
+    return xu.UgridDataArray(
+        DataArray(values, dims=(grid.node_dimension,), name="z"), grid
+    )
+
+
+def teardown_function(function):
+    plt.close("all")
+
+
+def test_pcolormesh(face_uda):
+    artist = face_uda.ugrid.plot.pcolormesh(add_colorbar=True)
+    assert len(artist.get_paths()) == 9
+    np.testing.assert_allclose(
+        artist.get_array(), np.arange(9, dtype=float)
+    )
+
+
+def test_plot_dispatch(face_uda, node_uda, grid):
+    from matplotlib.collections import LineCollection, PolyCollection
+
+    assert isinstance(face_uda.ugrid.plot(), PolyCollection)
+    assert node_uda.ugrid.plot() is not None  # tripcolor artist
+    edge_vals = np.arange(grid.n_edge, dtype=float)
+    edge_uda = xu.UgridDataArray(
+        DataArray(edge_vals, dims=(grid.edge_dimension,)), grid
+    )
+    assert isinstance(edge_uda.ugrid.plot(), LineCollection)
+
+
+def test_line_contour_imshow(face_uda, node_uda, grid):
+    xu.plot.line(grid)
+    node_uda.ugrid.plot.contour()
+    node_uda.ugrid.plot.contourf()
+    face_uda.ugrid.plot.contourf()  # centroid triangulation path
+    artist = face_uda.ugrid.plot.imshow(resolution=0.5)
+    assert artist.get_array().shape == (6, 6)
+
+
+def test_facetgrid_col(grid):
+    values = np.stack(
+        [np.arange(grid.n_face, dtype=float) + 10 * k for k in range(4)]
+    )
+    uda = xu.UgridDataArray(
+        DataArray(values, dims=("time", grid.face_dimension)), grid
+    )
+    fg = uda.ugrid.plot.pcolormesh(col="time")
+    assert fg.axes.shape == (1, 4)
+    # shared color scale across panels
+    for ax in fg.axes.ravel():
+        coll = ax.collections[0]
+        assert coll.get_clim() == (0.0, 38.0)
+    assert fg.axes[0, 2].get_title() == "time = 2"
+
+    fg2 = uda.ugrid.plot.pcolormesh(col="time", col_wrap=3)
+    assert fg2.axes.shape == (2, 3)
+    # ragged tail panel hidden
+    assert not fg2.axes[1, 1].get_visible()
+
+
+def test_facetgrid_row_and_col(grid):
+    values = np.arange(2 * 3 * grid.n_face, dtype=float).reshape(
+        2, 3, grid.n_face
+    )
+    uda = xu.UgridDataArray(
+        DataArray(values, dims=("layer", "time", grid.face_dimension)), grid
+    )
+    fg = uda.ugrid.plot.pcolormesh(row="layer", col="time")
+    assert fg.axes.shape == (2, 3)
+    assert "layer = 1" in fg.axes[1, 0].get_title()
+
+
+def test_facetgrid_requires_dims(face_uda):
+    with pytest.raises(ValueError, match="not in data dims"):
+        face_uda.ugrid.plot.pcolormesh(col="time")
+
+
+def test_facetgrid_coordinate_labels(grid):
+    values = np.zeros((2, grid.n_face))
+    uda = xu.UgridDataArray(
+        DataArray(
+            values,
+            dims=("time", grid.face_dimension),
+            coords={"time": np.array([10.0, 20.0])},
+        ),
+        grid,
+    )
+    fg = uda.ugrid.plot.pcolormesh(col="time")
+    assert fg.axes[0, 1].get_title() == "time = 20.0"

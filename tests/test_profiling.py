@@ -40,6 +40,65 @@ def test_global_registry_instrumented_by_grid_hash():
     timings.reset()
 
 
+def test_native_grid_hash_matches_numpy():
+    """Native counting-sort binning must be bit-identical to numpy."""
+    from xugrid_tpu.spatial.grid_hash import GridHash
+    from xugrid_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0, 100, (500, 2))
+    size = rng.uniform(0.1, 3.0, (500, 2))
+    boxes = np.column_stack([lo, lo + size])
+
+    gh_native = GridHash(boxes)
+    lib = native._LIB
+    native._LIB = None
+    try:
+        gh_numpy = GridHash(boxes)
+    finally:
+        native._LIB = lib
+    np.testing.assert_array_equal(gh_native.bin_start, gh_numpy.bin_start)
+    np.testing.assert_array_equal(gh_native.bin_prims, gh_numpy.bin_prims)
+
+    queries = np.column_stack(
+        [rng.uniform(0, 100, (200, 2)), rng.uniform(0, 100, (200, 2))]
+    )
+    queries = np.column_stack(
+        [
+            np.minimum(queries[:, :2], queries[:, 2:]),
+            np.maximum(queries[:, :2], queries[:, 2:]),
+        ]
+    )
+    q1, p1 = gh_native.query_boxes(queries)
+    q2, p2 = gh_numpy.query_boxes(queries)
+    np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_native_face_bbox_matches_numpy():
+    from xugrid_tpu.spatial.bvh import face_bounding_boxes
+    from xugrid_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(4)
+    nodes = rng.uniform(0, 10, (50, 2))
+    faces = rng.integers(0, 50, (30, 4)).astype(np.int64)
+    faces[::3, 3] = -1  # triangles
+    got = face_bounding_boxes(faces, nodes[:, 0], nodes[:, 1])
+    lib = native._LIB
+    native._LIB = None
+    try:
+        want = face_bounding_boxes(faces, nodes[:, 0], nodes[:, 1])
+    finally:
+        native._LIB = lib
+    np.testing.assert_allclose(got, want)
+
+
 class TestPallasApply:
     def _case(self, n=2048, w=7, m=3000, E=8, seed=0):
         rng = np.random.default_rng(seed)

@@ -1,3 +1,4 @@
+from xugrid_tpu.plot.facetgrid import FacetGrid
 from xugrid_tpu.plot.plot import (
     contour,
     contourf,
@@ -10,6 +11,7 @@ from xugrid_tpu.plot.plot import (
 )
 
 __all__ = [
+    "FacetGrid",
     "contour",
     "contourf",
     "imshow",

@@ -3,8 +3,8 @@ Matplotlib plotting of UGRID data.
 
 Parity target: xugrid/plot/plot.py:53-676 — pcolormesh / tripcolor /
 line / contour(f) / imshow / scatter / surface with facet dispatch via
-``uda.ugrid.plot``.  (Facet grids over extra dimensions are not yet
-implemented.)
+``uda.ugrid.plot``; facet grids over extra dims via row=/col= kwargs
+(plot/facetgrid.py).
 """
 
 from __future__ import annotations
@@ -203,11 +203,30 @@ class _PlotMethods:
     def _grid_and_data(self):
         return self._accessor.grid, self._accessor.obj
 
+    def _maybe_facet(self, func, kwargs):
+        """row=/col= kwargs dispatch to a FacetGrid of small multiples."""
+        row = kwargs.pop("row", None)
+        col = kwargs.pop("col", None)
+        col_wrap = kwargs.pop("col_wrap", None)
+        if row is None and col is None:
+            return None
+        from xugrid_tpu.plot.facetgrid import plot_facets
+
+        return plot_facets(
+            self._accessor, func, row=row, col=col, col_wrap=col_wrap, **kwargs
+        )
+
     def pcolormesh(self, **kwargs):
+        fg = self._maybe_facet(pcolormesh, kwargs)
+        if fg is not None:
+            return fg
         grid, da = self._grid_and_data()
         return pcolormesh(grid, da, **kwargs)
 
     def tripcolor(self, **kwargs):
+        fg = self._maybe_facet(tripcolor, kwargs)
+        if fg is not None:
+            return fg
         grid, da = self._grid_and_data()
         return tripcolor(grid, da, **kwargs)
 
@@ -223,16 +242,22 @@ class _PlotMethods:
         return scatter(grid, da, dim=dim, **kwargs)
 
     def contour(self, **kwargs):
-        grid, da = self._grid_and_data()
         facet = self._dispatch()
-        location = "face" if facet == "face" else "node"
-        return contour(grid, da, location=location, **kwargs)
+        kwargs.setdefault("location", "face" if facet == "face" else "node")
+        fg = self._maybe_facet(contour, kwargs)
+        if fg is not None:
+            return fg
+        grid, da = self._grid_and_data()
+        return contour(grid, da, **kwargs)
 
     def contourf(self, **kwargs):
-        grid, da = self._grid_and_data()
         facet = self._dispatch()
-        location = "face" if facet == "face" else "node"
-        return contourf(grid, da, location=location, **kwargs)
+        kwargs.setdefault("location", "face" if facet == "face" else "node")
+        fg = self._maybe_facet(contourf, kwargs)
+        if fg is not None:
+            return fg
+        grid, da = self._grid_and_data()
+        return contourf(grid, da, **kwargs)
 
     def surface(self, **kwargs):
         grid, da = self._grid_and_data()
@@ -241,5 +266,8 @@ class _PlotMethods:
         return surface(grid, da, location=location, **kwargs)
 
     def imshow(self, **kwargs):
+        fg = self._maybe_facet(imshow, kwargs)
+        if fg is not None:
+            return fg
         grid, da = self._grid_and_data()
         return imshow(grid, da, **kwargs)

@@ -200,6 +200,12 @@ def face_bounding_boxes(
     face_node_connectivity: np.ndarray, node_x: np.ndarray, node_y: np.ndarray
 ) -> np.ndarray:
     """AABB per face, honoring -1 fill values."""
+    from xugrid_tpu.utils.native import face_bbox_native
+
+    if face_node_connectivity.ndim == 2 and len(face_node_connectivity) > 0:
+        native = face_bbox_native(face_node_connectivity, node_x, node_y)
+        if native is not None:
+            return native
     x = node_x[face_node_connectivity]
     y = node_y[face_node_connectivity]
     isfill = face_node_connectivity == -1

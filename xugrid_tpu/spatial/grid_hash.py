@@ -73,27 +73,44 @@ class GridHash:
         self.dx = extent_x / self.nx
         self.dy = extent_y / self.ny
 
-        # Emit (cell, prim) pairs for all covered cells.
-        ix0, iy0, ix1, iy1 = self._cell_ranges(rb)
-        span_x = ix1 - ix0 + 1
-        span_y = iy1 - iy0 + 1
-        counts = span_x * span_y
-        total = int(counts.sum())
-        prim_rep = np.repeat(regular_ids, counts)
-        # Per-entry offset within its prim's span block.
-        from xugrid_tpu.regrid.utils import alt_cumsum
+        # Emit (cell, prim) pairs for all covered cells: native counting
+        # sort when the C library is available, vectorized numpy
+        # otherwise.
+        from xugrid_tpu.utils.native import grid_hash_bins_native
 
-        offsets = np.arange(total) - np.repeat(alt_cumsum(counts), counts)
-        span_x_rep = np.repeat(span_x, counts)
-        cell_x = np.repeat(ix0, counts) + offsets % span_x_rep
-        cell_y = np.repeat(iy0, counts) + offsets // span_x_rep
-        cell = cell_y * self.nx + cell_x
+        native = grid_hash_bins_native(
+            rb,
+            regular_ids,
+            self.xmin,
+            self.ymin,
+            self.dx,
+            self.dy,
+            self.nx,
+            self.ny,
+        )
+        if native is not None:
+            self.bin_start, self.bin_prims = native
+        else:
+            ix0, iy0, ix1, iy1 = self._cell_ranges(rb)
+            span_x = ix1 - ix0 + 1
+            span_y = iy1 - iy0 + 1
+            counts = span_x * span_y
+            total = int(counts.sum())
+            prim_rep = np.repeat(regular_ids, counts)
+            # Per-entry offset within its prim's span block.
+            from xugrid_tpu.regrid.utils import alt_cumsum
 
-        order = np.argsort(cell, kind="stable")
-        self.bin_prims = prim_rep[order].astype(IntDType)
-        bin_counts = np.bincount(cell, minlength=self.nx * self.ny)
-        self.bin_start = np.zeros(self.nx * self.ny + 1, dtype=IntDType)
-        np.cumsum(bin_counts, out=self.bin_start[1:])
+            offsets = np.arange(total) - np.repeat(alt_cumsum(counts), counts)
+            span_x_rep = np.repeat(span_x, counts)
+            cell_x = np.repeat(ix0, counts) + offsets % span_x_rep
+            cell_y = np.repeat(iy0, counts) + offsets // span_x_rep
+            cell = cell_y * self.nx + cell_x
+
+            order = np.argsort(cell, kind="stable")
+            self.bin_prims = prim_rep[order].astype(IntDType)
+            bin_counts = np.bincount(cell, minlength=self.nx * self.ny)
+            self.bin_start = np.zeros(self.nx * self.ny + 1, dtype=IntDType)
+            np.cumsum(bin_counts, out=self.bin_start[1:])
         # Contiguous per-column copies: 1D fancy gathers are much faster
         # than 2D row gathers in the query filter.
         self._bx0 = np.ascontiguousarray(self.boxes[:, 0])

@@ -88,6 +88,35 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint64),
     ]
     lib.hilbert_distance.restype = None
+    _c_double_p = ctypes.POINTER(ctypes.c_double)
+    _c_int64_p = ctypes.POINTER(ctypes.c_int64)
+    lib.face_bbox.argtypes = [
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_double_p,
+        _c_double_p,
+        _c_double_p,
+    ]
+    lib.face_bbox.restype = None
+    _gh_common = [
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    lib.grid_hash_count.argtypes = _gh_common + [_c_int64_p]
+    lib.grid_hash_count.restype = ctypes.c_int64
+    lib.grid_hash_fill.argtypes = (
+        [_c_double_p, _c_int64_p, ctypes.c_int64]
+        + _gh_common[2:]
+        + [_c_int64_p, _c_int64_p]
+    )
+    lib.grid_hash_fill.restype = None
     _LIB = lib
     return _LIB
 
@@ -107,6 +136,80 @@ def kd_order_native(xy: np.ndarray, n_levels: int, capacity: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def face_bbox_native(faces: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Native per-face AABBs, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    n, nv = faces.shape
+    out = np.empty((n, 4), dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.face_bbox(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        nv,
+        x.ctypes.data_as(_dp),
+        y.ctypes.data_as(_dp),
+        out.ctypes.data_as(_dp),
+    )
+    return out
+
+
+def grid_hash_bins_native(
+    boxes: np.ndarray,
+    ids: np.ndarray,
+    xmin: float,
+    ymin: float,
+    dx: float,
+    dy: float,
+    nx: int,
+    ny: int,
+):
+    """
+    Native grid-hash binning: (bin_start (nx*ny+1), bin_prims (total)),
+    or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    k = len(boxes)
+    bin_start = np.zeros(nx * ny + 1, dtype=np.int64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    total = lib.grid_hash_count(
+        boxes.ctypes.data_as(_dp),
+        k,
+        xmin,
+        ymin,
+        dx,
+        dy,
+        nx,
+        ny,
+        bin_start.ctypes.data_as(_ip),
+    )
+    bin_prims = np.empty(total, dtype=np.int64)
+    cursor = bin_start[:-1].copy()
+    lib.grid_hash_fill(
+        boxes.ctypes.data_as(_dp),
+        ids.ctypes.data_as(_ip),
+        k,
+        xmin,
+        ymin,
+        dx,
+        dy,
+        nx,
+        ny,
+        cursor.ctypes.data_as(_ip),
+        bin_prims.ctypes.data_as(_ip),
+    )
+    return bin_start, bin_prims
 
 
 def hilbert_distance_native(xy: np.ndarray, order: int = 16):
