@@ -57,6 +57,9 @@ def main():
 
     if SMALL:
         n_side, t_side, n_extra, n_points = 100, 64, 4, 4096
+    elif os.environ.get("BENCH_XL") == "1":
+        # BASELINE.json north star: 10M-face mesh, national-scale raster.
+        n_side, t_side, n_extra, n_points = 3163, 1024, 20, 1_000_000
     else:
         n_side, t_side, n_extra, n_points = 1000, 512, 20, 1_000_000
 

@@ -297,3 +297,13 @@ class TestBurn:
         mid = grid.edge_coordinates[snapped_edges]
         assert np.allclose(mid[:, 1], 2.0)
         assert len(snapped_edges) == 4
+
+
+@requires_geopandas
+def test_hydamo_network_sample():
+    objects, points, profiles = xu.data.hydamo_network()
+    assert len(objects) == 9  # main + 8 branches
+    assert len(points) == 2 * len(objects)
+    assert len(profiles) == len(objects)
+    assert objects.geometry.geom_type.eq("LineString").all()
+    assert points.geometry.geom_type.eq("Point").all()

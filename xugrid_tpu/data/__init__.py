@@ -3,6 +3,7 @@ from xugrid_tpu.data.synthetic import (
     disk,
     elevation_nl,
     generate_disk,
+    hydamo_network,
     provinces_nl,
     xoxo,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "disk",
     "elevation_nl",
     "generate_disk",
+    "hydamo_network",
     "provinces_nl",
     "xoxo",
 ]

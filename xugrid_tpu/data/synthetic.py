@@ -213,3 +213,79 @@ def provinces_nl():
         polygons.append(shapely.Polygon(ring))
         names.append(f"province_{k}")
     return gpd.GeoDataFrame({"name": names, "id": np.arange(12)}, geometry=polygons)
+
+
+def hydamo_network(n_branches: int = 8, seed: int = 4):
+    """
+    Synthetic stand-in for the hydamo surface-water CSVs (reference:
+    xugrid/data/sample_data.py:69-89): returns (objects, points,
+    profiles) GeoDataFrames — a branching channel network with gauge
+    points and cross-section profile lines (requires geopandas +
+    shapely).
+    """
+    import geopandas as gpd
+    import shapely
+
+    rng = np.random.default_rng(seed)
+    lines = []
+    names = []
+    # A main channel with meandering branches sprouting off it.
+    main = np.column_stack(
+        [
+            np.linspace(0.0, 50e3, 40),
+            5e3 * np.sin(np.linspace(0, 3 * np.pi, 40)),
+        ]
+    )
+    lines.append(shapely.LineString(main))
+    names.append("main")
+    for k in range(n_branches):
+        t = rng.uniform(0.1, 0.9)
+        i = int(t * (len(main) - 1))
+        start = main[i]
+        angle = rng.uniform(0.3, np.pi - 0.3) * rng.choice([-1, 1])
+        length = rng.uniform(5e3, 15e3)
+        s = np.linspace(0, 1, 15)
+        wiggle = 800.0 * np.sin(s * rng.uniform(2, 5) * np.pi)
+        dx = np.cos(angle) * length * s - np.sin(angle) * wiggle
+        dy = np.sin(angle) * length * s + np.cos(angle) * wiggle
+        lines.append(
+            shapely.LineString(np.column_stack([start[0] + dx, start[1] + dy]))
+        )
+        names.append(f"branch_{k}")
+    objects = gpd.GeoDataFrame(
+        {"code": names, "id": np.arange(len(lines))}, geometry=lines
+    )
+
+    # Gauge points: sampled along the channels.
+    pts = []
+    codes = []
+    for name, line in zip(names, lines):
+        for frac in (0.25, 0.75):
+            pts.append(line.interpolate(frac, normalized=True))
+            codes.append(name)
+    points = gpd.GeoDataFrame(
+        {"code": codes, "value": rng.uniform(-2.0, 2.0, len(pts))},
+        geometry=pts,
+    )
+
+    # Profiles: short lines perpendicular to the channel at midpoints.
+    profs = []
+    pcodes = []
+    for name, line in zip(names, lines):
+        mid = line.interpolate(0.5, normalized=True)
+        ahead = line.interpolate(0.51, normalized=True)
+        tx, ty = ahead.x - mid.x, ahead.y - mid.y
+        norm = np.hypot(tx, ty) or 1.0
+        nx, ny = -ty / norm, tx / norm
+        half = 200.0
+        profs.append(
+            shapely.LineString(
+                [
+                    (mid.x - nx * half, mid.y - ny * half),
+                    (mid.x + nx * half, mid.y + ny * half),
+                ]
+            )
+        )
+        pcodes.append(name)
+    profiles = gpd.GeoDataFrame({"code": pcodes}, geometry=profs)
+    return objects, points, profiles
