@@ -204,3 +204,100 @@ void grid_hash_fill(const double* boxes, const int64_t* ids, int64_t k,
 }
 
 }  // extern "C"
+
+// --- point candidate queries against the grid hash ---------------------
+// A (tolerance-expanded) point covers at most a few cells; candidates
+// are scanned per cell with inline dedup (candidate lists are tiny), so
+// no span expansion or sort-based unique is needed.
+template <bool kEmit>
+static void gh_points_pass(const double* pts, int64_t nq, double tol,
+                           double xmin, double ymin, double dx, double dy,
+                           int64_t nx, int64_t ny, const int64_t* bin_start,
+                           const int64_t* bin_prims, const double* boxes,
+                           int64_t* counts, const int64_t* offsets,
+                           int64_t* pair_q, int64_t* pair_p) {
+    auto process = [&](int64_t lo, int64_t hi) {
+        std::vector<int64_t> seen;
+        for (int64_t i = lo; i < hi; ++i) {
+            const double px = pts[2 * i], py = pts[2 * i + 1];
+            const int64_t ix0 =
+                gh_clamp((int64_t)((px - tol - xmin) / dx), nx - 1);
+            const int64_t iy0 =
+                gh_clamp((int64_t)((py - tol - ymin) / dy), ny - 1);
+            const int64_t ix1 =
+                gh_clamp((int64_t)((px + tol - xmin) / dx), nx - 1);
+            const int64_t iy1 =
+                gh_clamp((int64_t)((py + tol - ymin) / dy), ny - 1);
+            const bool multi = (ix0 != ix1) | (iy0 != iy1);
+            if (multi) seen.clear();
+            int64_t n = 0;
+            int64_t o = kEmit ? offsets[i] : 0;
+            for (int64_t cy = iy0; cy <= iy1; ++cy) {
+                for (int64_t cx = ix0; cx <= ix1; ++cx) {
+                    const int64_t cell = cy * nx + cx;
+                    for (int64_t s = bin_start[cell]; s < bin_start[cell + 1];
+                         ++s) {
+                        const int64_t prim = bin_prims[s];
+                        const double* b = boxes + 4 * prim;
+                        if (b[0] <= px + tol && b[2] >= px - tol &&
+                            b[1] <= py + tol && b[3] >= py - tol) {
+                            if (multi) {
+                                bool dup = false;
+                                for (int64_t p : seen) {
+                                    if (p == prim) { dup = true; break; }
+                                }
+                                if (dup) continue;
+                                seen.push_back(prim);
+                            }
+                            if (kEmit) {
+                                pair_q[o] = i;
+                                pair_p[o] = prim;
+                                ++o;
+                            }
+                            ++n;
+                        }
+                    }
+                }
+            }
+            if (!kEmit) counts[i] = n;
+        }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (nq > 100000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (nq + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per, hi = std::min(nq, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, nq);
+    }
+}
+
+extern "C" {
+
+// Pass 1: per-point candidate counts.
+void grid_hash_points_count(const double* pts, int64_t nq, double tol,
+                            double xmin, double ymin, double dx, double dy,
+                            int64_t nx, int64_t ny, const int64_t* bin_start,
+                            const int64_t* bin_prims, const double* boxes,
+                            int64_t* counts) {
+    gh_points_pass<false>(pts, nq, tol, xmin, ymin, dx, dy, nx, ny, bin_start,
+                          bin_prims, boxes, counts, nullptr, nullptr, nullptr);
+}
+
+// Pass 2: emit pairs at offsets (exclusive prefix sum of counts).
+void grid_hash_points_fill(const double* pts, int64_t nq, double tol,
+                           double xmin, double ymin, double dx, double dy,
+                           int64_t nx, int64_t ny, const int64_t* bin_start,
+                           const int64_t* bin_prims, const double* boxes,
+                           const int64_t* offsets, int64_t* pair_q,
+                           int64_t* pair_p) {
+    gh_points_pass<true>(pts, nq, tol, xmin, ymin, dx, dy, nx, ny, bin_start,
+                         bin_prims, boxes, nullptr, offsets, pair_q, pair_p);
+}
+
+}  // extern "C"

@@ -34,8 +34,10 @@ def test_global_registry_instrumented_by_grid_hash():
     boxes = np.array([[0.0, 0.0, 1.0, 1.0], [1.0, 0.0, 2.0, 1.0]])
     gh = GridHash(boxes)
     gh.query_points(np.array([[0.5, 0.5]]))
+    gh.query_boxes(np.array([[0.0, 0.0, 2.0, 1.0]]))
     summary = timings.summary()
     assert "grid_hash.build" in summary
+    assert "grid_hash.query_points" in summary
     assert "grid_hash.query_boxes" in summary
     timings.reset()
 
@@ -76,6 +78,21 @@ def test_native_grid_hash_matches_numpy():
     q2, p2 = gh_numpy.query_boxes(queries)
     np.testing.assert_array_equal(q1, q2)
     np.testing.assert_array_equal(p1, p2)
+
+    # Point queries: native path emits in bin order, numpy path sorted;
+    # compare as sets of pairs, with a tolerance that straddles cells.
+    pts = rng.uniform(-1, 101, (300, 2))
+    pts[7] = np.nan
+    for tol in (0.0, 0.05, 2.0):
+        q1, p1 = gh_native.query_points(pts, tol)
+        native._LIB = None
+        try:
+            q2, p2 = gh_numpy.query_points(pts, tol)
+        finally:
+            native._LIB = lib
+        key1 = np.sort(q1.astype(np.int64) * len(boxes) + p1)
+        key2 = np.sort(q2.astype(np.int64) * len(boxes) + p2)
+        np.testing.assert_array_equal(key1, key2)
 
 
 def test_native_face_bbox_matches_numpy():

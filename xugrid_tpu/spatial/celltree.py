@@ -97,10 +97,7 @@ class CellTree2d:
 
     # -- point location -------------------------------------------------------
     def _point_candidates(self, points: np.ndarray, tol: float):
-        boxes = np.column_stack(
-            [points - tol if tol else points, points + tol if tol else points]
-        )
-        return self.grid_hash.query_boxes(boxes)
+        return self.grid_hash.query_points(points, tol)
 
     def locate_points(
         self, points: np.ndarray, tolerance: Optional[float] = None

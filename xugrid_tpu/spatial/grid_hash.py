@@ -208,11 +208,51 @@ class GridHash:
         pair_p = (unique_key % self.n_prim).astype(IntDType)
         return ids_q[pair_q].astype(IntDType), pair_p
 
-    def query_points(self, points: np.ndarray):
+    def query_points(self, points: np.ndarray, tol: float = 0.0):
         """
         Candidate join for points: (point_index, prim_index) pairs where
-        the point falls inside the primitive's bounding box.
+        the point falls inside the primitive's bounding box (expanded by
+        ``tol``).  Native fast path: one bin scan per point, no sort.
         """
         pts = np.asarray(points, dtype=np.float64)
-        boxes = np.column_stack([pts, pts])
+        with timed("grid_hash.query_points"):
+            native = self._query_points_native(pts, tol)
+        if native is not None:
+            return native
+        boxes = np.column_stack([pts - tol, pts + tol])
         return self.query_boxes(boxes)
+
+    def _query_points_native(self, pts, tol):
+        from xugrid_tpu.utils.native import grid_hash_query_points_native
+
+        valid = np.isfinite(pts).all(axis=1)
+        fp = pts[valid]
+        result = grid_hash_query_points_native(
+            fp,
+            float(tol),
+            self.xmin,
+            self.ymin,
+            self.dx,
+            self.dy,
+            self.nx,
+            self.ny,
+            self.bin_start,
+            self.bin_prims,
+            self.boxes,
+        )
+        if result is None:
+            return None
+        pair_q, pair_p = result
+        if len(self.oversize) > 0:
+            ob = self.boxes[self.oversize]
+            hit = (
+                (ob[None, :, 0] <= fp[:, None, 0] + tol)
+                & (ob[None, :, 2] >= fp[:, None, 0] - tol)
+                & (ob[None, :, 1] <= fp[:, None, 1] + tol)
+                & (ob[None, :, 3] >= fp[:, None, 1] - tol)
+            )
+            oq, op = np.nonzero(hit)
+            pair_q = np.concatenate([pair_q, oq])
+            pair_p = np.concatenate([pair_p, self.oversize[op]])
+        ids_q = np.flatnonzero(valid)
+        return ids_q[pair_q].astype(IntDType), pair_p.astype(IntDType)
