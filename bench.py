@@ -106,8 +106,18 @@ def main():
     sourceT = np.zeros((grid.n_face, E), dtype=np.float32)
     sourceT[:, :n_extra] = source.T
     src_d = jnp.asarray(sourceT)
-    idx_d = jnp.asarray(padded.indices)
-    w_d = jnp.asarray(padded.weights)
+
+    # Chunk the target dimension so the (n, w, E) gather intermediate
+    # stays within HBM at the 10M-face scale.
+    n_chunks = max(1, -(-padded.n * padded.w_max * E // 200_000_000))
+    rows = -(-padded.n // n_chunks)
+    n_pad_rows = n_chunks * rows
+    idx_p = np.full((n_pad_rows, padded.w_max), -1, padded.indices.dtype)
+    idx_p[: padded.n] = padded.indices
+    w_p = np.zeros((n_pad_rows, padded.w_max), padded.weights.dtype)
+    w_p[: padded.n] = padded.weights
+    idx_d = jnp.asarray(idx_p.reshape(n_chunks, rows, padded.w_max))
+    w_d = jnp.asarray(w_p.reshape(n_chunks, rows, padded.w_max))
 
     # Loop the passes inside one jit call: the remote-relay round trip
     # (~100ms) would otherwise dominate per-pass timing.
@@ -119,10 +129,15 @@ def main():
         def body(i, acc):
             # Perturb the input per iteration to defeat loop-invariant
             # hoisting of the apply.
-            out = _apply_windowed_T(
-                srcT + i.astype(srcT.dtype) * 1e-12, idx, w, reduction
-            )
-            return acc + jnp.nansum(out)
+            perturbed = srcT + i.astype(srcT.dtype) * 1e-12
+
+            def chunk_body(c, acc2):
+                out = _apply_windowed_T(
+                    perturbed, idx[c], w[c], reduction
+                )
+                return acc2 + jnp.nansum(out)
+
+            return jax.lax.fori_loop(0, idx.shape[0], chunk_body, acc)
 
         return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
