@@ -1,0 +1,179 @@
+"""
+Interpolation test suite: Laplace (Jacobi-CG / direct) and nearest fill.
+
+Mirrors reference tests/test_interpolate.py scenarios. The reference's
+sequential ILU0 preconditioner is TPU-hostile and is replaced by a
+Jacobi-preconditioned CG (xugrid_tpu/ugrid/interpolate.py); the tests
+therefore assert numerics against the direct solve, not the ILU0 path.
+"""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+import xugrid_tpu as xu
+from xugrid_tpu.ugrid import interpolate
+from xugrid_tpu.xdata import DataArray
+
+
+def chain_connectivity(n):
+    """Symmetric adjacency of a 1D chain 0-1-2-...-(n-1)."""
+    i = np.repeat(np.arange(n - 1), 2)
+    j = i.copy()
+    i[::2] += 0
+    j[::2] += 1
+    i[1::2] += 1
+    j[1::2] += 0
+    data = np.ones_like(i, dtype=float)
+    return sparse.coo_matrix((data, (i, j)), shape=(n, n)).tocsr()
+
+
+class TestLaplaceInterpolate:
+    def test_non_square_raises(self):
+        con = sparse.coo_matrix(
+            (np.ones(2), ([0, 1], [1, 2])), shape=(4, 5)
+        ).tocsr()
+        data = np.array([1.0, np.nan, np.nan, 5.0])
+        with pytest.raises(ValueError, match="not a square matrix"):
+            interpolate.laplace_interpolate(data, con, use_weights=False)
+
+    def test_chain_exact(self):
+        # Dirichlet 1.0 / 5.0 at the ends -> linear profile.
+        con = chain_connectivity(5)
+        data = np.array([1.0, np.nan, np.nan, np.nan, 5.0])
+        expected = np.arange(1.0, 6.0)
+        actual = interpolate.laplace_interpolate(
+            data, con, use_weights=False, direct_solve=True
+        )
+        np.testing.assert_allclose(actual, expected)
+        actual = interpolate.laplace_interpolate(
+            data, con, use_weights=False, direct_solve=False, atol=1e-10
+        )
+        np.testing.assert_allclose(actual, expected, atol=1e-6)
+
+    def test_use_weights(self):
+        # Distance weights: node 1 sits 3x closer to node 2 than node 0.
+        n = 3
+        w01, w12 = 1.0, 3.0
+        i = np.array([0, 1, 1, 2])
+        j = np.array([1, 0, 2, 1])
+        w = np.array([w01, w01, w12, w12])
+        con = sparse.coo_matrix((w, (i, j)), shape=(n, n)).tocsr()
+        data = np.array([0.0, np.nan, 4.0])
+        actual = interpolate.laplace_interpolate(
+            data, con, use_weights=True, direct_solve=True
+        )
+        # (w01*0 + w12*4) / (w01 + w12) = 3.0
+        np.testing.assert_allclose(actual, [0.0, 3.0, 4.0])
+
+    def test_batched_rows(self):
+        con = chain_connectivity(5)
+        data = np.array(
+            [
+                [1.0, np.nan, np.nan, np.nan, 5.0],
+                [2.0, np.nan, np.nan, np.nan, 10.0],
+            ]
+        )
+        actual = interpolate.laplace_interpolate(
+            data, con, use_weights=False, direct_solve=True
+        )
+        np.testing.assert_allclose(actual[0], np.arange(1.0, 6.0))
+        np.testing.assert_allclose(actual[1], np.arange(2.0, 12.0, 2.0))
+
+    def test_disconnected_component_stays_nan(self):
+        # Two chains: 0-1-2 (has known values) and 3-4 (all NaN).
+        i = np.array([0, 1, 1, 2, 3, 4])
+        j = np.array([1, 0, 2, 1, 4, 3])
+        con = sparse.coo_matrix(
+            (np.ones(6), (i, j)), shape=(5, 5)
+        ).tocsr()
+        labels = np.array([0, 0, 0, 1, 1])
+        data = np.array([1.0, np.nan, 3.0, np.nan, np.nan])
+        actual = interpolate.laplace_interpolate(
+            data,
+            con,
+            use_weights=False,
+            components_labels=labels,
+            direct_solve=True,
+        )
+        np.testing.assert_allclose(actual[:3], [1.0, 2.0, 3.0])
+        assert np.isnan(actual[3:]).all()
+
+    def test_all_nan_raises(self):
+        con = chain_connectivity(3)
+        with pytest.raises(ValueError, match="All values are NA"):
+            interpolate.laplace_interpolate(
+                np.full(3, np.nan), con, use_weights=False
+            )
+
+    def test_no_nan_returns_copy(self):
+        con = chain_connectivity(3)
+        data = np.array([1.0, 2.0, 3.0])
+        out = interpolate.laplace_interpolate(data, con, use_weights=False)
+        np.testing.assert_allclose(out, data)
+        out[0] = 99.0
+        assert data[0] == 1.0
+
+
+class TestNearestInterpolate:
+    def test_basic(self):
+        coords = np.column_stack([np.arange(5.0), np.zeros(5)])
+        data = np.array([1.0, np.nan, np.nan, np.nan, 5.0])
+        out = interpolate.nearest_interpolate(coords, data, np.inf)
+        np.testing.assert_allclose(out, [1.0, 1.0, 1.0, 5.0, 5.0])
+
+    def test_max_distance(self):
+        coords = np.column_stack([np.arange(5.0), np.zeros(5)])
+        data = np.array([1.0, np.nan, np.nan, np.nan, 5.0])
+        out = interpolate.nearest_interpolate(coords, data, 1.5)
+        np.testing.assert_allclose(out[[0, 1, 3, 4]], [1.0, 1.0, 5.0, 5.0])
+        assert np.isnan(out[2])
+
+    def test_all_nan_raises(self):
+        coords = np.zeros((3, 2))
+        with pytest.raises(ValueError, match="All values are NA"):
+            interpolate.nearest_interpolate(coords, np.full(3, np.nan), 1.0)
+
+
+class TestAccessorInterpolate:
+    @pytest.fixture
+    def uda(self):
+        grid = xu.Ugrid2d(
+            *np.array(
+                [
+                    [0.0, 0.0],
+                    [1.0, 0.0],
+                    [2.0, 0.0],
+                    [0.0, 1.0],
+                    [1.0, 1.0],
+                    [2.0, 1.0],
+                ]
+            ).T,
+            -1,
+            np.array([[0, 1, 4, 3], [1, 2, 5, 4]]),
+        )
+        data = np.array([2.0, np.nan])
+        return xu.UgridDataArray(
+            DataArray(data, dims=(grid.face_dimension,), name="z"), grid
+        )
+
+    def test_interpolate_na(self, uda):
+        out = uda.ugrid.interpolate_na()
+        np.testing.assert_allclose(np.asarray(out.values), [2.0, 2.0])
+
+    def test_laplace_interpolate_accessor(self, uda):
+        out = uda.ugrid.laplace_interpolate(direct_solve=True)
+        np.testing.assert_allclose(np.asarray(out.values), [2.0, 2.0])
+
+    def test_interpolate_na_extra_dim(self, uda):
+        values = np.stack(
+            [np.asarray(uda.values), 2 * np.asarray(uda.values)]
+        )
+        da = DataArray(
+            values, dims=("layer", uda.grid.face_dimension), name="z"
+        )
+        uda2 = xu.UgridDataArray(da, uda.grid)
+        out = uda2.ugrid.interpolate_na()
+        np.testing.assert_allclose(
+            np.asarray(out.values), [[2.0, 2.0], [4.0, 4.0]]
+        )

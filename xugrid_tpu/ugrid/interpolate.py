@@ -101,6 +101,11 @@ def laplace_interpolate(
     ``delta``/``relax`` are accepted for reference API parity (ILU0
     tuning knobs); the Jacobi-CG solver does not use them.
     """
+    if connectivity.shape[0] != connectivity.shape[1]:
+        raise ValueError(
+            "connectivity is not a square matrix: "
+            f"{connectivity.shape[0]} x {connectivity.shape[1]}"
+        )
     data = np.asarray(data, dtype=np.float64)
     squeeze = data.ndim == 1
     matrix2d = np.atleast_2d(data)
