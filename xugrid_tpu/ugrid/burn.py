@@ -40,13 +40,17 @@ def _locate_polygon(grid, exterior, interiors, all_touched: bool) -> IntArray:
     tri_index, grid_index, area = grid.celltree.intersect_faces(
         vertices, triangles, -1
     )
+    tolerance = grid.celltree.default_tolerance()
     if all_touched:
-        return np.unique(grid_index)
+        # Drop zero-area boundary grazes: a polygon edge coinciding with
+        # a face edge produces clip areas at FP-noise scale.
+        uniq, inverse = np.unique(grid_index, return_inverse=True)
+        area_per_face = np.bincount(inverse.ravel(), weights=area)
+        return uniq[area_per_face > tolerance]
     import jax.numpy as jnp
 
     from xugrid_tpu.spatial import queries as q
 
-    tolerance = grid.celltree.default_tolerance()
     centroids = grid.centroids[grid_index]
     tri_xy = vertices[triangles]
     n = len(grid_index)

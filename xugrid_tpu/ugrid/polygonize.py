@@ -46,15 +46,15 @@ def polygonize(uda):
     -------
     polygonized: geopandas.GeoDataFrame with a "values" column.
     """
-    import geopandas as gpd
-    import shapely
-
     facedim = uda.grid.face_dimension
     if tuple(uda.obj.dims) != (facedim,):
         raise ValueError(
             "Cannot polygonize non-face dimensions. Expected only "
             f"({facedim},), but received {tuple(uda.obj.dims)}."
         )
+
+    import geopandas as gpd
+    import shapely
 
     values = np.asarray(uda.obj.data)
     notnull = ~np.isnan(values)
