@@ -301,3 +301,96 @@ void grid_hash_points_fill(const double* pts, int64_t nq, double tol,
 }
 
 }  // extern "C"
+
+// --- box candidate queries against the grid hash ------------------------
+// Candidate join of query bounding boxes against the binned primitives.
+// Dedup is O(1) per pair: a (query, prim) pair is counted/emitted only in
+// the canonical cell — the min corner of the intersection of the query's
+// and the primitive's covered cell ranges — so no sort-based unique pass
+// is needed.
+template <bool kEmit>
+static void gh_boxes_pass(const double* qb, int64_t nq, double xmin,
+                          double ymin, double dx, double dy, int64_t nx,
+                          int64_t ny, const int64_t* bin_start,
+                          const int64_t* bin_prims, const double* boxes,
+                          int64_t* counts, const int64_t* offsets,
+                          int64_t* pair_q, int64_t* pair_p) {
+    auto process = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const double qx0 = qb[4 * i], qy0 = qb[4 * i + 1];
+            const double qx1 = qb[4 * i + 2], qy1 = qb[4 * i + 3];
+            const int64_t ix0 = gh_clamp((int64_t)((qx0 - xmin) / dx), nx - 1);
+            const int64_t iy0 = gh_clamp((int64_t)((qy0 - ymin) / dy), ny - 1);
+            const int64_t ix1 = gh_clamp((int64_t)((qx1 - xmin) / dx), nx - 1);
+            const int64_t iy1 = gh_clamp((int64_t)((qy1 - ymin) / dy), ny - 1);
+            int64_t n = 0;
+            int64_t o = kEmit ? offsets[i] : 0;
+            for (int64_t cy = iy0; cy <= iy1; ++cy) {
+                for (int64_t cx = ix0; cx <= ix1; ++cx) {
+                    const int64_t cell = cy * nx + cx;
+                    for (int64_t s = bin_start[cell]; s < bin_start[cell + 1];
+                         ++s) {
+                        const int64_t prim = bin_prims[s];
+                        const double* b = boxes + 4 * prim;
+                        if (b[0] > qx1 || b[2] < qx0 || b[1] > qy1 ||
+                            b[3] < qy0)
+                            continue;
+                        // Canonical cell: min corner of the overlap of the
+                        // two cell ranges.
+                        const int64_t px0 =
+                            gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
+                        const int64_t py0 =
+                            gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
+                        if (cx != (px0 > ix0 ? px0 : ix0)) continue;
+                        if (cy != (py0 > iy0 ? py0 : iy0)) continue;
+                        if (kEmit) {
+                            pair_q[o] = i;
+                            pair_p[o] = prim;
+                            ++o;
+                        }
+                        ++n;
+                    }
+                }
+            }
+            if (!kEmit) counts[i] = n;
+        }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (nq > 20000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (nq + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per, hi = std::min(nq, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, nq);
+    }
+}
+
+extern "C" {
+
+// Pass 1: per-query candidate counts.
+void grid_hash_boxes_count(const double* qb, int64_t nq, double xmin,
+                           double ymin, double dx, double dy, int64_t nx,
+                           int64_t ny, const int64_t* bin_start,
+                           const int64_t* bin_prims, const double* boxes,
+                           int64_t* counts) {
+    gh_boxes_pass<false>(qb, nq, xmin, ymin, dx, dy, nx, ny, bin_start,
+                         bin_prims, boxes, counts, nullptr, nullptr, nullptr);
+}
+
+// Pass 2: emit pairs at offsets (exclusive prefix sum of counts).
+void grid_hash_boxes_fill(const double* qb, int64_t nq, double xmin,
+                          double ymin, double dx, double dy, int64_t nx,
+                          int64_t ny, const int64_t* bin_start,
+                          const int64_t* bin_prims, const double* boxes,
+                          const int64_t* offsets, int64_t* pair_q,
+                          int64_t* pair_p) {
+    gh_boxes_pass<true>(qb, nq, xmin, ymin, dx, dy, nx, ny, bin_start,
+                        bin_prims, boxes, nullptr, offsets, pair_q, pair_p);
+}
+
+}  // extern "C"

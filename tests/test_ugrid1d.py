@@ -143,3 +143,153 @@ class TestPartitionMerge:
         merged = xu.merge_partitions(parts)
         assert merged.grid.n_edge == 3
         assert merged.grid.n_node == 4
+
+
+class TestNamingAndFormat:
+    """Reference scenarios: rename propagation, equals, data-array and
+    connectivity-format helpers (reference tests/test_ugrid1d.py:601-790)."""
+
+    def test_rename(self, network):
+        renamed = network.rename("network")
+        assert renamed.name == "network"
+        assert renamed.node_dimension == "network_nNodes"
+        assert renamed.edge_dimension == "network_nEdges"
+        # Original untouched.
+        assert network.name == "network1d"
+
+    def test_rename_return_name_dict(self, network):
+        renamed, name_dict = network.rename("net", return_name_dict=True)
+        assert renamed.name == "net"
+        assert isinstance(name_dict, dict)
+        assert name_dict.get("network1d") == "net"
+        assert name_dict.get("network1d_nNodes") == "net_nNodes"
+        assert name_dict.get("network1d_nEdges") == "net_nEdges"
+
+    def test_equals(self, network):
+        other = xu.Ugrid1d(NODE_X, NODE_Y, -1, EDGES)
+        assert network.equals(other)
+        assert not network.equals("not a grid")
+        moved = xu.Ugrid1d(NODE_X + 1.0, NODE_Y, -1, EDGES)
+        assert not network.equals(moved)
+
+    def test_create_data_array(self, network):
+        uda = network.create_data_array(np.arange(3.0), facet="edge")
+        assert isinstance(uda, xu.UgridDataArray)
+        assert uda.dims == (network.edge_dimension,)
+        uda = network.create_data_array(np.arange(4.0), facet="node")
+        assert uda.dims == (network.node_dimension,)
+        with pytest.raises(ValueError):
+            network.create_data_array(np.arange(3.0), facet="face")
+        with pytest.raises(ValueError):
+            network.create_data_array(np.arange(99.0), facet="edge")
+
+    def test_format_connectivity(self, network):
+        sparse_nn = network.node_node_connectivity
+        dense = xu.Ugrid1d.format_connectivity_as_dense(sparse_nn)
+        assert dense.ndim == 2
+        assert dense.shape[0] == network.n_node
+        back = xu.Ugrid1d.format_connectivity_as_sparse(dense)
+        # Same sparsity pattern (data holds edge indices incl. zero).
+        pattern = sparse_nn.copy()
+        pattern.data = np.ones_like(pattern.data)
+        back.data = np.ones_like(back.data)
+        assert (back != pattern).nnz == 0
+
+    def test_get_coordinates(self, network):
+        nodes = network.get_coordinates(network.node_dimension)
+        assert nodes.shape == (4, 2)
+        edges = network.get_coordinates(network.edge_dimension)
+        assert edges.shape == (3, 2)
+        np.testing.assert_allclose(edges[:, 0], [0.5, 1.5, 2.5])
+        with pytest.raises(ValueError):
+            network.get_coordinates("nonsense")
+
+    def test_get_connectivity_matrix(self, network):
+        matrix = network.get_connectivity_matrix(
+            network.node_dimension, xy_weights=True
+        )
+        assert matrix.shape == (4, 4)
+        # Weights are mean-normalized inverse distances; the zigzag's
+        # edges are all sqrt(2) long, so every weight is exactly 1.
+        assert np.allclose(matrix.data, 1.0)
+
+        # Unequal edge lengths: weights proportional to 1/distance.
+        stretched = xu.Ugrid1d(
+            np.array([0.0, 1.0, 3.0]),
+            np.zeros(3),
+            -1,
+            np.array([[0, 1], [1, 2]]),
+        )
+        m = stretched.get_connectivity_matrix(
+            stretched.node_dimension, xy_weights=True
+        )
+        row1 = m[1].toarray().ravel()
+        assert np.isclose(row1[0] / row1[2], 2.0)
+
+    def test_edge_bounds(self, network):
+        eb = network.edge_bounds
+        assert eb.shape == (3, 4)
+        np.testing.assert_allclose(eb[0], [0.0, 0.0, 1.0, 1.0])
+
+    def test_assign_coords(self, network):
+        da = xdata.DataArray(
+            np.arange(3.0), dims=(network.edge_dimension,), name="q"
+        )
+        with_edge = network.assign_edge_coords(da)
+        assert f"{network.name}_edge_x" in with_edge.coords
+        da2 = xdata.DataArray(
+            np.arange(4.0), dims=(network.node_dimension,), name="p"
+        )
+        with_node = network.assign_node_coords(da2)
+        assert f"{network.name}_node_x" in with_node.coords
+
+
+class TestLineIntersection:
+    def test_intersect_line(self, network):
+        uda = xu.UgridDataArray(
+            xdata.DataArray(
+                np.arange(3.0), dims=(network.edge_dimension,), name="q"
+            ),
+            network,
+        )
+        section = uda.ugrid.intersect_line(
+            start=(0.0, 0.5), end=(3.0, 0.5)
+        )
+        values = np.asarray(section.values)
+        # The horizontal line at y=0.5 crosses all three zigzag edges.
+        np.testing.assert_allclose(np.sort(values), [0.0, 1.0, 2.0])
+        # Distance coordinate "s" is ascending along the line.
+        s = np.asarray(section.coords[f"{network.name}_s"].data)
+        assert (np.diff(s) > 0).all()
+
+    def test_sel_points(self, network):
+        uda = xu.UgridDataArray(
+            xdata.DataArray(
+                np.arange(3.0), dims=(network.edge_dimension,), name="q"
+            ),
+            network,
+        )
+        # Points on the first and last edges.
+        out = uda.ugrid.sel_points(
+            x=[0.5, 2.5], y=[0.5, 0.5], out_of_bounds="drop"
+        )
+        np.testing.assert_allclose(np.asarray(out.values), [0.0, 2.0])
+
+
+class TestReindexLike:
+    def test_roundtrip(self, network):
+        # A re-ordered copy of the same network.
+        order = np.array([2, 1, 0])
+        shuffled = xu.Ugrid1d(
+            NODE_X, NODE_Y, -1, EDGES[order]
+        )
+        uda = xu.UgridDataArray(
+            xdata.DataArray(
+                np.arange(3.0)[order],
+                dims=(shuffled.edge_dimension,),
+                name="q",
+            ),
+            shuffled,
+        )
+        out = uda.ugrid.reindex_like(network)
+        np.testing.assert_allclose(np.asarray(out.values), [0.0, 1.0, 2.0])

@@ -69,7 +69,15 @@ class CellTree2d:
         self.n_face = len(faces)
         self.bb_coords = face_bounding_boxes(faces, vertices[:, 0], vertices[:, 1])
         self.grid_hash = GridHash(self.bb_coords)
-        self._poly_xy = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
+        # Host padded polygon buffer; transferred to device once, lazily.
+        self._poly_xy_host = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
+        self._poly_xy_dev = None
+
+    @property
+    def _poly_xy(self):
+        if self._poly_xy_dev is None:
+            self._poly_xy_dev = jnp.asarray(self._poly_xy_host)
+        return self._poly_xy_dev
 
     # -- infrastructure -----------------------------------------------------
     @property
@@ -202,7 +210,7 @@ class CellTree2d:
         query_index, tree_index = self.grid_hash.query_boxes(boxes)
         if len(query_index) == 0:
             return query_index, tree_index, np.empty(0, dtype=np.float64)
-        query_xy = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
+        query_xy = jnp.asarray(pad_polygons(faces, vertices[:, 0], vertices[:, 1]))
         n = len(query_index)
         areas = np.empty(n, dtype=np.float64)
         with timed("celltree.exact_overlap_areas"):

@@ -20,14 +20,21 @@ def pad_polygons(face_node_connectivity, node_x, node_y):
     Gather per-face vertex buffers, replacing -1 fills with the first
     vertex so padding edges have zero length.
 
-    Returns (n_face, n_max, 2).
+    Runs on the host (numpy): at the 1M-face scale an eager on-device
+    gather costs a compile plus a tunnel round trip, while the host
+    fancy-index takes milliseconds; kernels transfer the padded buffer
+    once on first use.
+
+    Returns (n_face, n_max, 2) numpy float64.
     """
-    conn = jnp.asarray(face_node_connectivity)
+    import numpy as np
+
+    conn = np.asarray(face_node_connectivity)
     first = conn[:, :1]
-    filled = jnp.where(conn == -1, first, conn)
-    x = jnp.asarray(node_x)[filled]
-    y = jnp.asarray(node_y)[filled]
-    return jnp.stack([x, y], axis=-1)
+    filled = np.where(conn == -1, first, conn)
+    x = np.asarray(node_x, dtype=np.float64)[filled]
+    y = np.asarray(node_y, dtype=np.float64)[filled]
+    return np.stack([x, y], axis=-1)
 
 
 def polygon_edges(poly):

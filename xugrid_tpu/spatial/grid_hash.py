@@ -154,6 +154,25 @@ class GridHash:
             empty = np.empty(0, dtype=IntDType)
             return empty, empty
 
+        from xugrid_tpu.utils.native import grid_hash_query_boxes_native
+
+        native = grid_hash_query_boxes_native(
+            b,
+            self.xmin,
+            self.ymin,
+            self.dx,
+            self.dy,
+            self.nx,
+            self.ny,
+            self.bin_start,
+            self.bin_prims,
+            self.boxes,
+        )
+        if native is not None:
+            # Bbox filter and dedup happen inline in the native kernel.
+            pair_q, pair_p = native
+            return self._query_boxes_finish(pair_q, pair_p, b, ids_q)
+
         ix0, iy0, ix1, iy1 = self._cell_ranges(b)
         span_x = ix1 - ix0 + 1
         span_y = iy1 - iy0 + 1
@@ -174,19 +193,6 @@ class GridHash:
         inner = np.arange(total2) - np.repeat(alt_cumsum(n_in_bin), n_in_bin)
         pair_p = self.bin_prims[np.repeat(start, n_in_bin) + inner]
 
-        # Oversize primitives: brute force against all queries.
-        if len(self.oversize) > 0:
-            ob = self.boxes[self.oversize]
-            hit = (
-                (ob[None, :, 0] <= b[:, None, 2])
-                & (ob[None, :, 2] >= b[:, None, 0])
-                & (ob[None, :, 1] <= b[:, None, 3])
-                & (ob[None, :, 3] >= b[:, None, 1])
-            )
-            oq, op = np.nonzero(hit)
-            pair_q = np.concatenate([pair_q, oq])
-            pair_p = np.concatenate([pair_p, self.oversize[op]])
-
         # Exact bbox filter (column-wise 1D gathers).
         qx0 = b[:, 0][pair_q]
         qy0 = b[:, 1][pair_q]
@@ -204,9 +210,24 @@ class GridHash:
         # Deduplicate (a prim may share several cells with one query).
         key = pair_q.astype(np.int64) * self.n_prim + pair_p
         unique_key = np.unique(key)
-        pair_q = (unique_key // self.n_prim).astype(IntDType)
-        pair_p = (unique_key % self.n_prim).astype(IntDType)
-        return ids_q[pair_q].astype(IntDType), pair_p
+        pair_q = unique_key // self.n_prim
+        pair_p = unique_key % self.n_prim
+        return self._query_boxes_finish(pair_q, pair_p, b, ids_q)
+
+    def _query_boxes_finish(self, pair_q, pair_p, b, ids_q):
+        """Append brute-force oversize hits and remap to query ids."""
+        if len(self.oversize) > 0:
+            ob = self.boxes[self.oversize]
+            hit = (
+                (ob[None, :, 0] <= b[:, None, 2])
+                & (ob[None, :, 2] >= b[:, None, 0])
+                & (ob[None, :, 1] <= b[:, None, 3])
+                & (ob[None, :, 3] >= b[:, None, 1])
+            )
+            oq, op = np.nonzero(hit)
+            pair_q = np.concatenate([pair_q, oq])
+            pair_p = np.concatenate([pair_p, self.oversize[op]])
+        return ids_q[pair_q].astype(IntDType), pair_p.astype(IntDType)
 
     def query_points(self, points: np.ndarray, tol: float = 0.0):
         """

@@ -139,6 +139,27 @@ def get_lib():
         _c_int64_p,
     ]
     lib.grid_hash_points_fill.restype = None
+    _box_common = [
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+    ]
+    lib.grid_hash_boxes_count.argtypes = _box_common + [_c_int64_p]
+    lib.grid_hash_boxes_count.restype = None
+    lib.grid_hash_boxes_fill.argtypes = _box_common + [
+        _c_int64_p,
+        _c_int64_p,
+        _c_int64_p,
+    ]
+    lib.grid_hash_boxes_fill.restype = None
     _LIB = lib
     return _LIB
 
@@ -283,6 +304,63 @@ def grid_hash_query_points_native(
     pair_q = np.empty(total, dtype=np.int64)
     pair_p = np.empty(total, dtype=np.int64)
     lib.grid_hash_points_fill(
+        *common,
+        offsets.ctypes.data_as(_ip),
+        pair_q.ctypes.data_as(_ip),
+        pair_p.ctypes.data_as(_ip),
+    )
+    return pair_q, pair_p
+
+
+def grid_hash_query_boxes_native(
+    qb: np.ndarray,
+    xmin: float,
+    ymin: float,
+    dx: float,
+    dy: float,
+    nx: int,
+    ny: int,
+    bin_start: np.ndarray,
+    bin_prims: np.ndarray,
+    boxes: np.ndarray,
+):
+    """
+    Native box candidate join with inline canonical-cell dedup:
+    (pair_q, pair_p) int64 arrays, or None when the library is
+    unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    qb = np.ascontiguousarray(qb, dtype=np.float64)
+    bin_start = np.ascontiguousarray(bin_start, dtype=np.int64)
+    bin_prims = np.ascontiguousarray(bin_prims, dtype=np.int64)
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+    nq = len(qb)
+    counts = np.empty(nq, dtype=np.int64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    common = (
+        qb.ctypes.data_as(_dp),
+        nq,
+        xmin,
+        ymin,
+        dx,
+        dy,
+        nx,
+        ny,
+        bin_start.ctypes.data_as(_ip),
+        bin_prims.ctypes.data_as(_ip),
+        boxes.ctypes.data_as(_dp),
+    )
+    lib.grid_hash_boxes_count(*common, counts.ctypes.data_as(_ip))
+    offsets = np.zeros(nq, dtype=np.int64)
+    if nq:
+        np.cumsum(counts[:-1], out=offsets[1:])
+    total = int(offsets[-1] + counts[-1]) if nq else 0
+    pair_q = np.empty(total, dtype=np.int64)
+    pair_p = np.empty(total, dtype=np.int64)
+    lib.grid_hash_boxes_fill(
         *common,
         offsets.ctypes.data_as(_ip),
         pair_q.ctypes.data_as(_ip),
