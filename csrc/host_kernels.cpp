@@ -394,3 +394,47 @@ void grid_hash_boxes_fill(const double* qb, int64_t nq, double xmin,
 }
 
 }  // extern "C"
+
+// --- fused polygon padding + bounding boxes ------------------------------
+// One cache-friendly pass over the connectivity: emit the padded
+// per-face vertex buffer (fill slots repeat the first vertex, giving
+// zero-length edges) and the per-face AABB.
+extern "C" {
+
+void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
+                  const double* x, const double* y, double* poly_xy,
+                  double* bbox) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* f = faces + nv * i;
+        double* poly = poly_xy + 2 * nv * i;
+        const int64_t first = f[0];
+        const double fx = x[first], fy = y[first];
+        double x0 = fx, x1 = fx, y0 = fy, y1 = fy;
+        poly[0] = fx;
+        poly[1] = fy;
+        for (int64_t v = 1; v < nv; ++v) {
+            const int64_t node = f[v];
+            double px, py;
+            if (node < 0) {
+                px = fx;
+                py = fy;
+            } else {
+                px = x[node];
+                py = y[node];
+                x0 = px < x0 ? px : x0;
+                x1 = px > x1 ? px : x1;
+                y0 = py < y0 ? py : y0;
+                y1 = py > y1 ? py : y1;
+            }
+            poly[2 * v] = px;
+            poly[2 * v + 1] = py;
+        }
+        double* b = bbox + 4 * i;
+        b[0] = x0;
+        b[1] = y0;
+        b[2] = x1;
+        b[3] = y1;
+    }
+}
+
+}  // extern "C"

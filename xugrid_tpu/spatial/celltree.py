@@ -67,10 +67,16 @@ class CellTree2d:
         self.vertices = vertices
         self.faces = faces
         self.n_face = len(faces)
-        self.bb_coords = face_bounding_boxes(faces, vertices[:, 0], vertices[:, 1])
+        from xugrid_tpu.utils.native import pad_and_bbox_native
+
+        x, y = vertices[:, 0], vertices[:, 1]
+        fused = pad_and_bbox_native(faces, x, y)
+        if fused is not None:
+            self._poly_xy_host, self.bb_coords = fused
+        else:
+            self.bb_coords = face_bounding_boxes(faces, x, y)
+            self._poly_xy_host = pad_polygons(faces, x, y)
         self.grid_hash = GridHash(self.bb_coords)
-        # Host padded polygon buffer; transferred to device once, lazily.
-        self._poly_xy_host = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
         self._poly_xy_dev = None
 
     @property

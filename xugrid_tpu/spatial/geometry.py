@@ -29,12 +29,20 @@ def pad_polygons(face_node_connectivity, node_x, node_y):
     """
     import numpy as np
 
+    from xugrid_tpu.utils.native import pad_and_bbox_native
+
+    native = pad_and_bbox_native(face_node_connectivity, node_x, node_y)
+    if native is not None:
+        return native[0]
     conn = np.asarray(face_node_connectivity)
     first = conn[:, :1]
     filled = np.where(conn == -1, first, conn)
-    x = np.asarray(node_x, dtype=np.float64)[filled]
-    y = np.asarray(node_y, dtype=np.float64)[filled]
-    return np.stack([x, y], axis=-1)
+    x = np.asarray(node_x, dtype=np.float64)
+    y = np.asarray(node_y, dtype=np.float64)
+    out = np.empty(filled.shape + (2,), dtype=np.float64)
+    out[..., 0] = x[filled]
+    out[..., 1] = y[filled]
+    return out
 
 
 def polygon_edges(poly):

@@ -99,6 +99,16 @@ def get_lib():
         _c_double_p,
     ]
     lib.face_bbox.restype = None
+    lib.pad_and_bbox.argtypes = [
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_double_p,
+        _c_double_p,
+        _c_double_p,
+        _c_double_p,
+    ]
+    lib.pad_and_bbox.restype = None
     _gh_common = [
         _c_double_p,
         ctypes.c_int64,
@@ -201,6 +211,33 @@ def face_bbox_native(faces: np.ndarray, x: np.ndarray, y: np.ndarray):
         out.ctypes.data_as(_dp),
     )
     return out
+
+
+def pad_and_bbox_native(faces: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """
+    Fused padded polygon buffer (n, nv, 2) + per-face AABBs (n, 4) in a
+    single native pass, or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    n, nv = faces.shape
+    poly_xy = np.empty((n, nv, 2), dtype=np.float64)
+    bbox = np.empty((n, 4), dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.pad_and_bbox(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        nv,
+        x.ctypes.data_as(_dp),
+        y.ctypes.data_as(_dp),
+        poly_xy.ctypes.data_as(_dp),
+        bbox.ctypes.data_as(_dp),
+    )
+    return poly_xy, bbox
 
 
 def grid_hash_bins_native(
