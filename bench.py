@@ -155,13 +155,14 @@ def main():
     pallas_apply_s = None
     try:
         from xugrid_tpu.regrid.pallas_apply import (
+            SUB,
             pallas_windowed_mean,
             plan_auto,
         )
 
         plan = plan_auto(padded.indices)
         if plan is not None and jax.default_backend() == "tpu":
-            starts, tile = plan
+            starts, n_subs = plan
             block = 512
             n_blocks = len(starts)
             n_pad = n_blocks * block
@@ -170,15 +171,16 @@ def main():
             w_p = np.zeros((n_pad, padded.w_max), np.float32)
             w_p[: padded.n] = padded.weights
             E_pad = 128
-            m_needed = max(grid.n_face, int(starts.max()) + tile)
+            ends = starts.astype(np.int64) + n_subs.astype(np.int64) * SUB
+            m_needed = max(grid.n_face, int(ends.max()))
             srcT_p = np.zeros((m_needed, E_pad), np.float32)
             srcT_p[: grid.n_face, :n_extra] = source.T
 
-            @partial(jax.jit, static_argnums=(4, 5, 6))
-            def pallas_reps(srcT, idx, w, st, blk, tl, n_reps):
+            @partial(jax.jit, static_argnums=(5, 6))
+            def pallas_reps(srcT, idx, w, st, ns, blk, n_reps):
                 def body(i, acc):
                     out = pallas_windowed_mean(
-                        srcT + i.astype(srcT.dtype) * 1e-12, idx, w, st, blk, tl
+                        srcT + i.astype(srcT.dtype) * 1e-12, idx, w, st, ns, blk
                     )
                     return acc + jnp.nansum(out)
 
@@ -188,9 +190,10 @@ def main():
             didx = jnp.asarray(idx_p)
             dw = jnp.asarray(w_p)
             dst = jnp.asarray(starts)
-            _ = float(pallas_reps(dsrc, didx, dw, dst, block, tile, reps))
+            dns = jnp.asarray(n_subs)
+            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, block, reps))
             t0 = time.perf_counter()
-            _ = float(pallas_reps(dsrc, didx, dw, dst, block, tile, reps))
+            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, block, reps))
             pallas_apply_s = (time.perf_counter() - t0) / reps
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"pallas path unavailable: {exc!r}", file=sys.stderr)

@@ -126,3 +126,92 @@ def test_facetgrid_coordinate_labels(grid):
     )
     fg = uda.ugrid.plot.pcolormesh(col="time")
     assert fg.axes[0, 1].get_title() == "time = 20.0"
+
+
+@pytest.fixture
+def edge_uda(grid):
+    values = np.arange(grid.n_edge, dtype=float)
+    return xu.UgridDataArray(
+        DataArray(values, dims=(grid.edge_dimension,), name="z"), grid
+    )
+
+
+def test_tripcolor(node_uda):
+    from matplotlib.collections import Collection
+
+    artist = node_uda.ugrid.plot.tripcolor()
+    assert isinstance(artist, Collection)
+
+
+def test_scatter(face_uda, node_uda):
+    from matplotlib.collections import PathCollection
+
+    assert isinstance(face_uda.ugrid.plot.scatter(), PathCollection)
+    assert isinstance(node_uda.ugrid.plot.scatter(), PathCollection)
+
+
+def test_surface(face_uda, node_uda):
+    from mpl_toolkits.mplot3d.art3d 	import Poly3DCollection
+
+    artist = node_uda.ugrid.plot.surface()
+    assert isinstance(artist, Poly3DCollection)
+    artist = face_uda.ugrid.plot.surface()
+    assert isinstance(artist, Poly3DCollection)
+
+
+def test_edge_data_plots_as_line(edge_uda):
+    from matplotlib.collections import LineCollection
+
+    artist = edge_uda.ugrid.plot()
+    assert isinstance(artist, LineCollection)
+    # Edge data colors the segments.
+    assert artist.get_array() is not None
+    assert len(np.asarray(artist.get_array())) == edge_uda.grid.n_edge
+
+
+def test_contourf(face_uda, node_uda):
+    from matplotlib.contour import ContourSet
+
+    assert isinstance(node_uda.ugrid.plot.contourf(), ContourSet)
+    assert isinstance(face_uda.ugrid.plot.contourf(), ContourSet)
+
+
+def test_cmap_params_robust_and_center(face_uda):
+    # robust: limits from the 2-98 percentile range.
+    values = np.asarray(face_uda.values)
+    artist = face_uda.ugrid.plot(robust=True)
+    lo, hi = artist.get_clim()
+    assert lo == pytest.approx(np.percentile(values, 2))
+    assert hi == pytest.approx(np.percentile(values, 98))
+
+    # data straddling zero: symmetric limits + diverging default cmap.
+    signed = face_uda - float(values.mean())
+    artist = signed.ugrid.plot()
+    lo, hi = artist.get_clim()
+    assert lo == pytest.approx(-hi)
+    assert artist.get_cmap().name == "RdBu_r"
+
+    # explicit norm is passed through.
+    import matplotlib.colors
+
+    norm = matplotlib.colors.LogNorm(vmin=1.0, vmax=8.0)
+    artist = (face_uda + 1.0).ugrid.plot(norm=norm)
+    assert artist.norm is norm
+
+
+def test_colorbar(face_uda):
+    fig, ax = plt.subplots()
+    face_uda.ugrid.plot(ax=ax, add_colorbar=True)
+    assert len(fig.axes) == 2  # main + colorbar
+
+
+def test_grid_plot(grid):
+    from matplotlib.collections import LineCollection
+
+    artist = grid.plot()
+    assert isinstance(artist, LineCollection)
+
+
+def test_kwargs_passthrough(face_uda):
+    artist = face_uda.ugrid.plot(cmap="viridis", vmin=0.0, vmax=4.0)
+    assert artist.get_clim() == (0.0, 4.0)

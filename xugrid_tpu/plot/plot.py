@@ -38,6 +38,51 @@ def _add_colorbar(ax, artist, add_colorbar):
         ax.figure.colorbar(artist, ax=ax)
 
 
+def _cmap_params(values, kwargs):
+    """
+    Resolve xarray-style colormap keywords (vmin/vmax/robust/center/norm)
+    into a Normalize + cmap pair that every matplotlib artist accepts
+    (PolyCollection/LineCollection reject raw vmin=/vmax=).
+
+    Mirrors the reference's _process_cmap_cbar_kwargs behavior
+    (xugrid/plot/utils.py): robust uses the 2-98 percentile range, and
+    data straddling zero (or an explicit ``center``) selects symmetric
+    limits with a diverging default colormap.
+    """
+    vmin = kwargs.pop("vmin", None)
+    vmax = kwargs.pop("vmax", None)
+    robust = kwargs.pop("robust", False)
+    center = kwargs.pop("center", None)
+    norm = kwargs.pop("norm", None)
+    if values is None:
+        return kwargs
+    if norm is not None:
+        kwargs["norm"] = norm
+        return kwargs
+    calc = np.asarray(values, dtype=float).ravel()
+    calc = calc[np.isfinite(calc)]
+    if calc.size == 0:
+        return kwargs
+    computed_vmin = vmin is None
+    computed_vmax = vmax is None
+    if computed_vmin:
+        vmin = float(np.percentile(calc, 2) if robust else calc.min())
+    if computed_vmax:
+        vmax = float(np.percentile(calc, 98) if robust else calc.max())
+    divergent = center is not None
+    if center is None and computed_vmin and computed_vmax and vmin < 0 < vmax:
+        center = 0.0
+        divergent = True
+    if divergent:
+        lim = max(abs(vmax - center), abs(vmin - center))
+        vmin, vmax = center - lim, center + lim
+        kwargs.setdefault("cmap", "RdBu_r")
+    import matplotlib.colors
+
+    kwargs["norm"] = matplotlib.colors.Normalize(vmin=vmin, vmax=vmax)
+    return kwargs
+
+
 def line(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
     """Plot the edges of the grid as a LineCollection; optional edge
     values as colors."""
@@ -49,6 +94,7 @@ def line(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
     kwargs.setdefault("colors", "#000033" if values is None else None)
     if values is not None:
         kwargs.pop("colors")
+        kwargs = _cmap_params(values, kwargs)
     collection = LineCollection(segments, **kwargs)
     if values is not None:
         collection.set_array(values)
@@ -65,6 +111,7 @@ def scatter(grid, darray=None, dim=None, ax=None, add_colorbar: bool = False, **
     ax = _ensure_ax(ax)
     dim = dim or grid.core_dimension
     coords = grid.get_coordinates(dim)
+    kwargs = _cmap_params(values, kwargs)
     artist = ax.scatter(coords[:, 0], coords[:, 1], c=values, **kwargs)
     if values is not None:
         _add_colorbar(ax, artist, add_colorbar)
@@ -79,6 +126,7 @@ def pcolormesh(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs)
     ax = _ensure_ax(ax)
     closed, _ = close_polygons(grid.face_node_connectivity)
     vertices = grid.node_coordinates[closed]
+    kwargs = _cmap_params(values, kwargs)
     collection = PolyCollection(vertices, **kwargs)
     if values is not None:
         collection.set_array(values)
@@ -97,6 +145,7 @@ def tripcolor(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
     ax = _ensure_ax(ax)
     (node_x, node_y, triangles), _ = grid.triangulation
     triangulation = matplotlib.tri.Triangulation(node_x, node_y, triangles)
+    kwargs = _cmap_params(values, kwargs)
     artist = ax.tripcolor(triangulation, values, **kwargs)
     _add_colorbar(ax, artist, add_colorbar)
     return artist
@@ -119,6 +168,7 @@ def contour(grid, darray=None, ax=None, location="node", add_colorbar=False, **k
     grid, values = _unpack(grid, darray)
     ax = _ensure_ax(ax)
     triangulation, z = _contour_triangulation(grid, values, location)
+    kwargs = _cmap_params(z, kwargs)
     artist = ax.tricontour(triangulation, z, **kwargs)
     _add_colorbar(ax, artist, add_colorbar)
     return artist
@@ -129,6 +179,7 @@ def contourf(grid, darray=None, ax=None, location="node", add_colorbar=False, **
     grid, values = _unpack(grid, darray)
     ax = _ensure_ax(ax)
     triangulation, z = _contour_triangulation(grid, values, location)
+    kwargs = _cmap_params(z, kwargs)
     artist = ax.tricontourf(triangulation, z, **kwargs)
     _add_colorbar(ax, artist, add_colorbar)
     return artist
@@ -166,6 +217,7 @@ def imshow(
     img = np.where(index != -1, values[np.maximum(index, 0)], np.nan)
     kwargs.setdefault("origin", "upper")
     kwargs.setdefault("extent", (x.min(), x.max(), y.min(), y.max()))
+    kwargs = _cmap_params(img, kwargs)
     artist = ax.imshow(img, **kwargs)
     _add_colorbar(ax, artist, add_colorbar)
     return artist

@@ -4,13 +4,17 @@ Pallas TPU kernel for the windowed regrid apply (weighted mean).
 The XLA path gathers source rows from HBM per (target, window) pair.
 This kernel exploits spatial locality instead: targets come in Hilbert/
 raster order, so each block of targets reads a *contiguous* source
-range.  Per grid step it DMAs that (TILE, E) source slab into VMEM once
-and resolves the window gathers locally against the slab — HBM sees
-only streaming reads.
+range.  The kernel DMAs that range into VMEM in (SUB, E) slabs and
+resolves the window gathers locally as one-hot matmuls on the MXU — HBM
+sees only streaming reads.
 
-Requirements (validated by ``plan_blocks``): within each target block,
-``max(idx) - min(idx) < TILE``.  Blocks violating the span bound fall
-back to the XLA kernel (apply.py).
+The slab loop is *dynamic per block*: each block only pays for
+``ceil(span_b / SUB)`` DMA+matmul steps, where ``span_b`` is the actual
+index span of its windows, not the worst-case span across all blocks.
+
+Requirements (validated by ``plan_spans``): per-block spans bounded by
+``max_tile``.  Plans violating the bound fall back to the XLA kernel
+(apply.py).
 """
 
 from __future__ import annotations
@@ -24,13 +28,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: rows per VMEM slab DMA (1 MB at E=128 f32): large enough to amortize
+#: DMA issue cost, small enough that partially-used final slabs are cheap.
+SUB = 2048
 
-def plan_blocks(indices: np.ndarray, block: int, tile: int):
+
+def plan_spans(indices: np.ndarray, block: int):
     """
-    Compute per-block source offsets for the tiled kernel.
+    Per-block source windows for the tiled kernel.
 
-    Returns (starts (n_blocks,), ok) where ok is False when any block's
-    window span exceeds the tile size (fall back to the XLA path).
+    Returns (starts (n_blocks,) i32, spans (n_blocks,) i64): the minimum
+    source index and the span (max - min + 1, 0 for empty blocks) of
+    every block of ``block`` consecutive target rows.
     """
     n = len(indices)
     n_blocks = -(-n // block)
@@ -48,52 +57,40 @@ def plan_blocks(indices: np.ndarray, block: int, tile: int):
     hi = small.reshape(n_blocks, -1).max(axis=1)
     empty = lo > hi
     lo = np.where(empty, 0, lo)
-    hi = np.where(empty, 0, hi)
-    ok = bool(((hi - lo) < tile).all())
-    return lo.astype(np.int32), ok
+    span = np.where(empty, 0, hi - lo + 1)
+    return lo.astype(np.int32), span.astype(np.int64)
+
+
+def plan_blocks(indices: np.ndarray, block: int, tile: int):
+    """
+    (starts, ok): slab offsets, and whether every block's window span
+    fits within ``tile`` (fall back to the XLA path otherwise).
+    """
+    starts, spans = plan_spans(indices, block)
+    return starts, bool((spans <= tile).all())
 
 
 def plan_auto(indices: np.ndarray, block: int = 512, max_tile: int = 16384):
     """
-    Pick the smallest power-of-two tile that covers every block's window
-    span.  Returns (starts, tile) or None when the spans exceed
+    Plan the dynamic slab loop: (starts, n_subs) with per-block sub-tile
+    counts ``ceil(span / SUB)``, or None when any span exceeds
     ``max_tile`` (poor source locality — use the XLA path instead).
     """
     n = len(indices)
     if n == 0:
         return None
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    idx = indices
-    if pad:
-        idx = np.concatenate(
-            [indices, np.full((pad, indices.shape[1]), -1, indices.dtype)]
-        )
-    grouped = idx.reshape(n_blocks, block, idx.shape[1])
-    valid = grouped >= 0
-    big = np.where(valid, grouped, np.iinfo(np.int32).max)
-    small = np.where(valid, grouped, np.iinfo(np.int32).min)
-    lo = big.reshape(n_blocks, -1).min(axis=1)
-    hi = small.reshape(n_blocks, -1).max(axis=1)
-    empty = lo > hi
-    lo = np.where(empty, 0, lo)
-    hi = np.where(empty, 0, hi)
-    span = int((hi - lo).max()) + 1
-    tile = max(1024, 1 << int(np.ceil(np.log2(span))))
-    if tile > max_tile:
+    starts, spans = plan_spans(indices, block)
+    if int(spans.max()) > max_tile:
         return None
-    return lo.astype(np.int32), tile
+    n_subs = -(-spans // SUB)
+    return starts, n_subs.astype(np.int32)
 
 
-def _kernel(starts_ref, idx_ref, w_ref, source_hbm, out_ref, tile_vmem, sem):
+def _kernel(starts_ref, n_subs_ref, idx_ref, w_ref, source_hbm, out_ref,
+            sub_vmem, sem):
     b = pl.program_id(0)
     start = starts_ref[b]
-    # DMA the contiguous source slab for this block into VMEM.
-    dma = pltpu.make_async_copy(
-        source_hbm.at[pl.ds(start, tile_vmem.shape[0])], tile_vmem, sem
-    )
-    dma.start()
-    dma.wait()
+    n_sub = n_subs_ref[b]
 
     idx = idx_ref[...]  # (block, w)
     wts = w_ref[...]
@@ -101,70 +98,77 @@ def _kernel(starts_ref, idx_ref, w_ref, source_hbm, out_ref, tile_vmem, sem):
     local = jnp.where(valid, idx - start, -1)
 
     block, w = idx.shape
-    tile = tile_vmem.shape[0]
-    E = tile_vmem.shape[1]
-    # Mosaic has no general VMEM gather; instead fold the window into a
-    # weighted scatter matrix and resolve it on the MXU:
-    #   wmat[t, s] = sum_j wts[t, j] * (local[t, j] == s)
-    #   num = wmat @ slab        (block, tile) x (tile, E)
-    # Duplicate indices within a window accumulate their weights, which
-    # is exactly the weighted-sum semantics.  The matmul runs in
-    # sub-tiles so the (block, sub) one-hot matrix stays within the
-    # scoped-VMEM budget regardless of the slab size.
-    sub = min(tile, 2048)
+    sub, E = sub_vmem.shape
     den = jnp.zeros((block, 1), dtype=jnp.float32)
     for j in range(w):
         den = den + jnp.where(valid[:, j], wts[:, j], 0.0)[:, None]
-    num = jnp.zeros((block, E), dtype=jnp.float32)
+
+    # Mosaic has no general VMEM gather; instead fold the window into a
+    # weighted scatter matrix and resolve it on the MXU:
+    #   wmat[t, s] = sum_j wts[t, j] * (local[t, j] - s0 == s)
+    #   num += wmat @ slab        (block, sub) x (sub, E)
+    # Duplicate indices within a window accumulate their weights, which
+    # is exactly the weighted-sum semantics.
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, sub), 1)
-    for s0 in range(0, tile, sub):
+
+    def body(k, num):
+        s0 = k * sub
+        dma = pltpu.make_async_copy(
+            source_hbm.at[pl.ds(start + s0, sub)], sub_vmem, sem
+        )
+        dma.start()
+        dma.wait()
         wmat = jnp.zeros((block, sub), dtype=jnp.float32)
         for j in range(w):
             wj = jnp.where(valid[:, j], wts[:, j], 0.0)[:, None]
             hit = iota == (local[:, j][:, None] - s0)
             wmat = wmat + jnp.where(hit, wj, 0.0)
-        num = num + jax.lax.dot_general(
+        return num + jax.lax.dot_general(
             wmat,
-            tile_vmem[s0 : s0 + sub, :],
+            sub_vmem[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+
+    num = jax.lax.fori_loop(
+        0, n_sub, body, jnp.zeros((block, E), dtype=jnp.float32)
+    )
     # Empty windows produce NaN, matching reduce.mean semantics.
     out_ref[...] = jnp.where(
         den > 0.0, num / jnp.where(den == 0.0, 1.0, den), jnp.nan
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5), static_argnames=("interpret",))
+@partial(jax.jit, static_argnums=(5,), static_argnames=("interpret",))
 def pallas_windowed_mean(
-    sourceT, indices, weights, starts, block: int, tile: int, interpret=False
+    sourceT, indices, weights, starts, n_subs, block: int, interpret=False
 ):
     """
     sourceT: (m_padded, E) f32; indices/weights: (n_padded, w);
-    starts: (n_blocks,) i32 slab offsets.  n_padded = n_blocks * block;
-    m_padded must allow reading [start, start + tile).
-    Returns (n_padded, E).
+    starts: (n_blocks,) i32 slab offsets; n_subs: (n_blocks,) i32 slab
+    counts.  n_padded = n_blocks * block; m_padded must allow reading
+    [start, start + n_sub * SUB) for every block.  Returns (n_padded, E).
     """
     n_padded = indices.shape[0]
     n_blocks = n_padded // block
     E = sourceT.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (block, indices.shape[1]), lambda b, starts: (b, 0)
+                (block, indices.shape[1]), lambda b, starts, n_subs: (b, 0)
             ),
             pl.BlockSpec(
-                (block, weights.shape[1]), lambda b, starts: (b, 0)
+                (block, weights.shape[1]), lambda b, starts, n_subs: (b, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block, E), lambda b, starts: (b, 0)),
+        out_specs=pl.BlockSpec((block, E), lambda b, starts, n_subs: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((tile, E), jnp.float32),
+            pltpu.VMEM((SUB, E), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -179,7 +183,21 @@ def pallas_windowed_mean(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, indices, weights, sourceT)
+    )(starts, n_subs, indices, weights, sourceT)
+
+
+def pad_for_plan(sourceT: np.ndarray, starts: np.ndarray, n_subs: np.ndarray):
+    """Pad sourceT so every block's slab reads stay in bounds and the
+    minor dim is 128-lane aligned (Mosaic DMA requirement)."""
+    m, E = sourceT.shape
+    E_pad = -(-E // 128) * 128
+    ends = starts.astype(np.int64) + n_subs.astype(np.int64) * SUB
+    m_needed = max(m, int(ends.max()) if len(ends) else m)
+    if m_needed > m or E_pad > E:
+        padded = np.zeros((m_needed, E_pad), dtype=np.float32)
+        padded[:m, :E] = sourceT
+        return padded
+    return sourceT.astype(np.float32, copy=False)
 
 
 def apply_windowed_mean_pallas(
@@ -191,19 +209,14 @@ def apply_windowed_mean_pallas(
     interpret: bool = False,
 ):
     """
-    Host wrapper: pads, plans slabs, runs the kernel.  ``tile=None``
-    auto-sizes the slab from the block spans.  Returns None when the
-    block-span precondition fails (caller falls back to XLA).
+    Host wrapper: pads, plans slabs, runs the kernel.  ``tile`` bounds
+    the acceptable per-block span (default 16384).  Returns None when
+    the block-span precondition fails (caller falls back to XLA).
     """
-    if tile is None:
-        plan = plan_auto(indices, block)
-        if plan is None:
-            return None
-        starts, tile = plan
-    else:
-        starts, ok = plan_blocks(indices, block, tile)
-        if not ok:
-            return None
+    plan = plan_auto(indices, block, max_tile=tile or 16384)
+    if plan is None:
+        return None
+    starts, n_subs = plan
     n = indices.shape[0]
     n_blocks = len(starts)
     n_pad = n_blocks * block - n
@@ -214,21 +227,15 @@ def apply_windowed_mean_pallas(
         weights = np.concatenate(
             [weights, np.zeros((n_pad, weights.shape[1]), weights.dtype)]
         )
-    m, E = sourceT.shape
-    # Mosaic DMA slices must be 128-lane aligned on the minor dim.
-    E_pad = -(-E // 128) * 128
-    m_needed = max(m, int(starts.max()) + tile)
-    if m_needed > m or E_pad > E:
-        padded = np.zeros((m_needed, E_pad), dtype=np.float32)
-        padded[:m, :E] = sourceT
-        sourceT = padded
+    E = sourceT.shape[1]
+    padded = pad_for_plan(sourceT, starts, n_subs)
     out = pallas_windowed_mean(
-        jnp.asarray(sourceT.astype(np.float32)),
+        jnp.asarray(padded.astype(np.float32, copy=False)),
         jnp.asarray(indices.astype(np.int32)),
         jnp.asarray(weights.astype(np.float32)),
         jnp.asarray(starts),
+        jnp.asarray(n_subs),
         block,
-        tile,
         interpret=interpret,
     )
     return np.asarray(out)[:n, :E]
