@@ -267,3 +267,148 @@ class TestAccessorWorkflows:
         assert float(np.asarray(mean.values)[interior]) == pytest.approx(
             np.mean([0, 1, 4, 5])
         )
+
+
+class TestDatasetAccessor:
+    @pytest.fixture
+    def multi_uds(self, grid):
+        # Two topologies in one dataset.
+        nodes = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+        net = xu.Ugrid1d(
+            nodes[:, 0], nodes[:, 1], -1, np.array([[0, 1], [1, 2]])
+        )
+        ds = xdata.Dataset()
+        ds["a"] = DataArray(
+            np.arange(grid.n_face, dtype=float), dims=(grid.face_dimension,)
+        )
+        ds["q"] = DataArray(
+            np.arange(net.n_edge, dtype=float), dims=(net.edge_dimension,)
+        )
+        return xu.UgridDataset(ds, grids=[grid, net])
+
+    def test_grids_property(self, multi_uds):
+        assert len(multi_uds.grids) == 2
+        names = {g.name for g in multi_uds.grids}
+        assert names == {"mesh2d", "network1d"}
+
+    def test_grid_raises_on_multiple(self, multi_uds):
+        with pytest.raises(ValueError):
+            multi_uds.grid
+
+    def test_sel_multi_topology(self, multi_uds):
+        out = multi_uds.ugrid.sel(x=slice(0.0, 2.0), y=slice(0.0, 2.0))
+        assert isinstance(out, xu.UgridDataset)
+        assert len(out.grids) == 2
+
+    def test_rename_topology(self, multi_uds):
+        renamed = multi_uds.ugrid.rename({"mesh2d": "renamed"})
+        names = {g.name for g in renamed.grids}
+        assert "renamed" in names
+        assert "network1d" in names
+        # Data variable dims followed the rename.
+        assert "renamed_nFaces" in renamed["a"].dims
+
+    def test_bounds(self, multi_uds):
+        bounds = multi_uds.ugrid.bounds
+        assert set(bounds) == {"mesh2d", "network1d"}
+        total = multi_uds.ugrid.total_bounds
+        assert total == (0.0, 0.0, 4.0, 4.0)
+
+    def test_to_dataset_roundtrip(self, multi_uds):
+        ds = multi_uds.ugrid.to_dataset()
+        back = xu.UgridDataset(ds)
+        assert len(back.grids) == 2
+        assert set(back.data_vars) == {"a", "q"}
+
+
+class TestAccessorOps:
+    def test_intersect_line(self, uda):
+        section = uda.ugrid.intersect_line(
+            start=(0.0, 2.1), end=(4.0, 2.1)
+        )
+        values = np.asarray(section.values)
+        np.testing.assert_allclose(values, [8.0, 9.0, 10.0, 11.0])
+        s = np.asarray(section.coords["mesh2d_s"].data)
+        assert (np.diff(s) > 0).all()
+
+    def test_intersect_linestring(self, uda):
+        # Plain vertex-array linestrings work without shapely.
+        line = np.array([[0.0, 0.5], [4.0, 0.5], [4.0, 2.5]])
+        section = uda.ugrid.intersect_linestring(line)
+        values = np.asarray(section.values)
+        # First leg crosses the bottom row (faces 0-3), second leg climbs
+        # the right column.
+        np.testing.assert_allclose(values[:4], [0.0, 1.0, 2.0, 3.0])
+        s = np.asarray(section.coords["mesh2d_s"].data)
+        assert (np.diff(s) > 0).all()
+        with pytest.raises(ValueError, match="shape"):
+            uda.ugrid.intersect_linestring(np.zeros((3, 3)))
+
+    def test_connected_components(self, uda):
+        labels = uda.ugrid.connected_components()
+        assert (np.asarray(labels.values) == 0).all()
+
+    def test_reverse_cuthill_mckee(self, uda):
+        out = uda.ugrid.reverse_cuthill_mckee()
+        assert isinstance(out, xu.UgridDataArray)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out.values)),
+            np.sort(np.asarray(uda.values)),
+        )
+
+    def test_to_periodic_nonperiodic(self, uda):
+        periodic = uda.ugrid.to_periodic()
+        assert isinstance(periodic, xu.UgridDataArray)
+        back = periodic.ugrid.to_nonperiodic(xmax=4.0)
+        assert back.grid.n_face == uda.grid.n_face
+
+    def test_to_edge_and_node(self, uda):
+        # Facet remaps keep a trailing dim of contributing entities
+        # (reference dataarray_accessor.py:300-344).
+        on_edge = uda.ugrid.to_edge()
+        assert on_edge.dims == (uda.grid.edge_dimension, "nmax")
+        values = np.asarray(on_edge.values)
+        # Boundary edges have one contributing face; the other is NaN.
+        assert np.isnan(values).any()
+        efc = uda.grid.edge_face_connectivity
+        interior = (efc >= 0).all(axis=1)
+        assert not np.isnan(values[interior]).any()
+
+        on_node = uda.ugrid.to_node()
+        assert on_node.dims == (uda.grid.node_dimension, "nmax")
+        with pytest.raises(ValueError, match="already face-associated"):
+            uda.ugrid.to_face()
+
+    def test_assign_coords_accessors(self, uda):
+        with_face = uda.ugrid.assign_face_coords()
+        assert "mesh2d_face_x" in with_face.coords
+        with_node = uda.ugrid.assign_node_coords()
+        assert "mesh2d_node_x" in with_node.coords
+
+
+class TestZarrIO:
+    def test_zarr_roundtrip(self, uda, tmp_path):
+        path = tmp_path / "store.zarr"
+        uda.ugrid.to_zarr(path)
+        back = xu.open_zarr(path)
+        assert isinstance(back, xu.UgridDataset)
+        assert back.grid.equals(uda.grid)
+        np.testing.assert_allclose(
+            np.asarray(back["a"].values), np.asarray(uda.values)
+        )
+
+    def test_load_dataset(self, uda, tmp_path):
+        path = tmp_path / "data.nc"
+        uda.ugrid.to_netcdf(path)
+        uds = xu.load_dataset(path)
+        assert isinstance(uds, xu.UgridDataset)
+        np.testing.assert_allclose(
+            np.asarray(uds["a"].values), np.asarray(uda.values)
+        )
+
+    def test_open_dataarray(self, uda, tmp_path):
+        path = tmp_path / "data.nc"
+        uda.ugrid.to_netcdf(path)
+        back = xu.open_dataarray(path)
+        assert isinstance(back, xu.UgridDataArray)
+        assert back.name == "a"

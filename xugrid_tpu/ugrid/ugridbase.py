@@ -765,10 +765,23 @@ class AbstractUgrid(abc.ABC):
         )
 
     def intersect_linestring(self, obj, linestring):
-        """Cross-section along a (shapely) linestring."""
-        import shapely
+        """Cross-section along a linestring: a shapely LineString or a
+        plain (n, 2) vertex array (works without shapely)."""
+        if isinstance(linestring, np.ndarray) or (
+            isinstance(linestring, (list, tuple))
+            and len(linestring)
+            and not hasattr(linestring, "coords")
+        ):
+            xy = np.asarray(linestring, dtype=np.float64)
+            if xy.ndim != 2 or xy.shape[1] != 2:
+                raise ValueError(
+                    "linestring array must have shape (n_vertex, 2); got "
+                    f"{xy.shape}"
+                )
+        else:
+            import shapely
 
-        xy = shapely.get_coordinates([linestring])
+            xy = shapely.get_coordinates([linestring])
         return self.intersect_segments(obj, np.stack((xy[:-1], xy[1:]), axis=1))
 
     def intersect_segments(self, obj, edges: FloatArray):

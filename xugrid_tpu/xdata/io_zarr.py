@@ -40,7 +40,11 @@ def to_zarr(ds: Dataset, store, **kwargs) -> None:
 
 def _write_array(path: Path, var: Variable) -> None:
     path.mkdir(parents=True, exist_ok=True)
-    data = np.ascontiguousarray(np.asarray(var.data))
+    data = np.asarray(var.data)
+    if data.ndim:
+        # NOTE: ascontiguousarray promotes 0-d arrays to 1-d, which would
+        # corrupt scalar variables (e.g. the UGRID topology dummy var).
+        data = np.ascontiguousarray(data)
     if data.dtype.kind == "U":
         data = data.astype("S")
     meta = {
