@@ -438,3 +438,92 @@ void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
 }
 
 }  // extern "C"
+
+// --- convex polygon clip areas (Sutherland-Hodgman) ----------------------
+// Host-side counterpart of the device convex_overlap_area kernel
+// (xugrid_tpu/spatial/geometry.py): area of intersection per candidate
+// (query, tree) polygon pair.  Padded vertices repeat the first vertex;
+// the resulting zero-length edges are skipped.  Same convexity
+// assumption as the device kernel and numba_celltree.
+static double sh_clip_area(const double* subj, int64_t m, const double* clip,
+                           int64_t k) {
+    // Working buffers sized for convex-convex output (<= m + k vertices).
+    constexpr int kCap = 96;
+    double ax[kCap], ay[kCap], bx[kCap], by[kCap];
+    int n = 0;
+    for (int64_t v = 0; v < m && n < kCap; ++v) {
+        const double x = subj[2 * v], y = subj[2 * v + 1];
+        if (n > 0 && ax[n - 1] == x && ay[n - 1] == y) continue;  // padding
+        ax[n] = x;
+        ay[n] = y;
+        ++n;
+    }
+    if (n > 1 && ax[n - 1] == ax[0] && ay[n - 1] == ay[0]) --n;
+    if (n < 3) return 0.0;
+
+    // Clip polygon orientation: iterate its edges counter-clockwise.
+    double clip_signed = 0.0;
+    for (int64_t v = 0; v < k; ++v) {
+        const int64_t w = (v + 1) % k;
+        clip_signed += clip[2 * v] * clip[2 * w + 1] -
+                       clip[2 * w] * clip[2 * v + 1];
+    }
+    const bool ccw = clip_signed >= 0.0;
+
+    double* curx = ax;
+    double* cury = ay;
+    double* nxtx = bx;
+    double* nxty = by;
+    for (int64_t e = 0; e < k && n >= 3; ++e) {
+        const int64_t v = ccw ? e : (k - 1 - e);
+        const int64_t w = ccw ? (v + 1) % k : (v + k - 1) % k;
+        const double ex0 = clip[2 * v], ey0 = clip[2 * v + 1];
+        const double ex1 = clip[2 * w], ey1 = clip[2 * w + 1];
+        if (ex0 == ex1 && ey0 == ey1) continue;  // degenerate (padding)
+        const double dx = ex1 - ex0, dy = ey1 - ey0;
+        int nn = 0;
+        for (int i = 0; i < n; ++i) {
+            const int j = (i + 1) % n;
+            const double d_i = dx * (cury[i] - ey0) - dy * (curx[i] - ex0);
+            const double d_j = dx * (cury[j] - ey0) - dy * (curx[j] - ex0);
+            if (d_i >= 0.0) {
+                if (nn < kCap) {
+                    nxtx[nn] = curx[i];
+                    nxty[nn] = cury[i];
+                    ++nn;
+                }
+            }
+            if ((d_i > 0.0 && d_j < 0.0) || (d_i < 0.0 && d_j > 0.0)) {
+                const double t = d_i / (d_i - d_j);
+                if (nn < kCap) {
+                    nxtx[nn] = curx[i] + t * (curx[j] - curx[i]);
+                    nxty[nn] = cury[i] + t * (cury[j] - cury[i]);
+                    ++nn;
+                }
+            }
+        }
+        std::swap(curx, nxtx);
+        std::swap(cury, nxty);
+        n = nn;
+    }
+    if (n < 3) return 0.0;
+    double area2 = 0.0;
+    for (int i = 0; i < n; ++i) {
+        const int j = (i + 1) % n;
+        area2 += curx[i] * cury[j] - curx[j] * cury[i];
+    }
+    return 0.5 * std::abs(area2);
+}
+
+extern "C" {
+
+void polygon_clip_areas(const int64_t* pair_q, const int64_t* pair_p,
+                        int64_t n_pairs, const double* query_xy, int64_t mq,
+                        const double* tree_xy, int64_t mt, double* areas) {
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        areas[i] = sh_clip_area(query_xy + 2 * mq * pair_q[i], mq,
+                                tree_xy + 2 * mt * pair_p[i], mt);
+    }
+}
+
+}  // extern "C"

@@ -12,7 +12,11 @@ compute_barycentric_weights), split the TPU-native way:
   lane-serially);
 * exact geometry (point-in-polygon, segment clipping, polygon overlap
   areas, barycentric weights) runs as **dense jitted device kernels**
-  over the emitted candidate pairs, chunked to bound per-launch time.
+  over the emitted candidate pairs, chunked to bound per-launch time;
+* the overlap-area join (setup-time weight builds) prefers the **native
+  host clip** (csrc polygon_clip_areas): it is f64-exact — the device
+  kernel computes in f32 when x64 is off, losing slivers below f32
+  resolution — and avoids a tunnel round trip per chunk.
 
 The flat BVH (spatial/bvh.py, spatial/queries.py) remains available for
 tree-based traversal experiments.
@@ -105,6 +109,11 @@ class CellTree2d:
 
     def default_tolerance(self) -> float:
         return float(np.nanmax(self.bb_distances[:, 2])) * 1e-12
+
+    def default_area_tolerance(self) -> float:
+        """Threshold separating real overlap slivers from the FP noise
+        of boundary-grazing polygon pairs (~1e-15 at unit scale)."""
+        return float(np.nanmax(self.bb_distances[:, 2])) ** 2 * 1e-12
 
     def _tol(self, tolerance: Optional[float]) -> float:
         return self.default_tolerance() if tolerance is None else float(tolerance)
@@ -216,8 +225,24 @@ class CellTree2d:
         query_index, tree_index = self.grid_hash.query_boxes(boxes)
         if len(query_index) == 0:
             return query_index, tree_index, np.empty(0, dtype=np.float64)
-        query_xy = jnp.asarray(pad_polygons(faces, vertices[:, 0], vertices[:, 1]))
+        query_xy_host = pad_polygons(faces, vertices[:, 0], vertices[:, 1])
         n = len(query_index)
+
+        # Setup-time weight builds prefer the native host clip: the
+        # chunked device path costs a tunnel round trip per chunk, which
+        # dominates at the 1M-face scale (SURVEY.md §7: C++ where
+        # host-side preprocessing demands it).
+        from xugrid_tpu.utils.native import polygon_clip_areas_native
+
+        with timed("celltree.exact_overlap_areas"):
+            native = polygon_clip_areas_native(
+                query_index, tree_index, query_xy_host, self._poly_xy_host
+            )
+        if native is not None:
+            keep = native > self.default_area_tolerance()
+            return query_index[keep], tree_index[keep], native[keep]
+
+        query_xy = jnp.asarray(query_xy_host)
         areas = np.empty(n, dtype=np.float64)
         with timed("celltree.exact_overlap_areas"):
             for start in range(0, n, self.CHUNK):
@@ -235,7 +260,7 @@ class CellTree2d:
                         jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
                     )
                 )[:n_chunk]
-        keep = areas > 0.0
+        keep = areas > self.default_area_tolerance()
         return query_index[keep], tree_index[keep], areas[keep]
 
     def locate_faces(self, vertices, faces, fill_value: int = -1):

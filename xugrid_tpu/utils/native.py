@@ -170,6 +170,17 @@ def get_lib():
         _c_int64_p,
     ]
     lib.grid_hash_boxes_fill.restype = None
+    lib.polygon_clip_areas.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_double_p,
+    ]
+    lib.polygon_clip_areas.restype = None
     _LIB = lib
     return _LIB
 
@@ -404,6 +415,40 @@ def grid_hash_query_boxes_native(
         pair_p.ctypes.data_as(_ip),
     )
     return pair_q, pair_p
+
+
+def polygon_clip_areas_native(
+    pair_q: np.ndarray,
+    pair_p: np.ndarray,
+    query_xy: np.ndarray,
+    tree_xy: np.ndarray,
+):
+    """
+    Native convex clip areas per candidate pair (Sutherland-Hodgman), or
+    None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pair_q = np.ascontiguousarray(pair_q, dtype=np.int64)
+    pair_p = np.ascontiguousarray(pair_p, dtype=np.int64)
+    query_xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    tree_xy = np.ascontiguousarray(tree_xy, dtype=np.float64)
+    n = len(pair_q)
+    areas = np.empty(n, dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.polygon_clip_areas(
+        pair_q.ctypes.data_as(_ip),
+        pair_p.ctypes.data_as(_ip),
+        n,
+        query_xy.ctypes.data_as(_dp),
+        query_xy.shape[1],
+        tree_xy.ctypes.data_as(_dp),
+        tree_xy.shape[1],
+        areas.ctypes.data_as(_dp),
+    )
+    return areas
 
 
 def hilbert_distance_native(xy: np.ndarray, order: int = 16):
