@@ -204,6 +204,18 @@ def main():
     apply_gbps = n_extra * bytes_per_slice / best_apply_s / 1e9
 
     # --- celltree locate throughput -------------------------------------
+    # Free the apply's device buffers first: at the 10M-face scale the
+    # (m, 128) f32 source slab is ~5 GB of HBM and the locate kernels
+    # need headroom.
+    import gc
+
+    del src_d, idx_d, w_d
+    try:
+        del dsrc, didx, dw, dst, dns
+    except NameError:
+        pass
+    gc.collect()
+
     pts = rng.uniform(0.5, n_side - 0.5, (n_points, 2))
     found = tree.locate_points(pts)  # compile + warm
     t0 = time.perf_counter()

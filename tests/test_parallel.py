@@ -82,3 +82,64 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 65536)
     assert not np.isnan(np.asarray(out)).any()
+
+
+class TestNeighborExchangePlan:
+    def _mesh_and_adjacency(self, n_side=8):
+        import jax
+        from jax.sharding import Mesh
+
+        import xugrid_tpu as xu
+        from xugrid_tpu.parallel import partition_order
+
+        x = np.arange(n_side + 1.0)
+        yy, xx = np.meshgrid(x, x, indexing="ij")
+        verts = np.column_stack([xx.ravel(), yy.ravel()])
+        j, i = np.meshgrid(np.arange(n_side), np.arange(n_side), indexing="ij")
+        nid = lambda ii, jj: jj * (n_side + 1) + ii  # noqa: E731
+        faces = np.stack(
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)], -1
+        ).reshape(-1, 4)
+        grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+        order = partition_order(grid.centroids)
+        remap = np.empty(len(order), dtype=np.int64)
+        remap[order] = np.arange(len(order))
+        neighbors = grid.format_connectivity_as_dense(
+            grid.face_face_connectivity
+        )[order]
+        neighbors = np.where(
+            neighbors >= 0, remap[np.maximum(neighbors, 0)], -1
+        )
+        devices = np.array(jax.devices()[:8])
+        mesh = Mesh(devices, ("faces",))
+        values = np.sin(grid.centroids[order, 0]) + grid.centroids[order, 1]
+        return mesh, neighbors, values
+
+    def test_halo_matches_allgather(self):
+        from xugrid_tpu.parallel import sharded_laplace_smooth
+
+        mesh, neighbors, values = self._mesh_and_adjacency()
+        out_halo = sharded_laplace_smooth(
+            mesh, neighbors, values, n_steps=3, method="halo"
+        )
+        out_full = sharded_laplace_smooth(
+            mesh, neighbors, values, n_steps=3, method="allgather"
+        )
+        np.testing.assert_allclose(out_halo, out_full, rtol=1e-12)
+
+    def test_remote_fraction_is_small(self):
+        from xugrid_tpu.parallel import NeighborExchangePlan
+
+        mesh, neighbors, values = self._mesh_and_adjacency(16)
+        plan = NeighborExchangePlan(mesh, neighbors)
+        # Hilbert layout: remote references are a perimeter fraction.
+        total_refs = (neighbors >= 0).sum()
+        assert plan.n_remote < 0.5 * total_refs
+        assert plan.n_remote > 0  # but the exchange is exercised
+
+    def test_bad_method(self):
+        from xugrid_tpu.parallel import sharded_laplace_smooth
+
+        mesh, neighbors, values = self._mesh_and_adjacency()
+        with pytest.raises(ValueError, match="halo"):
+            sharded_laplace_smooth(mesh, neighbors, values, method="bogus")

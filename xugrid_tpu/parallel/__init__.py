@@ -1,4 +1,5 @@
 from xugrid_tpu.parallel.sharding import (
+    NeighborExchangePlan,
     ShardedRegrid,
     halo_exchange,
     partition_order,
@@ -6,6 +7,7 @@ from xugrid_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "NeighborExchangePlan",
     "ShardedRegrid",
     "halo_exchange",
     "partition_order",

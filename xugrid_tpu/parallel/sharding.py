@@ -145,31 +145,166 @@ def halo_exchange(mesh: Mesh, axis: str, local: jax.Array, halo: int):
     return jnp.concatenate([from_left, local, from_right], axis=0)
 
 
+class NeighborExchangePlan:
+    """
+    Precomputed distributed neighbor-gather plan (the scalable halo
+    machinery).
+
+    The face dimension is block-sharded over the mesh axis.  At setup,
+    every remote neighbor reference is resolved to (owner device, local
+    slot) and grouped into fixed-size per-device-pair send lists; at run
+    time ONE ``all_to_all`` moves exactly the referenced rows over ICI —
+    no full-field all-gather.  With Hilbert-ordered faces
+    (``partition_order``) the remote fraction is the block perimeter, so
+    the exchanged volume is O(sqrt(block)) per device.
+
+    Reference counterpart: none — the reference merges MPI-partitioned
+    files offline (SURVEY.md §2.10); this is the on-device equivalent of
+    its partition boundary exchange.
+    """
+
+    def __init__(self, mesh: Mesh, neighbor_indices: np.ndarray, axis=None):
+        self.mesh = mesh
+        self.axis = axis or mesh.axis_names[0]
+        n_devices = mesh.devices.size
+        idx = np.asarray(neighbor_indices, dtype=np.int64)
+        n = idx.shape[0]
+        block = -(-n // n_devices)
+        n_padded = block * n_devices
+        idx = _pad_to_multiple(idx, n_devices, -1)
+        if len(idx) < n_padded:
+            idx = np.concatenate(
+                [idx, np.full((n_padded - len(idx),) + idx.shape[1:], -1, idx.dtype)]
+            )
+
+        valid = idx >= 0
+        owner = np.where(valid, idx // block, -1)
+        slot = np.where(valid, idx % block, 0)
+        row_device = np.repeat(np.arange(n_devices), block)[:, None]
+        is_remote = valid & (owner != row_device)
+
+        # Per (owner, requester) unique requested slots.
+        send_lists = [[[] for _ in range(n_devices)] for _ in range(n_devices)]
+        # Map (owner, requester, slot) -> position in the request list.
+        position = {}
+        flat_owner = owner.ravel()
+        flat_slot = slot.ravel()
+        flat_req = np.broadcast_to(row_device, owner.shape).ravel()
+        flat_remote = is_remote.ravel()
+        for o, s, r in zip(
+            flat_owner[flat_remote], flat_slot[flat_remote], flat_req[flat_remote]
+        ):
+            key = (o, r, s)
+            if key not in position:
+                position[key] = len(send_lists[o][r])
+                send_lists[o][r].append(s)
+        R = max(
+            (len(lst) for row in send_lists for lst in row), default=0
+        )
+        R = max(R, 1)
+        # send_slots[o, r, :]: local slots device o sends to requester r.
+        send_slots = np.zeros((n_devices, n_devices, R), dtype=np.int32)
+        for o in range(n_devices):
+            for r in range(n_devices):
+                lst = send_lists[o][r]
+                send_slots[o, r, : len(lst)] = lst
+
+        # Combined lookup: index into concat([local (block), recv (D*R)]).
+        # recv layout after all_to_all(split=0, concat=0): recv[o * R + p]
+        # holds owner o's p-th requested row.
+        lookup = np.full(idx.shape, -1, dtype=np.int32)
+        local_mask = valid & ~is_remote
+        lookup[local_mask] = slot[local_mask]
+        if position:
+            rows, cols = np.nonzero(is_remote)
+            for rr, cc in zip(rows, cols):
+                o = owner[rr, cc]
+                r = rr // block
+                p = position[(o, r, slot[rr, cc])]
+                lookup[rr, cc] = block + o * R + p
+
+        self.n = n
+        self.block = block
+        self.R = R
+        self.n_remote = int(is_remote.sum())
+        row_sharding = NamedSharding(mesh, P(self.axis, None))
+        self.lookup = jax.device_put(lookup, row_sharding)
+        # (D, D, R) sharded on the owner axis -> each device holds its
+        # (D, R) send table.
+        self.send_slots = jax.device_put(
+            send_slots.reshape(n_devices * n_devices, R),
+            NamedSharding(mesh, P(self.axis, None)),
+        )
+
+    def gather_neighbors(self, v_local, send_slots_local, lookup_local):
+        """Inside shard_map: (block, k) neighbor values (NaN for -1)."""
+        axis = self.axis
+        send_buf = v_local[send_slots_local.reshape(-1)].reshape(
+            send_slots_local.shape
+        )  # (D, R)
+        recv = jax.lax.all_to_all(
+            send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+        )  # (D, R): row o = rows this device requested from owner o
+        extended = jnp.concatenate([v_local, recv.reshape(-1)])
+        pad = lookup_local < 0
+        vals = extended[jnp.maximum(lookup_local, 0)]
+        return jnp.where(pad, jnp.nan, vals)
+
+
 def sharded_laplace_smooth(
     mesh: Mesh,
     neighbor_indices: np.ndarray,
     values: np.ndarray,
     n_steps: int = 1,
     axis: Optional[str] = None,
+    method: str = "halo",
 ):
     """
     Jacobi smoothing over face adjacency, SPMD over the mesh.
 
     neighbor_indices: (n_face, k) global face indices (-1 padded).
-    Each step all-gathers the sharded field (ICI) and averages each
-    face with its neighbors — the building block of the sharded
-    Laplace/CG solvers.
+
+    method="halo" (default) exchanges only the referenced boundary rows
+    per step via a precomputed NeighborExchangePlan (one ``all_to_all``
+    over ICI); method="allgather" gathers the full field — simpler, and
+    the right call when remote references are dense.
     """
     axis = axis or mesh.axis_names[0]
     n_devices = mesh.devices.size
     n = len(values)
-    idx = _pad_to_multiple(neighbor_indices.astype(np.int32), n_devices, -1)
     vals = _pad_to_multiple(np.asarray(values, dtype=np.float64), n_devices, np.nan)
-
-    row_sharding = NamedSharding(mesh, P(axis, None))
     vec_sharding = NamedSharding(mesh, P(axis))
-    idx_d = jax.device_put(idx, row_sharding)
     vals_d = jax.device_put(vals, vec_sharding)
+
+    if method == "halo":
+        plan = NeighborExchangePlan(mesh, neighbor_indices, axis=axis)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis, None), P(axis, None)),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        def step(v_local, send_local, lookup_local):
+            neigh = plan.gather_neighbors(v_local, send_local, lookup_local)
+            neigh_mean = jnp.nanmean(
+                jnp.concatenate([neigh, v_local[:, None]], axis=1), axis=1
+            )
+            return 0.5 * v_local + 0.5 * neigh_mean
+
+        fn = jax.jit(step)
+        out = vals_d
+        for _ in range(n_steps):
+            out = fn(out, plan.send_slots, plan.lookup)
+        return np.asarray(out)[:n]
+
+    if method != "allgather":
+        raise ValueError(f"method must be 'halo' or 'allgather', got {method}")
+
+    idx = _pad_to_multiple(neighbor_indices.astype(np.int32), n_devices, -1)
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    idx_d = jax.device_put(idx, row_sharding)
 
     @partial(
         shard_map,
