@@ -527,3 +527,98 @@ void polygon_clip_areas(const int64_t* pair_q, const int64_t* pair_p,
 }
 
 }  // extern "C"
+
+// --- exact point-in-polygon and segment-clip tests -----------------------
+// Host counterparts of the device kernels in spatial/geometry.py, with
+// identical formulas so results match bit-for-bit in f64.  Padded
+// vertices repeat the first vertex (zero-length edges).
+
+static inline double pt_seg_d2(double px, double py, double ax, double ay,
+                               double bx, double by) {
+    const double dx = bx - ax, dy = by - ay;
+    const double len2 = dx * dx + dy * dy;
+    double t = len2 == 0.0 ? 0.0 : ((px - ax) * dx + (py - ay) * dy) / len2;
+    t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+    const double cx = ax + t * dx, cy = ay + t * dy;
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy);
+}
+
+extern "C" {
+
+// Pairwise: is pts[i] inside poly_xy[prims[i]] (crossing number with an
+// on-edge tolerance)?  prims[i] < 0 -> 0.
+void points_in_polygons(const double* pts, const int64_t* prims, int64_t n,
+                        const double* poly_xy, int64_t nv, double tol,
+                        uint8_t* out) {
+    const double tol2 = tol * tol;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t f = prims[i];
+        if (f < 0) {
+            out[i] = 0;
+            continue;
+        }
+        const double px = pts[2 * i], py = pts[2 * i + 1];
+        const double* poly = poly_xy + 2 * nv * f;
+        int crossings = 0;
+        double min_d2 = 1e300;
+        for (int64_t v = 0; v < nv; ++v) {
+            const int64_t w = (v + 1) % nv;
+            const double ax = poly[2 * v], ay = poly[2 * v + 1];
+            const double bx = poly[2 * w], by = poly[2 * w + 1];
+            const bool straddle = (ay > py) != (by > py);
+            if (straddle) {
+                const double x_at = ax + (py - ay) * (bx - ax) / (by - ay);
+                if (px < x_at) ++crossings;
+            }
+            const double d2 = pt_seg_d2(px, py, ax, ay, bx, by);
+            if (d2 < min_d2) min_d2 = d2;
+        }
+        out[i] = ((crossings & 1) || min_d2 <= tol2) ? 1 : 0;
+    }
+}
+
+// Pairwise Liang-Barsky clip of segment i against convex CCW polygon
+// prims[i]: (valid, t0, t1) parameter interval inside the polygon.
+void clip_segments_by_faces(const double* p0, const double* p1,
+                            const int64_t* prims, int64_t n,
+                            const double* poly_xy, int64_t nv, uint8_t* valid,
+                            double* t0_out, double* t1_out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t f = prims[i];
+        if (f < 0) {
+            valid[i] = 0;
+            t0_out[i] = 0.0;
+            t1_out[i] = 1.0;
+            continue;
+        }
+        const double x0 = p0[2 * i], y0 = p0[2 * i + 1];
+        const double dx = p1[2 * i] - x0, dy = p1[2 * i + 1] - y0;
+        const double* poly = poly_xy + 2 * nv * f;
+        double t0 = 0.0, t1 = 1.0;
+        bool parallel_outside = false;
+        for (int64_t v = 0; v < nv; ++v) {
+            const int64_t w = (v + 1) % nv;
+            const double ax = poly[2 * v], ay = poly[2 * v + 1];
+            const double ex = poly[2 * w] - ax, ey = poly[2 * w + 1] - ay;
+            if (ex == 0.0 && ey == 0.0) continue;  // padding edge
+            const double nx = -ey, ny = ex;        // CCW inward normal
+            const double denom = nx * dx + ny * dy;
+            const double num = nx * (ax - x0) + ny * (ay - y0);
+            if (denom == 0.0) {
+                if (num > 0.0) parallel_outside = true;
+            } else {
+                const double t = num / denom;
+                if (denom > 0.0) {
+                    if (t > t0) t0 = t;
+                } else {
+                    if (t < t1) t1 = t;
+                }
+            }
+        }
+        valid[i] = (t0 < t1 && !parallel_outside) ? 1 : 0;
+        t0_out[i] = t0;
+        t1_out[i] = t1;
+    }
+}
+
+}  // extern "C"

@@ -147,7 +147,16 @@ class CellTree2d:
         return out
 
     def _points_in_faces(self, pts: np.ndarray, prims: np.ndarray, tol: float):
-        """Chunked device point-in-polygon over candidate pairs."""
+        """Pairwise exact point-in-polygon over candidate pairs.
+
+        Prefers the native host kernel (same f64 formulas as the device
+        kernel): interactive query batches would otherwise pay a tunnel
+        round trip per chunk launch."""
+        from xugrid_tpu.utils.native import points_in_polygons_native
+
+        native = points_in_polygons_native(pts, prims, self._poly_xy_host, tol)
+        if native is not None:
+            return native
         n = len(pts)
         inside = np.empty(n, dtype=bool)
         for start in range(0, n, self.CHUNK):
@@ -180,6 +189,19 @@ class CellTree2d:
                 np.empty((0, 2, 2), dtype=np.float64),
             )
         n = len(edge_index)
+        from xugrid_tpu.utils.native import clip_segments_by_faces_native
+
+        native = clip_segments_by_faces_native(
+            edges[edge_index, 0],
+            edges[edge_index, 1],
+            face_index,
+            self._poly_xy_host,
+        )
+        if native is not None:
+            valid, t0, t1 = native
+            return self._intersect_edges_finish(
+                edges, edge_index, face_index, valid, t0, t1
+            )
         valid = np.empty(n, dtype=bool)
         t0 = np.empty(n, dtype=np.float64)
         t1 = np.empty(n, dtype=np.float64)
@@ -198,6 +220,12 @@ class CellTree2d:
             valid[start:stop] = np.asarray(v_c)[:n_chunk, 0]
             t0[start:stop] = np.asarray(t0_c)[:n_chunk, 0]
             t1[start:stop] = np.asarray(t1_c)[:n_chunk, 0]
+        return self._intersect_edges_finish(
+            edges, edge_index, face_index, valid, t0, t1
+        )
+
+    @staticmethod
+    def _intersect_edges_finish(edges, edge_index, face_index, valid, t0, t1):
         keep = valid
         edge_index = edge_index[keep]
         face_index = face_index[keep]

@@ -47,6 +47,16 @@ def _locate_polygon(grid, exterior, interiors, all_touched: bool) -> IntArray:
         uniq, inverse = np.unique(grid_index, return_inverse=True)
         area_per_face = np.bincount(inverse.ravel(), weights=area)
         return uniq[area_per_face > tolerance]
+    centroids = grid.centroids[grid_index]
+    tri_xy = vertices[triangles]
+    from xugrid_tpu.utils.native import points_in_polygons_native
+
+    native = points_in_polygons_native(
+        centroids, tri_index.astype(np.int64), tri_xy, tolerance
+    )
+    if native is not None:
+        return np.unique(grid_index[native])
+
     import jax.numpy as jnp
 
     from xugrid_tpu.spatial import queries as q

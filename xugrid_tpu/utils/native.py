@@ -181,6 +181,29 @@ def get_lib():
         _c_double_p,
     ]
     lib.polygon_clip_areas.restype = None
+    _c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
+    lib.points_in_polygons.argtypes = [
+        _c_double_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        _c_uint8_p,
+    ]
+    lib.points_in_polygons.restype = None
+    lib.clip_segments_by_faces.argtypes = [
+        _c_double_p,
+        _c_double_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_uint8_p,
+        _c_double_p,
+        _c_double_p,
+    ]
+    lib.clip_segments_by_faces.restype = None
     _LIB = lib
     return _LIB
 
@@ -449,6 +472,62 @@ def polygon_clip_areas_native(
         areas.ctypes.data_as(_dp),
     )
     return areas
+
+
+def points_in_polygons_native(
+    pts: np.ndarray, prims: np.ndarray, poly_xy: np.ndarray, tol: float
+):
+    """Native pairwise point-in-polygon, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    prims = np.ascontiguousarray(prims, dtype=np.int64)
+    poly_xy = np.ascontiguousarray(poly_xy, dtype=np.float64)
+    n = len(pts)
+    out = np.empty(n, dtype=np.uint8)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.points_in_polygons(
+        pts.ctypes.data_as(_dp),
+        prims.ctypes.data_as(_ip),
+        n,
+        poly_xy.ctypes.data_as(_dp),
+        poly_xy.shape[1],
+        float(tol),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
+
+
+def clip_segments_by_faces_native(
+    p0: np.ndarray, p1: np.ndarray, prims: np.ndarray, poly_xy: np.ndarray
+):
+    """Native pairwise segment clip: (valid, t0, t1) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p0 = np.ascontiguousarray(p0, dtype=np.float64)
+    p1 = np.ascontiguousarray(p1, dtype=np.float64)
+    prims = np.ascontiguousarray(prims, dtype=np.int64)
+    poly_xy = np.ascontiguousarray(poly_xy, dtype=np.float64)
+    n = len(prims)
+    valid = np.empty(n, dtype=np.uint8)
+    t0 = np.empty(n, dtype=np.float64)
+    t1 = np.empty(n, dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.clip_segments_by_faces(
+        p0.ctypes.data_as(_dp),
+        p1.ctypes.data_as(_dp),
+        prims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        poly_xy.ctypes.data_as(_dp),
+        poly_xy.shape[1],
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t0.ctypes.data_as(_dp),
+        t1.ctypes.data_as(_dp),
+    )
+    return valid.astype(bool), t0, t1
 
 
 def hilbert_distance_native(xy: np.ndarray, order: int = 16):
