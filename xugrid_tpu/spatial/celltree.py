@@ -346,7 +346,6 @@ class EdgeCellTree2d:
         self.bb_coords = edge_bounding_boxes(conn, vertices[:, 0], vertices[:, 1])
         self.grid_hash = GridHash(self.bb_coords)
         self._edge_xy_np = vertices[conn]
-        self._edge_xy = jnp.asarray(self._edge_xy_np)
 
     @property
     def bb_distances(self) -> np.ndarray:
