@@ -622,3 +622,69 @@ void clip_segments_by_faces(const double* p0, const double* p1,
 }
 
 }  // extern "C"
+
+// --- mean value coordinates (generalized barycentric weights) ------------
+// Host counterpart of geometry.mean_value_weights: identical formulas in
+// f64.  prims[i] < 0 -> zero row.  Padding vertices (repeats of the
+// first) receive zero weight; points within tol of a vertex snap to it.
+extern "C" {
+
+void mean_value_weights(const double* pts, const int64_t* prims, int64_t n,
+                        const double* poly_xy, int64_t nv, double tol,
+                        double* out) {
+    constexpr int kCap = 64;
+    double dx[kCap], dy[kCap], r[kCap], tan_half[kCap];
+    for (int64_t i = 0; i < n; ++i) {
+        double* w = out + nv * i;
+        for (int64_t v = 0; v < nv; ++v) w[v] = 0.0;
+        const int64_t f = prims[i];
+        if (f < 0 || nv > kCap) continue;
+        const double px = pts[2 * i], py = pts[2 * i + 1];
+        const double* poly = poly_xy + 2 * nv * f;
+        // Number of real vertices: first padding slot repeating vertex 0
+        // ends the polygon (minimum 3).
+        int64_t n_vert = nv;
+        for (int64_t v = 1; v < nv; ++v) {
+            if (poly[2 * v] == poly[0] && poly[2 * v + 1] == poly[1]) {
+                n_vert = v;
+                break;
+            }
+        }
+        if (n_vert < 3) n_vert = 3;
+        for (int64_t v = 0; v < n_vert; ++v) {
+            dx[v] = poly[2 * v] - px;
+            dy[v] = poly[2 * v + 1] - py;
+            r[v] = std::sqrt(dx[v] * dx[v] + dy[v] * dy[v]);
+        }
+        for (int64_t v = 0; v < n_vert; ++v) {
+            const int64_t nxt = (v + 1 < n_vert) ? v + 1 : 0;
+            const double cross = dx[v] * dy[nxt] - dy[v] * dx[nxt];
+            const double dot = dx[v] * dx[nxt] + dy[v] * dy[nxt];
+            tan_half[v] =
+                cross == 0.0 ? 0.0 : (r[v] * r[nxt] - dot) / cross;
+        }
+        bool any_vertex = false;
+        for (int64_t v = 0; v < n_vert; ++v) {
+            if (r[v] <= tol) any_vertex = true;
+        }
+        double total = 0.0;
+        if (any_vertex) {
+            for (int64_t v = 0; v < n_vert; ++v) {
+                w[v] = r[v] <= tol ? 1.0 : 0.0;
+                total += w[v];
+            }
+        } else {
+            for (int64_t v = 0; v < n_vert; ++v) {
+                const int64_t prev = (v == 0) ? n_vert - 1 : v - 1;
+                const double safe_r = r[v] == 0.0 ? 1.0 : r[v];
+                w[v] = (tan_half[prev] + tan_half[v]) / safe_r;
+                total += w[v];
+            }
+        }
+        if (total != 0.0) {
+            for (int64_t v = 0; v < n_vert; ++v) w[v] /= total;
+        }
+    }
+}
+
+}  // extern "C"

@@ -23,6 +23,7 @@ def no_native(monkeypatch):
         "polygon_clip_areas_native",
         "points_in_polygons_native",
         "clip_segments_by_faces_native",
+        "mean_value_weights_native",
     ]:
         monkeypatch.setattr(native_mod, name, lambda *a, **k: None)
     yield
@@ -96,6 +97,17 @@ class TestNativeFallbackEquivalence:
         # The SH clip and the angle-sort shoelace take different FP paths;
         # degenerate slivers can differ at ~1e-9 relative.
         np.testing.assert_allclose(fa[f_key], na[n_key], rtol=1e-6, atol=1e-12)
+
+    def test_barycentric_weights(self, no_native):
+        verts, faces = jittered_mesh()
+        rng = np.random.default_rng(4)
+        pts = rng.uniform(0.5, 11.5, (200, 2))
+        fallback_tree = CellTree2d(verts, faces)
+        ff, fw = fallback_tree.compute_barycentric_weights(pts)
+        native_tree = _native_tree(verts, faces)
+        nf, nw = native_tree.compute_barycentric_weights(pts)
+        np.testing.assert_array_equal(ff, nf)
+        np.testing.assert_allclose(fw, nw, atol=1e-10)
 
     def test_grid_hash_query_boxes(self, no_native):
         verts, faces = jittered_mesh()

@@ -310,6 +310,15 @@ class CellTree2d:
         face_index = self.locate_points(points, tolerance)
         n = len(points)
         tol = self._tol(tolerance)
+
+        from xugrid_tpu.utils.native import mean_value_weights_native
+
+        native = mean_value_weights_native(
+            points, face_index.astype(np.int64), self._poly_xy_host, tol
+        )
+        if native is not None:
+            return face_index, native
+
         n_max = self._poly_xy.shape[1]
         weights = np.zeros((n, n_max), dtype=np.float64)
         for start in range(0, n, self.CHUNK):

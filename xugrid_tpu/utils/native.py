@@ -204,6 +204,16 @@ def get_lib():
         _c_double_p,
     ]
     lib.clip_segments_by_faces.restype = None
+    lib.mean_value_weights.argtypes = [
+        _c_double_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        _c_double_p,
+    ]
+    lib.mean_value_weights.restype = None
     _LIB = lib
     return _LIB
 
@@ -528,6 +538,31 @@ def clip_segments_by_faces_native(
         t1.ctypes.data_as(_dp),
     )
     return valid.astype(bool), t0, t1
+
+
+def mean_value_weights_native(
+    pts: np.ndarray, prims: np.ndarray, poly_xy: np.ndarray, tol: float
+):
+    """Native pairwise mean-value coordinates, or None when unavailable."""
+    lib = get_lib()
+    if lib is None or poly_xy.shape[1] > 64:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    prims = np.ascontiguousarray(prims, dtype=np.int64)
+    poly_xy = np.ascontiguousarray(poly_xy, dtype=np.float64)
+    n = len(pts)
+    out = np.empty((n, poly_xy.shape[1]), dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.mean_value_weights(
+        pts.ctypes.data_as(_dp),
+        prims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        poly_xy.ctypes.data_as(_dp),
+        poly_xy.shape[1],
+        float(tol),
+        out.ctypes.data_as(_dp),
+    )
+    return out
 
 
 def hilbert_distance_native(xy: np.ndarray, order: int = 16):
