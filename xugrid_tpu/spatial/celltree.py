@@ -107,13 +107,19 @@ class CellTree2d:
             gh.ymin + gh.ny * gh.dy,
         )
 
+    @property
+    def _max_diag(self) -> float:
+        if getattr(self, "_max_diag_cache", None) is None:
+            self._max_diag_cache = float(np.nanmax(self.bb_distances[:, 2]))
+        return self._max_diag_cache
+
     def default_tolerance(self) -> float:
-        return float(np.nanmax(self.bb_distances[:, 2])) * 1e-12
+        return self._max_diag * 1e-12
 
     def default_area_tolerance(self) -> float:
         """Threshold separating real overlap slivers from the FP noise
         of boundary-grazing polygon pairs (~1e-15 at unit scale)."""
-        return float(np.nanmax(self.bb_distances[:, 2])) ** 2 * 1e-12
+        return self._max_diag ** 2 * 1e-12
 
     def _tol(self, tolerance: Optional[float]) -> float:
         return self.default_tolerance() if tolerance is None else float(tolerance)
