@@ -292,3 +292,115 @@ class TestApplyUfunc:
         )
         assert out.dims == ("time",)
         assert np.allclose(out.values, da.values.sum(axis=1))
+
+
+class TestDataArrayMethods:
+    """Method-surface coverage of the forwarded xarray-subset API."""
+
+    @pytest.fixture
+    def da(self):
+        return DataArray(
+            np.array([[1.0, 2.0, np.nan], [4.0, -5.0, 6.0]]),
+            dims=("y", "x"),
+            coords={"y": [10, 20], "x": [0.0, 1.0, 2.0]},
+            name="v",
+        )
+
+    def test_argminmax(self, da):
+        assert int(da.fillna(0.0).argmax()) == 5
+        assert int(da.fillna(0.0).argmin()) == 4
+
+    def test_clip(self, da):
+        out = da.clip(0.0, 4.0)
+        v = np.asarray(out.data)
+        assert np.nanmin(v) >= 0.0 and np.nanmax(v) <= 4.0
+
+    def test_cumsum(self, da):
+        out = da.fillna(0.0).cumsum("x")
+        np.testing.assert_allclose(
+            np.asarray(out.data), [[1, 3, 3], [4, -1, 5]]
+        )
+
+    def test_isin(self, da):
+        out = da.isin([1.0, 6.0])
+        np.testing.assert_array_equal(
+            np.asarray(out.data),
+            [[True, False, False], [False, False, True]],
+        )
+
+    def test_astype_and_item(self, da):
+        out = da.fillna(0.0).astype(np.int32)
+        assert out.dtype == np.int32
+        single = da.isel(y=0, x=0)
+        assert single.item() == 1.0
+
+    def test_broadcast_like(self, da):
+        row = DataArray(np.array([1.0, 2.0, 3.0]), dims=("x",))
+        out = row.broadcast_like(da)
+        assert out.dims == ("y", "x")
+        assert out.shape == (2, 3)
+
+    def test_expand_squeeze(self, da):
+        out = da.expand_dims("t")
+        assert out.dims == ("t", "y", "x")
+        assert out.squeeze("t").dims == ("y", "x")
+
+    def test_get_index(self, da):
+        idx = da.get_index("x")
+        np.testing.assert_allclose(np.asarray(idx), [0.0, 1.0, 2.0])
+
+    def test_dropna(self, da):
+        out = da.dropna("x")
+        # Column with NaN removed.
+        assert out.shape == (2, 2)
+
+    def test_interpolate_na(self):
+        da = DataArray(
+            np.array([[1.0, np.nan, 3.0, np.nan]]),
+            dims=("y", "x"),
+            coords={"x": [0.0, 1.0, 2.0, 3.0]},
+        )
+        out = da.interpolate_na(dim="x")
+        v = np.asarray(out.data)[0]
+        np.testing.assert_allclose(v[:3], [1.0, 2.0, 3.0])
+        assert np.isnan(v[3])  # trailing NaN: no extrapolation
+        out = da.interpolate_na(dim="x", fill_value="extrapolate")
+        np.testing.assert_allclose(
+            np.asarray(out.data)[0], [1.0, 2.0, 3.0, 4.0]
+        )
+        out = da.interpolate_na(dim="x", method="nearest")
+        v = np.asarray(out.data)[0]
+        assert v[1] in (1.0, 3.0)
+
+    def test_copy_is_deep_for_data(self, da):
+        out = da.copy()
+        np.asarray(out.data)[0, 0] = 99.0
+        assert np.asarray(da.data)[0, 0] == 1.0
+
+    def test_chunk_compute_noops(self, da):
+        # dask-API stand-ins: lazy chunking does not exist (XLA executes
+        # eagerly with async dispatch) but the API forwards.
+        assert da.chunk({"x": 2}).equals(da)
+        assert da.compute().equals(da)
+        assert da.load().equals(da)
+
+
+class TestApplyUfunc:
+    def test_elementwise(self):
+        from xugrid_tpu.xdata import apply_ufunc
+
+        a = DataArray(np.arange(3.0), dims=("x",))
+        b = DataArray(np.arange(3.0) * 2, dims=("x",))
+        out = apply_ufunc(np.add, a, b)
+        np.testing.assert_allclose(np.asarray(out.data), [0.0, 3.0, 6.0])
+
+    def test_reduce_core_dim(self):
+        from xugrid_tpu.xdata import apply_ufunc
+
+        a = DataArray(np.arange(6.0).reshape(2, 3), dims=("y", "x"))
+        out = apply_ufunc(
+            lambda v: v.sum(axis=-1),
+            a,
+            input_core_dims=[["x"]],
+        )
+        np.testing.assert_allclose(np.asarray(out.data), [3.0, 12.0])

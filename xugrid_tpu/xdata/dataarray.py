@@ -684,9 +684,65 @@ class DataArray:
         mask = isnan.any(axis=axis) if how == "any" else isnan.all(axis=axis)
         return self.isel({dim: np.flatnonzero(~mask)})
 
-    def interpolate_na(self, dim=None, **kwargs):
-        raise NotImplementedError(
-            "Use uda.ugrid.interpolate_na for topology-aware interpolation"
+    def interpolate_na(
+        self, dim=None, method: str = "linear", fill_value=None, **kwargs
+    ):
+        """
+        Fill NaN values by 1D interpolation along ``dim`` (xarray
+        semantics: interior gaps are interpolated, leading/trailing NaNs
+        remain unless ``fill_value="extrapolate"``).  For topology-aware
+        filling over the mesh use ``uda.ugrid.interpolate_na``.
+        """
+        if dim is None:
+            raise ValueError("interpolate_na requires a dim")
+        if method not in ("linear", "nearest"):
+            raise NotImplementedError(f"method {method!r} not supported")
+        axis = self.dims.index(dim)
+        values = np.asarray(self.data, dtype=np.float64)
+        moved = np.moveaxis(values, axis, -1)
+        flat = moved.reshape(-1, moved.shape[-1]).copy()
+        if dim in self.coords:
+            x = np.asarray(self.coords[dim].data, dtype=np.float64)
+        else:
+            x = np.arange(flat.shape[-1], dtype=np.float64)
+        extrapolate = fill_value == "extrapolate"
+        for row in flat:
+            ok = ~np.isnan(row)
+            if ok.all() or not ok.any():
+                continue
+            missing = ~ok
+            if method == "linear":
+                left = right = None if extrapolate else np.nan
+                row[missing] = np.interp(
+                    x[missing], x[ok], row[ok], left=left, right=right
+                )
+                if extrapolate and missing.any():
+                    # np.interp clamps; true linear extrapolation at ends.
+                    xs, ys = x[ok], row[ok]
+                    lo = x < xs[0]
+                    hi = x > xs[-1]
+                    if len(xs) > 1:
+                        s0 = (ys[1] - ys[0]) / (xs[1] - xs[0])
+                        s1 = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+                        row[lo & missing] = ys[0] + s0 * (x[lo & missing] - xs[0])
+                        row[hi & missing] = ys[-1] + s1 * (x[hi & missing] - xs[-1])
+            else:  # nearest
+                idx_ok = np.flatnonzero(ok)
+                pos = np.searchsorted(x[ok], x[missing])
+                pos = np.clip(pos, 1, len(idx_ok) - 1)
+                left_i = idx_ok[pos - 1]
+                right_i = idx_ok[pos]
+                take_right = np.abs(x[right_i] - x[missing]) < np.abs(
+                    x[missing] - x[left_i]
+                )
+                row[missing] = np.where(
+                    take_right, row[right_i], row[left_i]
+                )
+        out = np.moveaxis(flat.reshape(moved.shape), -1, axis)
+        return self._construct(
+            Variable(self.dims, out, dict(self.attrs)),
+            dict(self._coords),
+            self.name,
         )
 
 
