@@ -162,7 +162,7 @@ def main():
 
         plan = plan_auto(padded.indices)
         if plan is not None and jax.default_backend() == "tpu":
-            starts, n_subs = plan
+            starts, n_subs, w_counts = plan
             block = 512
             n_blocks = len(starts)
             n_pad = n_blocks * block
@@ -176,11 +176,12 @@ def main():
             srcT_p = np.zeros((m_needed, E_pad), np.float32)
             srcT_p[: grid.n_face, :n_extra] = source.T
 
-            @partial(jax.jit, static_argnums=(5, 6))
-            def pallas_reps(srcT, idx, w, st, ns, blk, n_reps):
+            @partial(jax.jit, static_argnums=(6, 7))
+            def pallas_reps(srcT, idx, w, st, ns, wc, blk, n_reps):
                 def body(i, acc):
                     out = pallas_windowed_mean(
-                        srcT + i.astype(srcT.dtype) * 1e-12, idx, w, st, ns, blk
+                        srcT + i.astype(srcT.dtype) * 1e-12,
+                        idx, w, st, ns, wc, blk,
                     )
                     return acc + jnp.nansum(out)
 
@@ -191,9 +192,10 @@ def main():
             dw = jnp.asarray(w_p)
             dst = jnp.asarray(starts)
             dns = jnp.asarray(n_subs)
-            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, block, reps))
+            dwc = jnp.asarray(w_counts)
+            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, dwc, block, reps))
             t0 = time.perf_counter()
-            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, block, reps))
+            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, dwc, block, reps))
             pallas_apply_s = (time.perf_counter() - t0) / reps
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"pallas path unavailable: {exc!r}", file=sys.stderr)

@@ -147,11 +147,14 @@ class TestPallasApply:
         # Tile smaller than the block span: must report not-ok.
         _, ok_small = plan_blocks(indices, 2048, 64)
         assert not ok_small
-        # Auto planner emits per-block sub-tile counts covering the span.
-        starts2, n_subs = plan_auto(indices, block=256)
+        # Auto planner emits per-block sub-tile and window-length counts.
+        starts2, n_subs, w_counts = plan_auto(indices, block=256)
         assert (n_subs >= 1).all()
+        assert (w_counts >= 1).all()
+        assert (w_counts <= indices.shape[1]).all()
         assert len(starts2) == len(starts)
         assert len(n_subs) == len(starts)
+        assert len(w_counts) == len(starts)
         # Scattered indices (no locality): auto planner declines.
         rng = np.random.default_rng(1)
         scattered = rng.integers(0, 10**6, size=(2048, 7)).astype(np.int32)

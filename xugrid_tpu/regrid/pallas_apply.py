@@ -72,9 +72,10 @@ def plan_blocks(indices: np.ndarray, block: int, tile: int):
 
 def plan_auto(indices: np.ndarray, block: int = 512, max_tile: int = 16384):
     """
-    Plan the dynamic slab loop: (starts, n_subs) with per-block sub-tile
-    counts ``ceil(span / SUB)``, or None when any span exceeds
-    ``max_tile`` (poor source locality — use the XLA path instead).
+    Plan the dynamic slab loop: (starts, n_subs, w_counts) with per-block
+    sub-tile counts ``ceil(span / SUB)`` and per-block window-length
+    bounds, or None when any span exceeds ``max_tile`` (poor source
+    locality — use the XLA path instead).
     """
     n = len(indices)
     if n == 0:
@@ -83,32 +84,45 @@ def plan_auto(indices: np.ndarray, block: int = 512, max_tile: int = 16384):
     if int(spans.max()) > max_tile:
         return None
     n_subs = -(-spans // SUB)
-    return starts, n_subs.astype(np.int32)
+    # Per-block bound on the number of valid window slots: rows are CSR
+    # windows (-1 padded on the right), so the count is the max row
+    # length within the block.
+    n_blocks = len(starts)
+    pad = n_blocks * block - n
+    idx = indices
+    if pad:
+        idx = np.concatenate(
+            [indices, np.full((pad, indices.shape[1]), -1, indices.dtype)]
+        )
+    lengths = (idx >= 0).sum(axis=1).reshape(n_blocks, block)
+    w_counts = np.maximum(lengths.max(axis=1), 1)
+    return starts, n_subs.astype(np.int32), w_counts.astype(np.int32)
 
 
-def _kernel(starts_ref, n_subs_ref, idx_ref, w_ref, source_hbm, out_ref,
-            sub_vmem, sem):
+def _kernel(starts_ref, n_subs_ref, w_counts_ref, idx_ref, w_ref, source_hbm,
+            out_ref, sub_vmem, sem):
     b = pl.program_id(0)
     start = starts_ref[b]
     n_sub = n_subs_ref[b]
+    del w_counts_ref  # see NOTE below: per-block window bounds unused
 
     idx = idx_ref[...]  # (block, w)
     wts = w_ref[...]
     valid = idx >= 0
     local = jnp.where(valid, idx - start, -1)
+    masked_w = jnp.where(valid, wts, 0.0)
 
     block, w = idx.shape
     sub, E = sub_vmem.shape
-    den = jnp.zeros((block, 1), dtype=jnp.float32)
-    for j in range(w):
-        den = den + jnp.where(valid[:, j], wts[:, j], 0.0)[:, None]
+    den = jnp.sum(masked_w, axis=1, keepdims=True)
 
     # Mosaic has no general VMEM gather; instead fold the window into a
     # weighted scatter matrix and resolve it on the MXU:
     #   wmat[t, s] = sum_j wts[t, j] * (local[t, j] - s0 == s)
     #   num += wmat @ slab        (block, sub) x (sub, E)
     # Duplicate indices within a window accumulate their weights, which
-    # is exactly the weighted-sum semantics.
+    # is exactly the weighted-sum semantics.  The slab loop is dynamic:
+    # each block covers only its actual source span.
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, sub), 1)
 
     def body(k, num):
@@ -118,11 +132,15 @@ def _kernel(starts_ref, n_subs_ref, idx_ref, w_ref, source_hbm, out_ref,
         )
         dma.start()
         dma.wait()
+
+        # NOTE: a dynamic per-block window bound (fori over j) is not
+        # currently lowerable - Mosaic has no dynamic_slice on the minor
+        # axis of a VMEM array - so the window loop stays statically
+        # unrolled to the global w_max.
         wmat = jnp.zeros((block, sub), dtype=jnp.float32)
         for j in range(w):
-            wj = jnp.where(valid[:, j], wts[:, j], 0.0)[:, None]
             hit = iota == (local[:, j][:, None] - s0)
-            wmat = wmat + jnp.where(hit, wj, 0.0)
+            wmat = wmat + jnp.where(hit, masked_w[:, j][:, None], 0.0)
         return num + jax.lax.dot_general(
             wmat,
             sub_vmem[...],
@@ -140,33 +158,35 @@ def _kernel(starts_ref, n_subs_ref, idx_ref, w_ref, source_hbm, out_ref,
     )
 
 
-@partial(jax.jit, static_argnums=(5,), static_argnames=("interpret",))
+@partial(jax.jit, static_argnums=(6,), static_argnames=("interpret",))
 def pallas_windowed_mean(
-    sourceT, indices, weights, starts, n_subs, block: int, interpret=False
+    sourceT, indices, weights, starts, n_subs, w_counts, block: int,
+    interpret=False,
 ):
     """
     sourceT: (m_padded, E) f32; indices/weights: (n_padded, w);
-    starts: (n_blocks,) i32 slab offsets; n_subs: (n_blocks,) i32 slab
-    counts.  n_padded = n_blocks * block; m_padded must allow reading
-    [start, start + n_sub * SUB) for every block.  Returns (n_padded, E).
+    starts/n_subs/w_counts: (n_blocks,) i32 slab offsets, slab counts,
+    and window-length bounds.  n_padded = n_blocks * block; m_padded
+    must allow reading [start, start + n_sub * SUB) for every block.
+    Returns (n_padded, E).
     """
     n_padded = indices.shape[0]
     n_blocks = n_padded // block
     E = sourceT.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
-                (block, indices.shape[1]), lambda b, starts, n_subs: (b, 0)
+                (block, indices.shape[1]), lambda b, *_: (b, 0)
             ),
             pl.BlockSpec(
-                (block, weights.shape[1]), lambda b, starts, n_subs: (b, 0)
+                (block, weights.shape[1]), lambda b, *_: (b, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block, E), lambda b, starts, n_subs: (b, 0)),
+        out_specs=pl.BlockSpec((block, E), lambda b, *_: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((SUB, E), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -183,7 +203,7 @@ def pallas_windowed_mean(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, n_subs, indices, weights, sourceT)
+    )(starts, n_subs, w_counts, indices, weights, sourceT)
 
 
 def pad_for_plan(sourceT: np.ndarray, starts: np.ndarray, n_subs: np.ndarray):
@@ -216,7 +236,7 @@ def apply_windowed_mean_pallas(
     plan = plan_auto(indices, block, max_tile=tile or 16384)
     if plan is None:
         return None
-    starts, n_subs = plan
+    starts, n_subs, w_counts = plan
     n = indices.shape[0]
     n_blocks = len(starts)
     n_pad = n_blocks * block - n
@@ -235,6 +255,7 @@ def apply_windowed_mean_pallas(
         jnp.asarray(weights.astype(np.float32)),
         jnp.asarray(starts),
         jnp.asarray(n_subs),
+        jnp.asarray(w_counts),
         block,
         interpret=interpret,
     )
