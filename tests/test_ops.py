@@ -307,3 +307,40 @@ def test_hydamo_network_sample():
     assert len(profiles) == len(objects)
     assert objects.geometry.geom_type.eq("LineString").all()
     assert points.geometry.geom_type.eq("Point").all()
+
+
+class TestSnappingInternals:
+    def test_lines_as_edges(self):
+        from xugrid_tpu.ugrid.snapping import lines_as_edges
+
+        coords = np.array(
+            [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [5.0, 5.0], [6.0, 5.0]]
+        )
+        index = np.array([0, 0, 0, 1, 1])
+        edges, edge_line = lines_as_edges(coords, index)
+        # Two segments from line 0, one from line 1; the cross-line pair
+        # (2.0,0.0)-(5.0,5.0) is dropped.
+        assert edges.shape == (3, 2, 2)
+        np.testing.assert_array_equal(edge_line, [0, 0, 1])
+        np.testing.assert_allclose(edges[2, 0], [5.0, 5.0])
+
+    def test_left_of(self):
+        from xugrid_tpu.ugrid.snapping import _left_of
+
+        p = np.array([0.0, 0.0])
+        u = np.array([1.0, 0.0])  # ray along +x
+        assert bool(_left_of(np.array([0.5, 1.0]), p, u))
+        assert not bool(_left_of(np.array([0.5, -1.0]), p, u))
+
+    def test_edges_from_arrays_snaps_vertices(self):
+        from xugrid_tpu.ugrid.snapping import _edges_from_arrays
+
+        grid = quad_grid(4, 4)
+        line_coords = np.array([[0.05, 2.02], [3.96, 2.04]])
+        line_index = np.array([0, 0])
+        edges, edge_line = _edges_from_arrays(
+            line_coords, line_index, grid, max_snap_distance=0.1
+        )
+        # Endpoints snapped onto the nearest grid nodes.
+        np.testing.assert_allclose(edges[0, 0], [0.0, 2.0])
+        np.testing.assert_allclose(edges[0, 1], [4.0, 2.0])
