@@ -14,6 +14,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
+import jax
+
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    # Virtual CPU devices requested: switch platforms before anything
+    # (even jax.devices()) pins the backend.
+    jax.config.update("jax_platforms", "cpu")
+
 import xugrid_tpu as xu
 
 uda = xu.data.elevation_nl(n_points=4000)
@@ -31,13 +40,6 @@ assert merged.grids[0].n_face == uda.grid.n_face
 print("merge round-trip OK")
 
 # Multi-chip SPMD: shard the face dimension over a device mesh.
-import jax
-
-if len(jax.devices()) < 4:
-    # Platform choice is pinned at interpreter start on some hosts;
-    # switch to (virtual) CPU devices explicitly.
-    jax.config.update("jax_platforms", "cpu")
-
 if len(jax.devices()) >= 4:
     from jax.sharding import Mesh
 
