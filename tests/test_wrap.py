@@ -412,3 +412,34 @@ class TestZarrIO:
         back = xu.open_dataarray(path)
         assert isinstance(back, xu.UgridDataArray)
         assert back.name == "a"
+
+
+class TestRasterizeAndReindex:
+    def test_rasterize_like(self, uda):
+        raster = uda.ugrid.rasterize(resolution=1.0)
+        like = uda.ugrid.rasterize_like(raster)
+        np.testing.assert_allclose(
+            np.asarray(raster.values), np.asarray(like.values), equal_nan=True
+        )
+
+    def test_dataset_rasterize(self, uds):
+        raster = uds.ugrid.rasterize(resolution=1.0)
+        assert "a" in raster.data_vars
+        assert "x" in raster.coords and "y" in raster.coords
+
+    def test_reindex_like_dataset(self, uda, grid):
+        # Shuffle the face order; reindex back onto the original.
+        order = np.random.default_rng(0).permutation(grid.n_face)
+        shuffled_grid = grid.topology_subset(order)
+        shuffled = xu.UgridDataArray(
+            DataArray(
+                np.asarray(uda.values)[order],
+                dims=(shuffled_grid.face_dimension,),
+                name="a",
+            ),
+            shuffled_grid,
+        )
+        back = shuffled.ugrid.reindex_like(uda.grid)
+        np.testing.assert_allclose(
+            np.asarray(back.values), np.asarray(uda.values)
+        )
