@@ -365,3 +365,89 @@ class TestNetworkGridder:
         assert np.allclose(values[1], [10.0, 10.0, 20.0, 20.0])
         assert np.isnan(values[0]).all()
         assert np.isnan(values[2:]).all()
+
+
+class TestReductionsRandomized:
+    """Property checks against numpy semantics on random windows."""
+
+    def _case(self, seed):
+        rng = np.random.default_rng(seed)
+        n, w = 64, 7
+        values = rng.normal(size=(n, w))
+        values[rng.random((n, w)) < 0.2] = np.nan
+        weights = rng.uniform(0.1, 2.0, (n, w))
+        weights[rng.random((n, w)) < 0.2] = 0.0
+        return values, weights
+
+    def _masked(self, values, weights):
+        # mean weights by w; the unweighted reductions (min/max/sum/
+        # median/percentile) include every finite value - zero weights
+        # only occur as padding, which the apply path NaN-masks upstream.
+        return np.isfinite(values)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_mean_matches_numpy(self, seed):
+        values, weights = self._case(seed)
+        out = np.asarray(xreduce.mean(values, weights))
+        mask = np.isfinite(values) & (weights > 0)
+        for i in range(len(values)):
+            if mask[i].any():
+                expected = np.average(
+                    values[i][mask[i]], weights=weights[i][mask[i]]
+                )
+                assert np.isclose(out[i], expected)
+            else:
+                assert np.isnan(out[i])
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_minmax_match_numpy(self, seed):
+        values, weights = self._case(seed)
+        mask = self._masked(values, weights)
+        mn = np.asarray(xreduce.minimum(values, weights))
+        mx = np.asarray(xreduce.maximum(values, weights))
+        for i in range(len(values)):
+            if mask[i].any():
+                assert np.isclose(mn[i], values[i][mask[i]].min())
+                assert np.isclose(mx[i], values[i][mask[i]].max())
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_sum_matches_numpy(self, seed):
+        values, weights = self._case(seed)
+        mask = self._masked(values, weights)
+        out = np.asarray(xreduce.sum(values, weights))
+        for i in range(len(values)):
+            if mask[i].any():
+                assert np.isclose(out[i], values[i][mask[i]].sum())
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_median_matches_numpy(self, seed):
+        values, weights = self._case(seed)
+        mask = self._masked(values, weights)
+        out = np.asarray(xreduce.median(values, weights))
+        for i in range(len(values)):
+            if mask[i].any():
+                assert np.isclose(out[i], np.median(values[i][mask[i]]))
+
+    @pytest.mark.parametrize("p", [5, 25, 75, 95])
+    def test_percentiles_match_numpy(self, p):
+        values, weights = self._case(3)
+        mask = self._masked(values, weights)
+        method = xreduce.create_percentile_method(p)
+        out = np.asarray(method(values, weights))
+        for i in range(len(values)):
+            if mask[i].any():
+                assert np.isclose(
+                    out[i], np.percentile(values[i][mask[i]], p)
+                )
+
+    def test_mode_picks_most_frequent(self):
+        values = np.array([[1.0, 2.0, 2.0, 3.0, np.nan]])
+        weights = np.ones((1, 5))
+        out = np.asarray(xreduce.mode(values, weights))
+        assert out[0] == 2.0
+
+    def test_max_overlap_picks_heaviest(self):
+        values = np.array([[1.0, 2.0, 3.0]])
+        weights = np.array([[0.2, 5.0, 0.3]])
+        out = np.asarray(xreduce.max_overlap(values, weights))
+        assert out[0] == 2.0
