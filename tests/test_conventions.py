@@ -135,3 +135,53 @@ class TestCrsAttrs:
             or "crs_wkt" in ds[name].attrs
         ]
         assert names  # a grid-mapping variable was written
+
+
+class TestMultiTopologyRoles:
+    @pytest.fixture
+    def multi_ds(self):
+        import xugrid_tpu as xu
+
+        grid2d = xu.Ugrid2d(
+            np.array([0.0, 1.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0, 1.0]),
+            -1,
+            np.array([[0, 1, 2, 3]]),
+            name="mesh2d",
+        )
+        grid1d = xu.Ugrid1d(
+            np.array([0.0, 1.0]),
+            np.array([0.0, 1.0]),
+            -1,
+            np.array([[0, 1]]),
+            name="network1d",
+        )
+        ds = grid2d.to_dataset()
+        ds.update(grid1d.to_dataset())
+        return ds
+
+    def test_topology_discovery(self, multi_ds):
+        from xugrid_tpu.ugrid.conventions import ugrid_roles
+
+        roles = ugrid_roles(multi_ds)
+        assert set(roles.topology) == {"mesh2d", "network1d"}
+
+    def test_dimensions_per_topology(self, multi_ds):
+        from xugrid_tpu.ugrid.conventions import ugrid_roles
+
+        dims = ugrid_roles(multi_ds).dimensions
+        assert "mesh2d" in dims and "network1d" in dims
+        assert dims["mesh2d"]["face_dimension"] == "mesh2d_nFaces"
+        assert "face_dimension" not in dims["network1d"]
+
+    def test_repr_lists_both(self, multi_ds):
+        from xugrid_tpu.ugrid.conventions import ugrid_roles
+
+        text = repr(ugrid_roles(multi_ds))
+        assert "mesh2d" in text and "network1d" in text
+
+    def test_dataset_wraps_both(self, multi_ds):
+        import xugrid_tpu as xu
+
+        uds = xu.UgridDataset(multi_ds)
+        assert len(uds.grids) == 2
