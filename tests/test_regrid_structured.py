@@ -272,3 +272,96 @@ class TestStructuredGrid3d:
         s, t, w = sorted_triplet(*source.overlap(target, relative=False))
         assert len(s) == 4
         np.testing.assert_allclose(w, 1.0)
+
+
+class TestExplicitStructuredGrid3d:
+    def explicit(self, zb):
+        # 2x1 footprint, per-column explicit z-bounds.
+        ds = Dataset()
+        ds["dummy"] = DataArray(
+            np.zeros((zb.shape[0], 1, 2)), dims=("z", "y", "x")
+        )
+        ds = ds.assign_coords(
+            x=DataArray(np.array([0.5, 1.5]), dims=("x",)),
+            y=DataArray(np.array([0.5]), dims=("y",)),
+            dy=DataArray(np.array(1.0)),
+            zbounds=DataArray(zb, dims=("z", "yx", "nb")),
+        )
+        from xugrid_tpu.regrid.structured import ExplicitStructuredGrid3d
+
+        return ExplicitStructuredGrid3d(ds, "x", "y", "z")
+
+    def voxel_target(self, z_mid, dz):
+        return StructuredGrid3d(
+            make_obj(
+                {
+                    "x": np.array([1.0]),
+                    "dx": np.array(2.0),
+                    "y": np.array([0.5]),
+                    "dy": np.array(1.0),
+                    "z": np.asarray(z_mid),
+                    "dz": np.asarray(dz),
+                },
+                {"z": len(np.atleast_1d(z_mid)), "y": 1, "x": 1},
+            ),
+            "x",
+            "y",
+            "z",
+        )
+
+    def test_shape_and_area(self):
+        zb = np.array(
+            [[[0.0, 1.0], [0.0, 1.0]], [[1.0, 2.0], [1.0, 2.0]]]
+        )  # (nlayer=2, n_yx=2, 2)
+        grid = self.explicit(zb)
+        assert grid.shape == (2, 1, 2)
+        assert grid.size == 4
+        np.testing.assert_allclose(grid.area, 1.0)
+
+    def test_overlap_with_voxel(self):
+        zb = np.array(
+            [[[0.0, 1.0], [0.0, 1.0]], [[1.0, 2.0], [1.0, 2.0]]]
+        )
+        grid = self.explicit(zb)
+        target = self.voxel_target([1.0], 2.0)  # z spans [0, 2]
+        s, t, w = sorted_triplet(*grid.overlap(target, relative=False))
+        # All four source cells fully inside the single target voxel.
+        assert len(s) == 4
+        np.testing.assert_allclose(w, 1.0)
+        assert (t == 0).all()
+
+    def test_partial_z_overlap(self):
+        zb = np.array(
+            [[[0.0, 1.0], [0.0, 1.0]], [[1.0, 2.0], [1.0, 2.0]]]
+        )
+        grid = self.explicit(zb)
+        target = self.voxel_target([1.0], 1.0)  # z spans [0.5, 1.5]
+        s, t, w = sorted_triplet(*grid.overlap(target, relative=False))
+        # Each layer contributes half its thickness per column.
+        assert len(s) == 4
+        np.testing.assert_allclose(w, 0.5)
+
+    def test_sloped_columns(self):
+        # Column 1's layers sit deeper: only its top layer overlaps.
+        zb = np.array(
+            [[[0.0, 1.0], [-10.0, -9.0]], [[1.0, 2.0], [-9.0, -8.0]]]
+        )
+        grid = self.explicit(zb)
+        target = self.voxel_target([1.0], 2.0)  # z [0, 2]
+        s, t, w = sorted_triplet(*grid.overlap(target, relative=False))
+        # Only the two layers of column 0 land in the voxel.
+        assert len(s) == 2
+        np.testing.assert_allclose(w, 1.0)
+
+    def test_bad_zbounds_shape(self):
+        from xugrid_tpu.regrid.structured import ExplicitStructuredGrid3d
+
+        ds = Dataset()
+        ds["dummy"] = DataArray(np.zeros((1, 1, 2)), dims=("z", "y", "x"))
+        ds = ds.assign_coords(
+            x=DataArray(np.array([0.5, 1.5]), dims=("x",)),
+            y=DataArray(np.array([0.5]), dims=("y",)),
+            zbounds=DataArray(np.zeros((2, 2)), dims=("zb", "nb")),
+        )
+        with pytest.raises(ValueError, match="nlayer, n_yx, 2"):
+            ExplicitStructuredGrid3d(ds, "x", "y", "z")
