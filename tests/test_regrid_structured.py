@@ -361,6 +361,7 @@ class TestExplicitStructuredGrid3d:
         ds = ds.assign_coords(
             x=DataArray(np.array([0.5, 1.5]), dims=("x",)),
             y=DataArray(np.array([0.5]), dims=("y",)),
+            dy=DataArray(np.array(1.0)),
             zbounds=DataArray(np.zeros((2, 2)), dims=("zb", "nb")),
         )
         with pytest.raises(ValueError, match="nlayer, n_yx, 2"):
