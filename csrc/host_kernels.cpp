@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -408,6 +409,21 @@ void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
         const int64_t* f = faces + nv * i;
         double* poly = poly_xy + 2 * nv * i;
         const int64_t first = f[0];
+        if (first < 0) {
+            // Degenerate face (all-fill row): NaN bbox, zero polygon —
+            // matches the pure-numpy face_bbox path this replaced.
+            for (int64_t v = 0; v < nv; ++v) {
+                poly[2 * v] = 0.0;
+                poly[2 * v + 1] = 0.0;
+            }
+            double* b = bbox + 4 * i;
+            const double nan = std::numeric_limits<double>::quiet_NaN();
+            b[0] = nan;
+            b[1] = nan;
+            b[2] = nan;
+            b[3] = nan;
+            continue;
+        }
         const double fx = x[first], fy = y[first];
         double x0 = fx, x1 = fx, y0 = fy, y1 = fy;
         poly[0] = fx;

@@ -124,10 +124,48 @@ class TestNativeFallbackEquivalence:
         n_key = np.sort(nq.astype(np.int64) * n_prim + npp)
         np.testing.assert_array_equal(f_key, n_key)
 
+    def test_pad_and_bbox_degenerate_face(self):
+        # An all-fill face row must yield a NaN bbox (no OOB read) like
+        # the pure-numpy face_bbox path.
+        importlib_reload_native()
+        x = np.array([0.0, 1.0, 1.0, 0.0])
+        y = np.array([0.0, 0.0, 1.0, 1.0])
+        faces = np.array([[0, 1, 2, 3], [-1, -1, -1, -1]])
+        out = native_mod.pad_and_bbox_native(faces, x, y)
+        assert out is not None
+        poly, bbox = out
+        np.testing.assert_allclose(bbox[0], [0.0, 0.0, 1.0, 1.0])
+        assert np.isnan(bbox[1]).all()
+        assert (poly[1] == 0.0).all()
 
-def _native_tree(verts, faces):
-    """CellTree2d built with the real native module functions."""
+    def test_clip_areas_vertex_cap_guard(self):
+        # Combined vertex count beyond the native kernel's working
+        # buffer must fall back (return None) instead of silently
+        # truncating the clip polygon.
+        importlib_reload_native()
+        q = np.zeros((1, 60, 2))
+        t = np.zeros((1, 60, 2))
+        out = native_mod.polygon_clip_areas_native(
+            np.array([0]), np.array([0]), q, t
+        )
+        assert out is None
+        out = native_mod.polygon_clip_areas_native(
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros((1, 48, 2)),
+            np.zeros((1, 48, 2)),
+        )
+        assert out is not None
+
+
+def importlib_reload_native():
+    """Restore the real native module functions (undo monkeypatching)."""
     import importlib
 
     importlib.reload(native_mod)
+
+
+def _native_tree(verts, faces):
+    """CellTree2d built with the real native module functions."""
+    importlib_reload_native()
     return CellTree2d(verts, faces)

@@ -183,3 +183,31 @@ class TestEdgeCellTree2d:
         qi, ti, pts = tree.intersect_edges(segs)
         assert sorted(ti) == [0, 1, 2]
         assert np.allclose(sorted(pts[:, 0]), [0.5, 1.5, 2.5])
+
+
+class TestMixedScaleOverlap:
+    def test_small_face_overlap_survives_large_face_tolerance(self):
+        # A mesh mixing a 1000-unit face with a 1e-3-unit face: the
+        # sliver threshold must scale per pair, not with the global max
+        # bbox diagonal (which would discard the tiny face's entire
+        # ~1e-6 overlap area).
+        vertices = np.array(
+            [
+                [0.0, 0.0],
+                [1000.0, 0.0],
+                [1000.0, 1000.0],
+                [0.0, 1000.0],
+                [2000.0, 2000.0],
+                [2000.001, 2000.0],
+                [2000.001, 2000.001],
+                [2000.0, 2000.001],
+            ]
+        )
+        faces = np.array([[0, 1, 2, 3], [4, 5, 6, 7]])
+        tree = CellTree2d(vertices, faces)
+        qi, ti, area = tree.intersect_faces(vertices, faces[1:], -1)
+        assert 1 in ti
+        pair_area = area[ti == 1]
+        # f64 clipping at coordinate magnitude ~2000 rounds the 1e-6
+        # area at the ~1e-10 level.
+        np.testing.assert_allclose(pair_area, [1e-6], rtol=1e-3)

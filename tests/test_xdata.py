@@ -372,6 +372,24 @@ class TestDataArrayMethods:
         v = np.asarray(out.data)[0]
         assert v[1] in (1.0, 3.0)
 
+    def test_interpolate_na_nearest_keeps_edge_nans(self):
+        # Leading/trailing NaNs must survive method="nearest" unless
+        # fill_value="extrapolate" (scipy/xarray semantics).
+        da = DataArray(
+            np.array([np.nan, 1.0, np.nan, 3.0, np.nan]),
+            dims=("x",),
+            coords={"x": [0.0, 1.0, 2.0, 3.0, 4.0]},
+        )
+        v = np.asarray(da.interpolate_na(dim="x", method="nearest").data)
+        assert np.isnan(v[0]) and np.isnan(v[4])
+        assert v[2] in (1.0, 3.0)
+        v = np.asarray(
+            da.interpolate_na(
+                dim="x", method="nearest", fill_value="extrapolate"
+            ).data
+        )
+        np.testing.assert_allclose(v, [1.0, 1.0, v[2], 3.0, 3.0])
+
     def test_copy_is_deep_for_data(self, da):
         out = da.copy()
         np.asarray(out.data)[0, 0] = 99.0

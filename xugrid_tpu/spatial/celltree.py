@@ -121,6 +121,21 @@ class CellTree2d:
         of boundary-grazing polygon pairs (~1e-15 at unit scale)."""
         return self._max_diag ** 2 * 1e-12
 
+    def _pair_area_tolerance(
+        self, query_boxes: np.ndarray, query_index: np.ndarray,
+        tree_index: np.ndarray,
+    ) -> np.ndarray:
+        """Per-pair sliver threshold: scales with the SMALLER of the two
+        polygons' bbox diagonals, so genuine overlaps of small faces are
+        not discarded on meshes that also contain very large faces."""
+        qdx = query_boxes[:, 2] - query_boxes[:, 0]
+        qdy = query_boxes[:, 3] - query_boxes[:, 1]
+        q_diag2 = qdx * qdx + qdy * qdy
+        t_diag2 = self.bb_distances[:, 2] ** 2
+        return (
+            np.minimum(q_diag2[query_index], t_diag2[tree_index]) * 1e-12
+        )
+
     def _tol(self, tolerance: Optional[float]) -> float:
         return self.default_tolerance() if tolerance is None else float(tolerance)
 
@@ -273,7 +288,9 @@ class CellTree2d:
                 query_index, tree_index, query_xy_host, self._poly_xy_host
             )
         if native is not None:
-            keep = native > self.default_area_tolerance()
+            keep = native > self._pair_area_tolerance(
+                boxes, query_index, tree_index
+            )
             return query_index[keep], tree_index[keep], native[keep]
 
         query_xy = jnp.asarray(query_xy_host)
@@ -294,7 +311,9 @@ class CellTree2d:
                         jnp.asarray(qi), jnp.asarray(ti), query_xy, self._poly_xy
                     )
                 )[:n_chunk]
-        keep = areas > self.default_area_tolerance()
+        keep = areas > self._pair_area_tolerance(
+            boxes, query_index, tree_index
+        )
         return query_index[keep], tree_index[keep], areas[keep]
 
     def locate_faces(self, vertices, faces, fill_value: int = -1):

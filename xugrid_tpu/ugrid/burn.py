@@ -43,10 +43,12 @@ def _locate_polygon(grid, exterior, interiors, all_touched: bool) -> IntArray:
     tolerance = grid.celltree.default_tolerance()
     if all_touched:
         # Drop zero-area boundary grazes: a polygon edge coinciding with
-        # a face edge produces clip areas at FP-noise scale.
+        # a face edge produces clip areas at FP-noise scale.  Compare in
+        # area units, not the length-scale point tolerance.
+        area_tolerance = grid.celltree.default_area_tolerance()
         uniq, inverse = np.unique(grid_index, return_inverse=True)
         area_per_face = np.bincount(inverse.ravel(), weights=area)
-        return uniq[area_per_face > tolerance]
+        return uniq[area_per_face > area_tolerance]
     centroids = grid.centroids[grid_index]
     tri_xy = vertices[triangles]
     from xugrid_tpu.utils.native import points_in_polygons_native

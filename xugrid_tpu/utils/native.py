@@ -458,10 +458,12 @@ def polygon_clip_areas_native(
 ):
     """
     Native convex clip areas per candidate pair (Sutherland-Hodgman), or
-    None when the library is unavailable.
+    None when the library is unavailable or the combined vertex count
+    could overflow the kernel's fixed working buffer (kCap=96: a
+    convex-convex intersection has at most m+k vertices).
     """
     lib = get_lib()
-    if lib is None:
+    if lib is None or query_xy.shape[1] + tree_xy.shape[1] > 96:
         return None
     pair_q = np.ascontiguousarray(pair_q, dtype=np.int64)
     pair_p = np.ascontiguousarray(pair_p, dtype=np.int64)

@@ -735,9 +735,14 @@ class DataArray:
                 take_right = np.abs(x[right_i] - x[missing]) < np.abs(
                     x[missing] - x[left_i]
                 )
-                row[missing] = np.where(
-                    take_right, row[right_i], row[left_i]
-                )
+                filled = np.where(take_right, row[right_i], row[left_i])
+                if not extrapolate:
+                    # Leading/trailing NaNs stay NaN (scipy/xarray
+                    # semantics), matching the linear branch.
+                    xs = x[ok]
+                    outside = (x[missing] < xs[0]) | (x[missing] > xs[-1])
+                    filled = np.where(outside, np.nan, filled)
+                row[missing] = filled
         out = np.moveaxis(flat.reshape(moved.shape), -1, axis)
         return self._construct(
             Variable(self.dims, out, dict(self.attrs)),
