@@ -5,13 +5,18 @@ point location, per BASELINE.json.
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-The primary metric is the regrid apply throughput (effective GB/s of
-weight/value traffic through the windowed apply kernel).  vs_baseline is
-measured against a scipy CSR matvec on the host CPU — the same
-C-compiled sparse apply the reference's numba loop approximates.
+The primary metric is the regrid apply throughput in **true** GB/s: the
+minimal traffic a perfect kernel must move (window indices + weights
+once, the source field once, the output once — no padding, no one-hot
+expansion, no re-streamed overlap).  ``hbm_sol_pct`` relates it to the
+~819 GB/s HBM bandwidth of one v5e chip.  ``vs_baseline`` compares
+against a scipy CSR matvec on the local host CPU — a 1-vCPU proxy for
+(not a measurement of) the reference's multithreaded numba apply; see
+the ``baseline_note`` field.
 
 Environment: runs on whatever jax.devices() provides (the driver runs it
-on one real TPU chip).  Set BENCH_SMALL=1 for a quick local sanity run.
+on one real TPU chip).  Set BENCH_SMALL=1 for a quick local sanity run,
+BENCH_XL=1 for the 10M-face north-star config.
 """
 
 from __future__ import annotations
@@ -34,6 +39,9 @@ jax.config.update(
 )
 
 SMALL = os.environ.get("BENCH_SMALL") == "1"
+
+#: HBM bandwidth of one v5e chip (speed-of-light reference).
+HBM_GBPS = 819.0
 
 
 def quad_mesh(nx, ny, dx=1.0):
@@ -66,7 +74,6 @@ def main():
     rng = np.random.default_rng(42)
 
     # --- source mesh: n_side^2 quads, jittered interior nodes ----------
-    t0 = time.perf_counter()
     verts, faces = quad_mesh(n_side, n_side)
     jitter = rng.uniform(-0.15, 0.15, verts.shape)
     edge = (
@@ -78,11 +85,9 @@ def main():
     jitter[edge] = 0.0
     verts = verts + jitter
     grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
-    mesh_build_s = time.perf_counter() - t0
 
     # --- weight build: overlap with a t_side^2 raster -------------------
     dx = n_side / t_side
-    tx = np.arange(t_side + 1.0) * dx
     tverts, tfaces = quad_mesh(t_side, t_side, dx=dx)
     target = xu.Ugrid2d(tverts[:, 0], tverts[:, 1], -1, tfaces)
 
@@ -98,10 +103,19 @@ def main():
     csr = MatrixCSR.from_triplet(ti, si, areas, n=target.n_face, m=grid.n_face)
     padded = PaddedCSR.from_csr(csr, dtype=np.float32)
 
-    # --- apply: n_extra time slices, steady state -----------------------
+    # --- true per-pass traffic (all n_extra slices ride one pass) -------
+    # indices+weights once, source once, output once; no padding.
+    true_bytes = (
+        csr.nnz * (4 + 4)
+        + grid.n_face * n_extra * 4
+        + target.n_face * n_extra * 4
+    )
+
+    source = rng.normal(size=(n_extra, grid.n_face)).astype(np.float32)
+
+    # --- XLA window-gather apply (the general path) ----------------------
     # Slice-minor layout: the extra dimension on the lane axis so every
     # gather fetches a contiguous row (see regrid/apply.py).
-    source = rng.normal(size=(n_extra, grid.n_face)).astype(np.float32)
     E = _pad_minor(n_extra)
     sourceT = np.zeros((grid.n_face, E), dtype=np.float32)
     sourceT[:, :n_extra] = source.T
@@ -144,90 +158,80 @@ def main():
     checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
     t0 = time.perf_counter()
     checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
-    apply_s = (time.perf_counter() - t0) / reps
+    xla_apply_s = (time.perf_counter() - t0) / reps
 
-    # effective traffic: gathered values + weights + indices + output
-    nnz_padded = padded.n * padded.w_max
-    bytes_per_slice = nnz_padded * (4 + 4 + 4) + padded.n * 4
-    apply_gbps = n_extra * bytes_per_slice / apply_s / 1e9
-
-    # --- Pallas tiled apply (one-hot MXU matmul over VMEM slabs) --------
+    # --- Pallas tiled apply (slab DMA + one-hot MXU matmuls) ------------
     pallas_apply_s = None
     try:
         from xugrid_tpu.regrid.pallas_apply import (
-            SUB,
-            pallas_windowed_mean,
+            pad_for_plan,
+            pallas_windowed_apply,
             plan_auto,
         )
 
-        plan = plan_auto(padded.indices)
+        plan = plan_auto(padded.indices, padded.weights)
         if plan is not None and jax.default_backend() == "tpu":
-            starts, n_subs, w_counts = plan
-            block = 512
-            n_blocks = len(starts)
-            n_pad = n_blocks * block
-            idx_p = np.full((n_pad, padded.w_max), -1, np.int32)
-            idx_p[: padded.n] = padded.indices
-            w_p = np.zeros((n_pad, padded.w_max), np.float32)
-            w_p[: padded.n] = padded.weights
-            E_pad = 128
-            ends = starts.astype(np.int64) + n_subs.astype(np.int64) * SUB
-            m_needed = max(grid.n_face, int(ends.max()))
-            srcT_p = np.zeros((m_needed, E_pad), np.float32)
-            srcT_p[: grid.n_face, :n_extra] = source.T
+            E_pallas = 128
+            srcT_pallas = np.zeros((grid.n_face, E_pallas), np.float32)
+            srcT_pallas[:, :n_extra] = source.T
+            srcT_p = pad_for_plan(srcT_pallas, plan)
 
-            @partial(jax.jit, static_argnums=(6, 7))
-            def pallas_reps(srcT, idx, w, st, ns, wc, blk, n_reps):
+            @partial(jax.jit, static_argnums=(7, 8, 9))
+            def pallas_reps(srcT, idx, w, st, ns, jl, jh, blk, meth, n_reps):
                 def body(i, acc):
-                    out = pallas_windowed_mean(
+                    out = pallas_windowed_apply(
                         srcT + i.astype(srcT.dtype) * 1e-12,
-                        idx, w, st, ns, wc, blk,
+                        idx, w, st, ns, jl, jh, blk, meth, False,
                     )
                     return acc + jnp.nansum(out)
 
                 return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-            dsrc = jnp.asarray(srcT_p)
-            didx = jnp.asarray(idx_p)
-            dw = jnp.asarray(w_p)
-            dst = jnp.asarray(starts)
-            dns = jnp.asarray(n_subs)
-            dwc = jnp.asarray(w_counts)
-            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, dwc, block, reps))
+            dargs = (
+                jnp.asarray(srcT_p),
+                jnp.asarray(plan.indices),
+                jnp.asarray(plan.weights),
+                jnp.asarray(plan.starts),
+                jnp.asarray(plan.n_subs),
+                jnp.asarray(plan.j_lo),
+                jnp.asarray(plan.j_hi),
+            )
+            _ = float(pallas_reps(*dargs, plan.block, "mean", reps))
             t0 = time.perf_counter()
-            _ = float(pallas_reps(dsrc, didx, dw, dst, dns, dwc, block, reps))
+            _ = float(pallas_reps(*dargs, plan.block, "mean", reps))
             pallas_apply_s = (time.perf_counter() - t0) / reps
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"pallas path unavailable: {exc!r}", file=sys.stderr)
 
-    best_apply_s = apply_s
-    if pallas_apply_s is not None and pallas_apply_s < apply_s:
+    best_apply_s = xla_apply_s
+    if pallas_apply_s is not None and pallas_apply_s < xla_apply_s:
         best_apply_s = pallas_apply_s
-    apply_gbps = n_extra * bytes_per_slice / best_apply_s / 1e9
+    apply_gbps = true_bytes / best_apply_s / 1e9
 
     # --- celltree locate throughput -------------------------------------
     # Free the apply's device buffers first: at the 10M-face scale the
-    # (m, 128) f32 source slab is ~5 GB of HBM and the locate kernels
-    # need headroom.
+    # source slabs are GBs of HBM and the locate kernels need headroom.
     import gc
 
     del src_d, idx_d, w_d
     try:
-        del dsrc, didx, dw, dst, dns
+        del dargs
     except NameError:
         pass
     gc.collect()
 
     pts = rng.uniform(0.5, n_side - 0.5, (n_points, 2))
     found = tree.locate_points(pts)  # compile + warm
-    t0 = time.perf_counter()
-    found = tree.locate_points(pts)
-    locate_s = time.perf_counter() - t0
-    locate_qps = n_points / locate_s
+    best_locate_s = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        found = tree.locate_points(pts)
+        best_locate_s = min(best_locate_s, time.perf_counter() - t0)
+    locate_qps = n_points / best_locate_s
     hit_rate = float((found >= 0).mean())
 
     # --- host CPU baseline: scipy CSR matvec (the C-speed equivalent of
-    # the reference's numba apply loop) ----------------------------------
+    # the reference's numba apply loop, on THIS host's single vCPU) ------
     import scipy.sparse
 
     W = scipy.sparse.csr_matrix(
@@ -235,31 +239,38 @@ def main():
     ).astype(np.float32)
     wsum = np.asarray(W.sum(axis=1)).ravel()
     wsum[wsum == 0] = 1.0
-    src64 = source
-    _ = W @ src64[0]  # warm
+    _ = W @ source[0]  # warm
     t0 = time.perf_counter()
     for k in range(n_extra):
-        _ = (W @ src64[k]) / wsum
+        _ = (W @ source[k]) / wsum
     cpu_apply_s = time.perf_counter() - t0
-    cpu_bytes = n_extra * (csr.nnz * (4 + 4 + 4) + csr.n * 4)
-    cpu_gbps = cpu_bytes / cpu_apply_s / 1e9
+    cpu_gbps = true_bytes / cpu_apply_s / 1e9
 
     result = {
         "metric": f"{grid.n_face}-face overlap regrid apply throughput",
         "value": round(apply_gbps, 3),
-        "unit": "GB/s",
+        "unit": "GB/s (true bytes)",
         "vs_baseline": round(apply_gbps / cpu_gbps, 3),
-        "weight_build_s": round(weight_build_s, 3),
-        "bvh_build_s": round(bvh_build_s, 3),
-        "apply_s_per_pass": round(apply_s, 4),
+        "baseline_note": (
+            "vs_baseline is measured against scipy CSR matvec on this "
+            "1-vCPU bench host, a proxy for (not a measurement of) the "
+            "reference's multithreaded numba apply on a many-core node"
+        ),
+        "hbm_sol_pct": round(100.0 * apply_gbps / HBM_GBPS, 2),
+        "true_bytes_per_pass": int(true_bytes),
+        "apply_s_per_pass": round(best_apply_s, 4),
+        "xla_apply_s_per_pass": round(xla_apply_s, 4),
         "pallas_apply_s_per_pass": (
             round(pallas_apply_s, 4) if pallas_apply_s is not None else None
         ),
-        "cpu_csr_gbps": round(cpu_gbps, 3),
+        "weight_build_s": round(weight_build_s, 3),
+        "bvh_build_s": round(bvh_build_s, 3),
+        "cpu_csr_gbps_true": round(cpu_gbps, 3),
         "locate_queries_per_s": round(locate_qps, 1),
         "locate_hit_rate": round(hit_rate, 4),
         "nnz": int(csr.nnz),
         "n_extra": n_extra,
+        "checksum": checksum,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -63,26 +63,52 @@ def _apply_coo_gather_T(sourceT, row, col, n_target):
     return out.at[row].set(sourceT[col])
 
 
-def _pallas_eligible(reduction, source2d) -> bool:
+def _pallas_method(reduction, source2d):
     """
-    The tiled Pallas kernel covers the flagship path: weighted-mean
-    reduction on TPU, float32 data (the one-hot MXU matmul is f32), no
-    NaNs in the source (reduce.mean skips them; the matmul propagates).
-    XUGRID_TPU_PALLAS=0 disables; =1 also allows float64 sources (cast
-    down to f32, ~1e-7 relative loss).
+    (method name, has_nan) when the tiled Pallas kernel covers this
+    apply, else (None, None) — fall back to the XLA window-gather path.
+
+    The kernel covers the linear reduction family (mean, sum,
+    conservative/conductance, harmonic/geometric mean) on TPU with a
+    NaN-masked formulation, so NaN-bearing sources stay on the fast
+    path.  It computes in f32; f64 sources are only accepted when x64
+    is disabled (the XLA device path would cast them down identically).
+    Non-NaN non-finite values (inf) cannot ride the masked matmul
+    (0-weight × inf = NaN) and fall back.  XUGRID_TPU_PALLAS=0 disables.
     """
     flag = os.environ.get("XUGRID_TPU_PALLAS", "")
     if flag == "0":
-        return False
+        return None, None
     from xugrid_tpu.regrid import reduce
+    from xugrid_tpu.regrid.pallas_apply import PALLAS_METHODS
 
-    if reduction is not reduce.mean:
-        return False
+    by_reduction = {
+        reduce.mean: "mean",
+        reduce.sum: "sum",
+        reduce.first_order_conservative: "first_order_conservative",
+        reduce.harmonic_mean: "harmonic_mean",
+        reduce.geometric_mean: "geometric_mean",
+    }
+    method = by_reduction.get(reduction)
+    if method is None or method not in PALLAS_METHODS:
+        return None, None
     if jax.default_backend() != "tpu":
-        return False
-    if source2d.dtype != np.float32 and flag != "1":
-        return False
-    return not np.isnan(source2d).any()
+        return None, None
+    if source2d.dtype != np.float32:
+        x64 = jax.config.read("jax_enable_x64")
+        if source2d.dtype != np.float64 or (x64 and flag != "1"):
+            return None, None
+    # One SIMD pass each: min is NaN iff any NaN; ±inf shows in min/max.
+    mn = source2d.min() if source2d.size else np.float64(0.0)
+    mx = source2d.max() if source2d.size else np.float64(0.0)
+    has_nan = bool(np.isnan(mn))
+    if not has_nan and (np.isinf(mn) or np.isinf(mx)):
+        return None, None
+    if has_nan and (
+        np.isinf(np.nanmin(source2d)) or np.isinf(np.nanmax(source2d))
+    ):
+        return None, None
+    return method, has_nan
 
 
 def apply_weights(
@@ -106,11 +132,16 @@ def apply_weights(
     if not np.issubdtype(source2d.dtype, np.floating):
         source2d = source2d.astype(np.float64)
 
-    if _pallas_eligible(reduction, source2d):
-        from xugrid_tpu.regrid.pallas_apply import apply_windowed_mean_pallas
+    method, has_nan = _pallas_method(reduction, source2d)
+    if method is not None:
+        from xugrid_tpu.regrid.pallas_apply import apply_windowed_pallas
 
-        out = apply_windowed_mean_pallas(
-            source2d.T.astype(np.float32), weights.indices, weights.weights
+        out = apply_windowed_pallas(
+            source2d.T.astype(np.float32),
+            weights.indices,
+            weights.weights,
+            method,
+            has_nan=has_nan,
         )
         if out is not None:
             return out.T.astype(source2d.dtype).reshape(
