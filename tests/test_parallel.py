@@ -54,6 +54,102 @@ class TestShardedRegrid:
         assert np.isfinite(out).all()
         assert out.var() < values.var()
 
+    def _overlap_problem(self, n_side=32, t_side=8):
+        """Hilbert-ordered source quads -> raster target overlap weights."""
+        import xugrid_tpu as xu
+        from xugrid_tpu.regrid.unstructured import UnstructuredGrid2d
+
+        def quads(ns, dx=1.0):
+            x = np.arange(ns + 1.0) * dx
+            yy, xx = np.meshgrid(x, x, indexing="ij")
+            verts = np.column_stack([xx.ravel(), yy.ravel()])
+            j, i = np.meshgrid(np.arange(ns), np.arange(ns), indexing="ij")
+            nid = lambda ii, jj: jj * (ns + 1) + ii  # noqa: E731
+            return verts, np.stack(
+                [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
+                -1,
+            ).reshape(-1, 4)
+
+        sverts, sfaces = quads(n_side)
+        tverts, tfaces = quads(t_side, dx=n_side / t_side)
+        # Jitter interior source nodes: windows must straddle device
+        # block boundaries so the exchange is actually exercised.
+        rng = np.random.default_rng(11)
+        jitter = rng.uniform(-0.2, 0.2, sverts.shape)
+        edge = (
+            (sverts[:, 0] == 0)
+            | (sverts[:, 1] == 0)
+            | (sverts[:, 0] == n_side)
+            | (sverts[:, 1] == n_side)
+        )
+        jitter[edge] = 0.0
+        sverts = sverts + jitter
+        source_grid = xu.Ugrid2d(sverts[:, 0], sverts[:, 1], -1, sfaces)
+        target_grid = xu.Ugrid2d(tverts[:, 0], tverts[:, 1], -1, tfaces)
+        si, ti, w = UnstructuredGrid2d(source_grid).overlap(
+            UnstructuredGrid2d(target_grid), relative=False
+        )
+        # Hilbert-order BOTH sides so device blocks align spatially.
+        sorder = partition_order(source_grid.centroids)
+        torder = partition_order(target_grid.centroids)
+        sremap = np.empty(len(sorder), np.int64)
+        sremap[sorder] = np.arange(len(sorder))
+        tremap = np.empty(len(torder), np.int64)
+        tremap[torder] = np.arange(len(torder))
+        csr = MatrixCSR.from_triplet(
+            tremap[ti], sremap[si], w,
+            n=target_grid.n_face, m=source_grid.n_face,
+        )
+        padded = PaddedCSR.from_csr(csr, dtype=np.float32)
+        field = np.sin(source_grid.centroids[sorder, 0]).astype(np.float32)
+        return padded, field
+
+    def test_halo_regrid_matches_allgather(self):
+        padded, field = self._overlap_problem()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        halo = ShardedRegrid(mesh, padded, method="halo")
+        full = ShardedRegrid(mesh, padded, method="allgather")
+        out_halo = halo.gather(halo(field))
+        out_full = full.gather(full(field))
+        assert halo.method == "halo" and halo.plan is not None
+        assert halo.plan.n_unique_remote > 0  # exchange actually exercised
+        assert full.method == "allgather"
+        np.testing.assert_allclose(out_halo, out_full, rtol=1e-6)
+
+    def test_auto_picks_halo_when_aligned(self):
+        padded, field = self._overlap_problem(n_side=64, t_side=16)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        plan = ShardedRegrid(mesh, padded, method="auto")
+        # Spatially aligned blocks: the exchange payload must be far
+        # below a full gather of the source field.
+        assert plan.method == "halo"
+        assert plan.exchanged_bytes < plan.m_padded * 4
+        out = plan.gather(plan(field))
+        assert np.isfinite(out).all()
+
+    def test_auto_falls_back_on_scattered_refs(self):
+        rng = np.random.default_rng(3)
+        n_target, m, w = 64, 4096, 6
+        rows = np.repeat(np.arange(n_target), w)
+        cols = rng.integers(0, m, n_target * w)  # no locality at all
+        weights = rng.uniform(0.5, 1.5, n_target * w)
+        csr = MatrixCSR.from_triplet(rows, cols, weights, n=n_target, m=m)
+        padded = PaddedCSR.from_csr(csr)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        plan = ShardedRegrid(mesh, padded, method="auto")
+        source = rng.normal(size=m)
+        out = plan.gather(plan(source))
+        expected = ShardedRegrid(mesh, padded, method="allgather")
+        np.testing.assert_allclose(
+            out, expected.gather(expected(source)), rtol=1e-12
+        )
+
+    def test_bad_regrid_method(self):
+        padded, _ = self._overlap_problem(8, 4)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        with pytest.raises(ValueError, match="method"):
+            ShardedRegrid(mesh, padded, method="bogus")
+
     def test_partition_order_locality(self):
         rng = np.random.default_rng(2)
         xy = rng.uniform(0, 100, (4096, 2))
@@ -136,6 +232,46 @@ class TestNeighborExchangePlan:
         total_refs = (neighbors >= 0).sum()
         assert plan.n_remote < 0.5 * total_refs
         assert plan.n_remote > 0  # but the exchange is exercised
+
+    def test_vectorized_plan_matches_bruteforce(self):
+        """The sort/group-by dedup reproduces a reference dict-loop plan."""
+        from xugrid_tpu.parallel import NeighborExchangePlan
+
+        rng = np.random.default_rng(7)
+        n_devices = 8
+        n, m, k = 96, 64, 5
+        idx = rng.integers(-1, m, (n, k)).astype(np.int64)
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("x",))
+        plan = NeighborExchangePlan(mesh, idx, source_size=m)
+
+        block = -(-m // n_devices)
+        req_block = -(-n // n_devices)
+        lookup = np.asarray(plan.lookup)
+        send = np.asarray(plan.send_slots).reshape(n_devices, n_devices, -1)
+        # Emulate the runtime: extended = [local | recv], check every
+        # reference resolves to the right global source row.
+        for d in range(n_devices):
+            rows = slice(d * req_block, (d + 1) * req_block)
+            for rr, cc in zip(*np.nonzero(idx[: min(n, (d + 1) * req_block)][rows] >= 0)):
+                g = idx[rows][rr, cc]
+                lk = lookup[rows][rr, cc]
+                if lk < block:  # local
+                    assert g // block == d and g % block == lk
+                else:  # remote: recv[o * R + p] = owner o's p-th row
+                    o, p = divmod(lk - block, plan.R)
+                    assert g // block == o
+                    assert send[o, d, p] == g % block
+
+    def test_plan_source_size_decoupled(self):
+        """Requester rows may index a differently-sized source array."""
+        from xugrid_tpu.parallel import NeighborExchangePlan
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        idx = np.array([[0, 15], [8, -1], [3, 12]], dtype=np.int64)
+        plan = NeighborExchangePlan(mesh, idx, source_size=16)
+        assert plan.m == 16
+        assert plan.block == 2
+        assert plan.req_block == 1  # 3 rows padded over 8 devices
 
     def test_bad_method(self):
         from xugrid_tpu.parallel import sharded_laplace_smooth

@@ -58,9 +58,18 @@ class ShardedRegrid:
     A regrid-apply plan sharded over a device mesh.
 
     Target rows (the PaddedCSR windows) are split across devices along
-    the mesh axis; the source field is sharded too and all-gathered
-    inside the shard_map (one ICI collective per application), after
-    which each device reduces its own target windows locally.
+    the mesh axis; the source field is sharded too.  Two collective
+    strategies:
+
+    * ``"halo"``: a :class:`NeighborExchangePlan` moves only the
+      deduplicated remote source rows each device's windows reference —
+      ONE ``all_to_all`` over ICI, O(perimeter) bytes when source and
+      target orderings are spatially aligned (Hilbert / raster order).
+    * ``"allgather"``: gather the full source field — O(m) bytes, the
+      right call when remote references are dense.
+
+    ``"auto"`` (default) builds the exchange plan and picks halo when
+    its payload is smaller than a full gather.
     """
 
     def __init__(
@@ -69,7 +78,12 @@ class ShardedRegrid:
         weights: PaddedCSR,
         reduction: Callable = reductions.mean,
         axis: str | None = None,
+        method: str = "auto",
     ):
+        if method not in ("auto", "halo", "allgather"):
+            raise ValueError(
+                f"method must be 'auto', 'halo' or 'allgather', got {method}"
+            )
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
         self.reduction = reduction
@@ -84,7 +98,6 @@ class ShardedRegrid:
 
         row_sharding = NamedSharding(mesh, P(self.axis, None))
         src_sharding = NamedSharding(mesh, P(self.axis))
-        self.indices = jax.device_put(indices, row_sharding)
         self.weights = jax.device_put(values, row_sharding)
         self.src_sharding = src_sharding
         self.out_sharding = NamedSharding(mesh, P(self.axis))
@@ -92,24 +105,72 @@ class ShardedRegrid:
         reduction_fn = self.reduction
         axis_name = self.axis
 
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name, None), P(axis_name, None)),
-            out_specs=P(axis_name),
-            check_rep=False,
-        )
-        def _apply(source_local, idx_local, w_local):
-            # One collective: gather the full source over ICI.
-            source_full = jax.lax.all_gather(
-                source_local, axis_name, tiled=True
+        self.plan: NeighborExchangePlan | None = None
+        if method in ("auto", "halo"):
+            plan = NeighborExchangePlan(
+                self.mesh, indices, axis=self.axis, source_size=self.m_padded
             )
-            pad = idx_local < 0
-            values = source_full[jnp.maximum(idx_local, 0)]
-            values = jnp.where(pad, jnp.nan, values)
-            return reduction_fn(values, w_local)
+            # Halo pays D*R rows sent + D*R received per device; the
+            # gather pays ~m_padded received.  Pick halo when strictly
+            # cheaper (or when forced).
+            if method == "halo" or 2 * n_devices * plan.R < self.m_padded:
+                self.plan = plan
+        self.method = "halo" if self.plan is not None else "allgather"
+        #: ICI payload per f32 apply (informational, for scale checks).
+        self.exchanged_bytes = (
+            self.plan.exchanged_bytes_f32
+            if self.plan is not None
+            else self.m_padded * 4
+        )
 
-        self._apply = jax.jit(_apply)
+        if self.plan is not None:
+            plan = self.plan
+            self.indices = plan.lookup  # remapped into [local | recv]
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P(axis_name),
+                    P(axis_name, None),
+                    P(axis_name, None),
+                    P(axis_name, None),
+                ),
+                out_specs=P(axis_name),
+                check_rep=False,
+            )
+            def _apply(source_local, send_local, lookup_local, w_local):
+                values = plan.gather_neighbors(
+                    source_local, send_local, lookup_local
+                )
+                return reduction_fn(values, w_local)
+
+            apply_jit = jax.jit(_apply)
+            self._apply = lambda src, w: apply_jit(
+                src, plan.send_slots, plan.lookup, w
+            )
+        else:
+            self.indices = jax.device_put(indices, row_sharding)
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name, None), P(axis_name, None)),
+                out_specs=P(axis_name),
+                check_rep=False,
+            )
+            def _apply(source_local, idx_local, w_local):
+                # One collective: gather the full source over ICI.
+                source_full = jax.lax.all_gather(
+                    source_local, axis_name, tiled=True
+                )
+                pad = idx_local < 0
+                values = source_full[jnp.maximum(idx_local, 0)]
+                values = jnp.where(pad, jnp.nan, values)
+                return reduction_fn(values, w_local)
+
+            apply_jit = jax.jit(_apply)
+            self._apply = lambda src, w: apply_jit(src, self.indices, w)
 
     def put_source(self, source: np.ndarray) -> jax.Array:
         """Shard a source field (length m) across the mesh."""
@@ -122,7 +183,7 @@ class ShardedRegrid:
         """Apply the sharded regrid; returns the sharded target field."""
         if isinstance(source, np.ndarray):
             source = self.put_source(source)
-        return self._apply(source, self.indices, self.weights)
+        return self._apply(source, self.weights)
 
     def gather(self, out: jax.Array) -> np.ndarray:
         """Bring a sharded target field back to the host, unpadded."""
@@ -150,94 +211,115 @@ class NeighborExchangePlan:
     Precomputed distributed neighbor-gather plan (the scalable halo
     machinery).
 
-    The face dimension is block-sharded over the mesh axis.  At setup,
-    every remote neighbor reference is resolved to (owner device, local
-    slot) and grouped into fixed-size per-device-pair send lists; at run
-    time ONE ``all_to_all`` moves exactly the referenced rows over ICI —
-    no full-field all-gather.  With Hilbert-ordered faces
-    (``partition_order``) the remote fraction is the block perimeter, so
-    the exchanged volume is O(sqrt(block)) per device.
+    The indexed (source) dimension is block-sharded over the mesh axis,
+    and so are the requesting rows; the two may have different lengths
+    (``source_size``), e.g. regrid target windows indexing a source
+    field.  At setup, every remote reference is resolved to (owner
+    device, local slot) and deduplicated into fixed-size per-device-pair
+    send lists — all with vectorized sort/group-by, no Python loops over
+    references.  At run time ONE ``all_to_all`` moves exactly the
+    referenced rows over ICI — no full-field all-gather.  With
+    Hilbert-ordered faces (``partition_order``) the remote fraction is
+    the block perimeter, so the exchanged volume is O(sqrt(block)) per
+    device.
 
     Reference counterpart: none — the reference merges MPI-partitioned
     files offline (SURVEY.md §2.10); this is the on-device equivalent of
     its partition boundary exchange.
     """
 
-    def __init__(self, mesh: Mesh, neighbor_indices: np.ndarray, axis=None):
+    def __init__(
+        self,
+        mesh: Mesh,
+        neighbor_indices: np.ndarray,
+        axis=None,
+        source_size: int | None = None,
+    ):
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
         n_devices = mesh.devices.size
         idx = np.asarray(neighbor_indices, dtype=np.int64)
         n = idx.shape[0]
-        block = -(-n // n_devices)
-        n_padded = block * n_devices
+        n_req_block = -(-n // n_devices)
         idx = _pad_to_multiple(idx, n_devices, -1)
-        if len(idx) < n_padded:
+        if len(idx) < n_req_block * n_devices:
             idx = np.concatenate(
-                [idx, np.full((n_padded - len(idx),) + idx.shape[1:], -1, idx.dtype)]
+                [
+                    idx,
+                    np.full(
+                        (n_req_block * n_devices - len(idx),) + idx.shape[1:],
+                        -1,
+                        idx.dtype,
+                    ),
+                ]
             )
+        m = n if source_size is None else int(source_size)
+        block = -(-m // n_devices)  # source rows per device
 
         valid = idx >= 0
         owner = np.where(valid, idx // block, -1)
         slot = np.where(valid, idx % block, 0)
-        row_device = np.repeat(np.arange(n_devices), block)[:, None]
+        row_device = np.repeat(np.arange(n_devices), n_req_block)[:, None]
         is_remote = valid & (owner != row_device)
 
-        # Per (owner, requester) unique requested slots.
-        send_lists = [[[] for _ in range(n_devices)] for _ in range(n_devices)]
-        # Map (owner, requester, slot) -> position in the request list.
-        position = {}
-        flat_owner = owner.ravel()
-        flat_slot = slot.ravel()
-        flat_req = np.broadcast_to(row_device, owner.shape).ravel()
-        flat_remote = is_remote.ravel()
-        for o, s, r in zip(
-            flat_owner[flat_remote], flat_slot[flat_remote], flat_req[flat_remote]
-        ):
-            key = (o, r, s)
-            if key not in position:
-                position[key] = len(send_lists[o][r])
-                send_lists[o][r].append(s)
-        R = max(
-            (len(lst) for row in send_lists for lst in row), default=0
+        # Vectorized dedup of remote (owner, requester, slot) triples:
+        # one sorted-unique pass; triples of the same (owner, requester)
+        # land contiguously, so the in-group position is a running
+        # offset from the group start.
+        ro = owner[is_remote]
+        rs = slot[is_remote]
+        rr = np.broadcast_to(row_device, owner.shape)[is_remote]
+        key = (ro * n_devices + rr) * block + rs
+        uniq, inverse = np.unique(key, return_inverse=True)
+        u_slot = uniq % block
+        u_group = uniq // block  # owner * n_devices + requester
+        group_start = np.flatnonzero(
+            np.diff(u_group, prepend=np.int64(-1)) != 0
         )
-        R = max(R, 1)
-        # send_slots[o, r, :]: local slots device o sends to requester r.
-        send_slots = np.zeros((n_devices, n_devices, R), dtype=np.int32)
-        for o in range(n_devices):
-            for r in range(n_devices):
-                lst = send_lists[o][r]
-                send_slots[o, r, : len(lst)] = lst
+        # position within (owner, requester) group, for every unique row
+        starts_per_uniq = np.repeat(
+            group_start, np.diff(np.append(group_start, len(uniq)))
+        )
+        u_pos = np.arange(len(uniq)) - starts_per_uniq
+        group_sizes = np.bincount(
+            u_group.astype(np.int64), minlength=n_devices * n_devices
+        ) if len(uniq) else np.zeros(n_devices * n_devices, np.int64)
+        R = max(int(group_sizes.max()) if len(uniq) else 0, 1)
 
+        # send_slots[o, r, :]: local slots device o sends to requester r.
+        send_slots = np.zeros((n_devices * n_devices, R), dtype=np.int32)
+        send_slots[u_group, u_pos] = u_slot
         # Combined lookup: index into concat([local (block), recv (D*R)]).
         # recv layout after all_to_all(split=0, concat=0): recv[o * R + p]
         # holds owner o's p-th requested row.
         lookup = np.full(idx.shape, -1, dtype=np.int32)
         local_mask = valid & ~is_remote
         lookup[local_mask] = slot[local_mask]
-        if position:
-            rows, cols = np.nonzero(is_remote)
-            for rr, cc in zip(rows, cols):
-                o = owner[rr, cc]
-                r = rr // block
-                p = position[(o, r, slot[rr, cc])]
-                lookup[rr, cc] = block + o * R + p
+        u_owner = u_group // n_devices
+        lookup[is_remote] = (block + u_owner * R + u_pos)[inverse]
 
         self.n = n
+        self.m = m
         self.block = block
+        self.req_block = n_req_block
         self.R = R
         self.n_remote = int(is_remote.sum())
+        self.n_unique_remote = int(len(uniq))
+        #: bytes moved over ICI per exchange of a (n,) f32 field
+        #: (all_to_all payload, send+recv counted once).
+        self.exchanged_bytes_f32 = n_devices * n_devices * R * 4
         row_sharding = NamedSharding(mesh, P(self.axis, None))
         self.lookup = jax.device_put(lookup, row_sharding)
         # (D, D, R) sharded on the owner axis -> each device holds its
         # (D, R) send table.
         self.send_slots = jax.device_put(
-            send_slots.reshape(n_devices * n_devices, R),
-            NamedSharding(mesh, P(self.axis, None)),
+            send_slots, NamedSharding(mesh, P(self.axis, None))
         )
 
     def gather_neighbors(self, v_local, send_slots_local, lookup_local):
-        """Inside shard_map: (block, k) neighbor values (NaN for -1)."""
+        """Inside shard_map: (req_block, k) neighbor values (NaN for -1).
+
+        ``v_local`` is the local *source* shard (block,)."""
         axis = self.axis
         send_buf = v_local[send_slots_local.reshape(-1)].reshape(
             send_slots_local.shape
