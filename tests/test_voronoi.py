@@ -34,19 +34,38 @@ def mesh_area(vertices, faces):
     )
 
 
-def test_dot_product2d():
-    U = np.array([[1.0, 2.0], [3.0, 4.0]])
-    V = np.array([[5.0, 6.0], [7.0, 8.0]])
-    assert np.allclose(voronoi.dot_product2d(U, V), [17.0, 53.0])
+def test_angle_sort_rows():
+    # A square's corners plus padding must come back CCW-sorted with
+    # padding at the row tail.
+    coords = np.array(
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+    )
+    cand = np.array([[2, 0, -1, 3, 1]])
+    anchors = np.zeros((1, 2))
+    out = voronoi.angle_sort_rows(cand, coords, anchors)
+    assert out.shape == (1, 5)
+    assert np.array_equal(out[0], [3, 0, 1, 2, -1])
 
 
-def test_compute_centroid():
-    x = np.array([0.0, 1.0, 1.0, 0.0, 1.0, 2.0, 2.0, 1.0])
-    y = np.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0])
-    i = np.array([0, 0, 0, 0, 1, 1, 1, 1])
-    actual_x, actual_y = voronoi.compute_centroid(i, x, y)
-    assert np.allclose(actual_x, [0.5, 1.5])
-    assert np.allclose(actual_y, [0.5, 1.5])
+def test_angle_sort_rows_device_matches_host(monkeypatch):
+    rng = np.random.default_rng(5)
+    coords = rng.normal(size=(64, 2))
+    cand = rng.integers(-1, 64, (32, 6))
+    anchors = rng.normal(scale=0.01, size=(32, 2))
+    monkeypatch.setenv("XUGRID_TPU_VORONOI", "host")
+    host = voronoi.angle_sort_rows(cand, coords, anchors)
+    monkeypatch.setenv("XUGRID_TPU_VORONOI", "device")
+    device = voronoi.angle_sort_rows(cand, coords, anchors)
+    assert np.array_equal(host, device)
+
+
+def test_padded_row_areas():
+    coords = np.array(
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [0.0, 1.0]]
+    )
+    ids = np.array([[0, 1, 2, 3, -1], [0, 1, 2, -1, -1]])
+    areas = voronoi.padded_row_areas(ids, coords)
+    assert np.allclose(areas, [2.0, 1.0])
 
 
 class TestVoronoi:
@@ -134,39 +153,29 @@ class TestVoronoi:
             )
         )
 
-    def test_exterior_centroids(self):
-        i, j = voronoi.exterior_centroids(self.node_face_connectivity)
-        assert np.array_equal(i, [0, 3, 8, 11])
-        assert np.array_equal(j, [0, 2, 3, 5])
-
-    def test_interior_centroids(self):
-        i, j = voronoi.interior_centroids(
-            self.node_face_connectivity,
-            self.edge_face_connectivity,
-            self.edge_node_connectivity,
-        )
-        assert np.array_equal(i, [1, 1, 2, 2, 4, 4, 7, 7, 9, 9, 10, 10])
-        assert np.array_equal(j, [0, 1, 1, 2, 0, 3, 2, 5, 3, 4, 4, 5])
-
-    def test_exterior_vertices(self):
-        (
-            _,
-            _,
-            actual_vertices,
-            actual_face,
-            n,
-            interpolation_map,
-        ) = voronoi.exterior_vertices(
+    def test_boundary_projections(self):
+        bp = voronoi.boundary_projections(
             self.edge_face_connectivity,
             self.edge_node_connectivity,
             self.vertices,
             self.centroids,
-            add_vertices=False,
         )
-        assert n == 0
-        assert np.allclose(rowsort(actual_vertices), self.exterior_vertices)
-        assert np.isin(np.arange(6), actual_face).all()
-        assert interpolation_map is None
+        # 10 boundary edges, each yielding one distinct projection.
+        assert bp["proj"].shape == (10, 2)
+        assert bp["keep"].all()
+        assert np.allclose(rowsort(bp["proj"]), self.exterior_vertices)
+        assert np.isin(np.arange(6), bp["face"]).all()
+        # 10 boundary nodes (all but the interior 5 and 6), 2 slots each.
+        expected_boundary = np.ones(12, dtype=bool)
+        expected_boundary[[5, 6]] = False
+        assert np.array_equal(bp["is_boundary_node"], expected_boundary)
+        assert bp["node_slots"].shape == (12, 2)
+        slots = bp["node_slots"]
+        assert (slots[expected_boundary] >= 0).all()
+        assert (slots[~expected_boundary] == -1).all()
+        # Each projection is assigned to exactly its two endpoint nodes.
+        counts = np.bincount(slots[slots >= 0], minlength=10)
+        assert (counts == 2).all()
 
     def test_voronoi_topology_interior_only(self):
         vertices, faces, face_i, _ = voronoi.voronoi_topology(
