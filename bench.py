@@ -230,6 +230,19 @@ def main():
     locate_qps = n_points / best_locate_s
     hit_rate = float((found >= 0).mean())
 
+    # --- 4-way partition/merge round trip (sort-based dedup kernel) ----
+    from xugrid_tpu.ugrid.partitioning import labels_to_indices, partition_labels
+
+    labels = partition_labels(grid.centroids, 4)
+    parts = [
+        grid.topology_subset(index)
+        for index in labels_to_indices(labels)
+    ]
+    t0 = time.perf_counter()
+    merged_grid, _ = parts[0].merge_partitions(parts)
+    merge_s = time.perf_counter() - t0
+    assert merged_grid.n_face == grid.n_face
+
     # --- host CPU baseline: scipy CSR matvec (the C-speed equivalent of
     # the reference's numba apply loop, on THIS host's single vCPU) ------
     import scipy.sparse
@@ -268,6 +281,7 @@ def main():
         "cpu_csr_gbps_true": round(cpu_gbps, 3),
         "locate_queries_per_s": round(locate_qps, 1),
         "locate_hit_rate": round(hit_rate, 4),
+        "merge_4way_s": round(merge_s, 3),
         "nnz": int(csr.nnz),
         "n_extra": n_extra,
         "checksum": checksum,

@@ -377,3 +377,69 @@ class TestMultiTopology1D2DMergePartitions:
         bad = xu.UgridDataset(ds, grids=[grid_1d])
         with pytest.raises(TypeError, match="same type"):
             xu.merge_partitions([self.partitions[0], bad])
+
+
+class TestUniqueRows:
+    """Sort-based dedup kernel (device + host paths)."""
+
+    def _check(self, rows):
+        from xugrid_tpu.core.dedup import unique_rows
+
+        index, inverse = unique_rows(rows)
+        # first-seen order, ascending first-occurrence positions
+        assert np.all(np.diff(index) > 0) or len(index) <= 1
+        # round trip: every row reconstructs from its unique
+        np.testing.assert_array_equal(
+            rows[index][inverse].view(np.uint8), rows.view(np.uint8)
+        )
+        # count matches numpy's void-view unique (bytewise semantics)
+        void = np.ascontiguousarray(rows).view(
+            np.dtype((np.void, rows.dtype.itemsize * rows.shape[1]))
+        )
+        assert len(index) == len(np.unique(void))
+        return index, inverse
+
+    def test_host_basic(self):
+        rows = np.array([[1, 2], [3, 4], [1, 2], [5, 6], [3, 4]])
+        index, inverse = self._check(rows)
+        np.testing.assert_array_equal(index, [0, 1, 3])
+        np.testing.assert_array_equal(inverse, [0, 1, 0, 2, 1])
+
+    def test_signed_zero_and_nan_bytewise(self):
+        rows = np.array(
+            [[0.0, 1.0], [-0.0, 1.0], [np.nan, 2.0], [np.nan, 2.0], [0.0, 1.0]]
+        )
+        index, inverse = self._check(rows)
+        # bytewise: -0.0 differs from 0.0; identical NaN payloads collapse
+        assert len(index) == 3
+
+    def test_device_matches_host(self, monkeypatch):
+        from xugrid_tpu.core import dedup
+
+        rng = np.random.default_rng(9)
+        rows = rng.integers(0, 50, (3000, 3)).astype(np.int64)
+        monkeypatch.setenv("XUGRID_TPU_DEDUP", "host")
+        ih, vh = dedup.unique_rows(rows)
+        monkeypatch.setenv("XUGRID_TPU_DEDUP", "device")
+        id_, vd = dedup.unique_rows(rows)
+        np.testing.assert_array_equal(ih, id_)
+        np.testing.assert_array_equal(vh, vd)
+
+    def test_device_floats_match_host(self, monkeypatch):
+        from xugrid_tpu.core import dedup
+
+        rng = np.random.default_rng(10)
+        base = rng.normal(size=(200, 2))
+        rows = base[rng.integers(0, 200, 5000)]
+        monkeypatch.setenv("XUGRID_TPU_DEDUP", "host")
+        ih, vh = dedup.unique_rows(rows)
+        monkeypatch.setenv("XUGRID_TPU_DEDUP", "device")
+        id_, vd = dedup.unique_rows(rows)
+        np.testing.assert_array_equal(ih, id_)
+        np.testing.assert_array_equal(vh, vd)
+
+    def test_empty(self):
+        from xugrid_tpu.core.dedup import unique_rows
+
+        index, inverse = unique_rows(np.zeros((0, 2)))
+        assert len(index) == 0 and len(inverse) == 0

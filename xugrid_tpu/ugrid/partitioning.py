@@ -26,7 +26,7 @@ import numpy as np
 
 from xugrid_tpu import xdata
 from xugrid_tpu.constants import FILL_VALUE, IntArray, IntDType
-from xugrid_tpu.ugrid.connectivity import renumber
+from xugrid_tpu.core.dedup import unique_rows
 
 
 # ---------------------------------------------------------------------------
@@ -170,13 +170,7 @@ def merge_nodes(grids):
     node_x = np.hstack([grid.node_x for grid in grids])
     node_y = np.hstack([grid.node_y for grid in grids])
     node_xy = np.column_stack((node_x, node_y))
-    _, index, inverse = np.unique(
-        node_xy, axis=0, return_index=True, return_inverse=True
-    )
-    inverse = inverse.ravel()
-    # Map unique ids to first-seen order.
-    inverse = renumber(index)[inverse]
-    index.sort()
+    index, inverse = unique_rows(node_xy)
     unique_nodes = node_xy[index]
     slices = (0,) + tuple(accumulate(grid.n_node for grid in grids))
     sections = np.searchsorted(index, slices[1:-1])
@@ -189,8 +183,7 @@ def merge_nodes(grids):
 def _merge_connectivity(gathered, slices):
     """Sort rows so [0,1]==[1,0]; keep first occurrence, original order."""
     sorted_rows = np.sort(gathered, axis=1)
-    _, index = np.unique(sorted_rows, axis=0, return_index=True)
-    index.sort()
+    index, _ = unique_rows(sorted_rows)
     merged = gathered[index]
     sections = np.searchsorted(index, slices[1:-1])
     indexes = np.split(index, sections)
