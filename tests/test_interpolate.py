@@ -177,3 +177,53 @@ class TestAccessorInterpolate:
         np.testing.assert_allclose(
             np.asarray(out.values), [[2.0, 2.0], [4.0, 4.0]]
         )
+
+
+class TestChebyshevPreconditioner:
+    def _grid_problem(self, n_side=60, frac=0.03, seed=2):
+        import scipy.sparse
+
+        n = n_side * n_side
+        idx = np.arange(n).reshape(n_side, n_side)
+        r = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+        c = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+        rr = np.concatenate([r, c])
+        cc = np.concatenate([c, r])
+        W = scipy.sparse.coo_matrix(
+            (np.ones(len(rr)), (rr, cc)), shape=(n, n)
+        ).tocsr()
+        rng = np.random.default_rng(seed)
+        truth = np.sin(np.linspace(0, 6, n)) * 3.0
+        known = rng.random(n) < frac
+        vals = np.where(known, truth, np.nan)
+        return vals, W
+
+    def test_matches_direct_solve(self):
+        vals, W = self._grid_problem()
+        direct = interpolate.laplace_interpolate(vals, W, direct_solve=True)
+        pcg = interpolate.laplace_interpolate(
+            vals, W, maxiter=5000, atol=1e-9, precondition_degree=4
+        )
+        np.testing.assert_allclose(pcg, direct, atol=1e-6)
+
+    def test_degree_reduces_iterations(self):
+        vals, W = self._grid_problem()
+        interpolate.laplace_interpolate(
+            vals, W, maxiter=5000, atol=1e-8, precondition_degree=1
+        )
+        it_jacobi = interpolate.last_solve_info["iterations"]
+        interpolate.laplace_interpolate(
+            vals, W, maxiter=5000, atol=1e-8, precondition_degree=4
+        )
+        it_cheb = interpolate.last_solve_info["iterations"]
+        assert it_cheb < 0.5 * it_jacobi
+        assert it_cheb > 0
+
+    def test_bucketing_pads_consistently(self):
+        # A non-power-of-two unknown count must not perturb the solution.
+        vals, W = self._grid_problem(n_side=37)
+        direct = interpolate.laplace_interpolate(vals, W, direct_solve=True)
+        pcg = interpolate.laplace_interpolate(
+            vals, W, maxiter=5000, atol=1e-9, precondition_degree=4
+        )
+        np.testing.assert_allclose(pcg, direct, atol=1e-6)

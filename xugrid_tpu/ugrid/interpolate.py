@@ -6,17 +6,23 @@ Interpolation of missing values on UGRID topologies.
 * ``laplace_interpolate``: solve Laplace's equation over the unknown
   entities with known values as Dirichlet boundaries.
 
-The iterative path is a **jit-compiled conjugate-gradient** solve with a
-Jacobi (diagonal) preconditioner over a static-shape COO matvec
-(segment-sum).  The reference uses a sequential numba ILU0 factorization
+The iterative path is a **jit-compiled preconditioned conjugate
+gradient** over a static-shape COO matvec (segment-sum).  The reference
+uses a sequential numba ILU0 factorization
 (xugrid/ugrid/interpolate.py:30-204) — triangular solves are inherently
-serial and map poorly onto a vector machine, whereas CG iterations are
-pure sparse matvecs that run at HBM bandwidth on TPU.  Multiple
-right-hand sides (extra dims) are solved batched via vmap.
+serial and map poorly onto a vector machine.  Here the preconditioner
+is a fixed-degree **Chebyshev polynomial of the Jacobi-scaled
+operator**: a handful of extra matvecs per iteration (fully parallel,
+runs at HBM bandwidth) in exchange for a several-fold drop in PCG
+iterations, the classic ILU substitute on vector hardware.  Unknown and
+nonzero counts are padded to power-of-two buckets so repeated solves
+reuse compiles; multiple right-hand sides (extra dims) are batched via
+vmap.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -27,24 +33,47 @@ from xugrid_tpu import xdata
 from xugrid_tpu.constants import FloatArray
 
 
-def _cg_solve_host(rows, cols, vals, diag, b, x0, rtol, atol, maxiter):
-    """Jacobi-preconditioned CG on device (jax), batched over leading b dim."""
+def _make_pcg():
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
-    n = b.shape[-1]
+    @partial(jax.jit, static_argnames=("maxiter", "degree"))
+    def solve(rows, cols, vals, diag, b, x0, rtol, atol, lmax, maxiter, degree):
+        n = b.shape[-1]
 
-    @partial(jax.jit, static_argnames=("maxiter",))
-    def solve(rows, cols, vals, diag, b, x0, rtol, atol, maxiter):
         def matvec(x):
             return jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
 
         minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
 
+        if degree <= 1:
+            def precond(r):
+                return minv * r
+        else:
+            # Chebyshev approximation of (D^-1 A)^-1 on [lmax/30, lmax]
+            # applied to D^-1 r: a fixed SPD linear operator (valid for
+            # PCG), built from matvecs only.
+            lo = lmax / 30.0
+            theta = (lmax + lo) / 2.0
+            delta = (lmax - lo) / 2.0
+            sigma = theta / delta
+
+            def precond(r):
+                rd = minv * r
+                d = rd / theta
+                z = d
+                rho_prev = 1.0 / sigma
+                for _ in range(degree - 1):
+                    rho = 1.0 / (2.0 * sigma - rho_prev)
+                    resid = rd - minv * matvec(z)
+                    d = rho * rho_prev * d + (2.0 * rho / delta) * resid
+                    z = z + d
+                    rho_prev = rho
+                return z
+
         def one(b1, x1):
             r = b1 - matvec(x1)
-            z = minv * r
+            z = precond(r)
             p = z
             rz = jnp.vdot(r, z)
             bnorm = jnp.linalg.norm(b1)
@@ -60,24 +89,80 @@ def _cg_solve_host(rows, cols, vals, diag, b, x0, rtol, atol, maxiter):
                 alpha = rz / jnp.vdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = minv * r
+                z = precond(r)
                 rz_new = jnp.vdot(r, z)
                 beta = rz_new / rz
                 p = z + beta * p
                 return x, r, z, p, rz_new, k + 1
 
-            x, r, *_ = jax.lax.while_loop(
+            x, r, _, _, _, k = jax.lax.while_loop(
                 cond, body, (x1, r, z, p, rz, jnp.int32(0))
             )
-            return x
+            return x, k
 
         if b.ndim == 1:
             return one(b, x0)
         return jax.vmap(one)(b, x0)
 
-    return np.asarray(
-        solve(rows, cols, vals, diag, b, x0, float(rtol), float(atol), int(maxiter))
+    return solve
+
+
+_PCG = None
+
+#: diagnostics of the most recent iterative solve:
+#: {"iterations": int, "n_unknown": int, "degree": int}
+last_solve_info: dict = {}
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+
+def cg_solve(
+    rows, cols, vals, diag, b, x0, rtol, atol, maxiter, degree: int = 4
+):
+    """
+    Chebyshev-Jacobi preconditioned CG over a COO system, bucketed to
+    power-of-two unknown/nnz counts for compile reuse.
+
+    Returns (solutions, iterations): iterations is the per-RHS PCG
+    iteration count (int array, shape of b's leading dims).
+    """
+    global _PCG
+    if _PCG is None:
+        _PCG = _make_pcg()
+
+    n = b.shape[-1]
+    nnz = len(vals)
+    n_pad = _next_pow2(n)
+    nnz_pad = _next_pow2(nnz)
+
+    # Gershgorin bound on the Jacobi-scaled spectrum: per unknown,
+    # 1 + sum(|offdiag|)/diag (diag entries sit at the tail of vals).
+    offdiag_abs = np.zeros(n)
+    m_off = nnz - n  # vals layout: [offdiag..., diag...]
+    np.add.at(offdiag_abs, rows[:m_off], np.abs(vals[:m_off]))
+    safe_diag = np.where(diag != 0.0, diag, 1.0)
+    lmax = float(np.max(1.0 + offdiag_abs / np.abs(safe_diag), initial=1.0))
+
+    if n_pad > n or nnz_pad > nnz:
+        rows = np.concatenate(
+            [rows, np.full(nnz_pad - nnz, n_pad - 1, rows.dtype)]
+        )
+        cols = np.concatenate(
+            [cols, np.full(nnz_pad - nnz, n_pad - 1, cols.dtype)]
+        )
+        vals = np.concatenate([vals, np.zeros(nnz_pad - nnz)])
+        diag = np.concatenate([diag, np.ones(n_pad - n)])
+        pad_shape = b.shape[:-1] + (n_pad - n,)
+        b = np.concatenate([b, np.zeros(pad_shape)], axis=-1)
+        x0 = np.concatenate([x0, np.zeros(pad_shape)], axis=-1)
+
+    x, k = _PCG(
+        rows, cols, vals, diag, b, x0,
+        float(rtol), float(atol), lmax, int(maxiter), int(degree),
     )
+    return np.asarray(x)[..., :n], np.asarray(k)
 
 
 def laplace_interpolate(
@@ -91,6 +176,7 @@ def laplace_interpolate(
     rtol: float = 0.0,
     atol: float = 1.0e-4,
     maxiter: int = 500,
+    precondition_degree: int = 4,
 ) -> FloatArray:
     """
     Fill NaNs in ``data`` by Laplace interpolation over the adjacency
@@ -99,7 +185,9 @@ def laplace_interpolate(
     ``data`` may be 1D (n,) or 2D (n_extra, n): extra rows sharing the
     same NaN pattern are solved as batched right-hand sides.
     ``delta``/``relax`` are accepted for reference API parity (ILU0
-    tuning knobs); the Jacobi-CG solver does not use them.
+    tuning knobs); the Chebyshev-Jacobi PCG solver does not use them.
+    ``precondition_degree`` sets the Chebyshev polynomial degree
+    (1 = plain Jacobi).
     """
     if connectivity.shape[0] != connectivity.shape[1]:
         raise ValueError(
@@ -174,8 +262,14 @@ def laplace_interpolate(
         # Initial guess: mean of known values per row.
         means = np.nanmean(matrix2d, axis=1)
         x0 += means[:, None]
-        solutions = _cg_solve_host(
-            rows, cols, vals, diag, b, x0, rtol, atol, maxiter
+        solutions, iters = cg_solve(
+            rows, cols, vals, diag, b, x0, rtol, atol, maxiter,
+            degree=precondition_degree,
+        )
+        last_solve_info.update(
+            iterations=int(np.max(iters)),
+            n_unknown=len(unknown),
+            degree=precondition_degree,
         )
 
     out = matrix2d.copy()
