@@ -451,3 +451,47 @@ class TestReductionsRandomized:
         weights = np.array([[0.2, 5.0, 0.3]])
         out = np.asarray(xreduce.max_overlap(values, weights))
         assert out[0] == 2.0
+
+
+class TestFromDatasetRoundTrip:
+    """from_dataset reconstructs both topology kinds (the reference
+    raises UnboundLocalError on structured targets,
+    xugrid/regrid/regridder.py:334-361)."""
+
+    def _roundtrip(self, source, target, tmp_path):
+        regridder = OverlapRegridder(source, target, method="mean")
+        expected = regridder.regrid(source)
+        path = tmp_path / "weights.nc"
+        regridder.to_dataset().to_netcdf(path)
+        back = xdata.open_dataset(path)
+        restored = OverlapRegridder.from_dataset(back)
+        result = restored.regrid(source)
+        return expected, result
+
+    def test_structured_target(self, tmp_path):
+        source = quad_uda(4, 4, values=np.arange(16.0))
+        target = structured_da(2, 2, dx=2.0)
+        expected, result = self._roundtrip(source, target, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(result.data), np.asarray(expected.data)
+        )
+        # user-facing coordinate names survive the round trip
+        assert set(expected.dims) == set(result.dims)
+        assert "y" in result.dims and "x" in result.dims
+
+    def test_unstructured_target(self, tmp_path):
+        source = structured_da(4, 4, values=np.arange(16.0).reshape(4, 4))
+        target = quad_uda(2, 2, dx=2.0)
+        expected, result = self._roundtrip(source, target, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(result.values), np.asarray(expected.values)
+        )
+
+    def test_structured_source_and_target(self, tmp_path):
+        source = structured_da(4, 4, values=np.arange(16.0).reshape(4, 4))
+        target = structured_da(2, 2, dx=2.0)
+        expected, result = self._roundtrip(source, target, tmp_path)
+        np.testing.assert_allclose(
+            np.asarray(result.data), np.asarray(expected.data)
+        )
+        assert "y" in result.dims and "x" in result.dims

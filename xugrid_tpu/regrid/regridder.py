@@ -30,6 +30,8 @@ from xugrid_tpu.ugrid.ugrid2d import Ugrid2d
 
 
 def setup_grid(obj, **kwargs):
+    if isinstance(obj, (UnstructuredGrid2d, StructuredGrid2d)):
+        return obj  # already adapted (e.g. reconstructed from a dataset)
     if isinstance(obj, (Ugrid2d, UgridDataArray, UgridDataset)):
         return UnstructuredGrid2d(obj)
     elif isinstance(obj, (xdata.DataArray, xdata.Dataset)):
@@ -230,6 +232,22 @@ class BaseRegridder(abc.ABC):
     def _weights_from_dataset(cls, dataset):
         ...
 
+    @staticmethod
+    def _structured_from_dataset(dataset, prefix: str) -> StructuredGrid2d:
+        """Rebuild a structured grid stored under ``{prefix}_*`` names,
+        restoring the user-facing coordinate names."""
+        attrs = dataset[prefix + "_type"].attrs
+        nx = attrs.get("name_x", "x")
+        ny = attrs.get("name_y", "y")
+        grid = StructuredGrid2d(
+            dataset,
+            name_x=f"{prefix}_{nx}",
+            name_y=f"{prefix}_{ny}",
+        )
+        grid.xbounds.name, grid.xbounds.dname = nx, f"d{nx}"
+        grid.ybounds.name, grid.ybounds.dname = ny, f"d{ny}"
+        return grid
+
     @classmethod
     def from_weights(cls, weights, target):
         instance = cls.__new__(cls)
@@ -244,24 +262,28 @@ class BaseRegridder(abc.ABC):
                 Ugrid2d.from_dataset(weights, "__source")
             )
         else:
-            instance._source = setup_grid(
-                weights, name_x="__source_x", name_y="__source_y"
+            instance._source = cls._structured_from_dataset(
+                weights, "__source"
             )
         return instance
 
     @classmethod
     def from_dataset(cls, dataset):
-        """Reconstruct a regridder from a stored weights dataset."""
+        """Reconstruct a regridder from a stored weights dataset.
+
+        Both topology kinds round-trip: unstructured targets rebuild the
+        Ugrid2d, structured targets rebuild from the stored
+        ``__target_{x,y}bounds`` coordinates.  (The reference raises an
+        UnboundLocalError on structured targets,
+        xugrid/regrid/regridder.py:334-361.)
+        """
         unstructured = (
             dataset["__target_type"].attrs["type"] == "UnstructuredGrid2d"
         )
         if unstructured:
             target = Ugrid2d.from_dataset(dataset, "__target")
         else:
-            raise NotImplementedError(
-                "from_dataset with a structured target; pass the target to "
-                "from_weights instead."
-            )
+            target = cls._structured_from_dataset(dataset, "__target")
         return cls.from_weights(dataset, target)
 
 

@@ -287,7 +287,18 @@ class StructuredGrid2d(StructuredGrid1d):
     def to_dataset(self, name: str):
         ds = self.xbounds.to_dataset(name)
         ds = ds.merge(self.ybounds.to_dataset(name))
-        ds[name + "_type"] = ((), np.int64(-1), {"type": "StructuredGrid2d"})
+        # Axis names are recorded so from_dataset can reconstruct a grid
+        # with the user-facing coordinate names (the reference cannot
+        # round-trip structured grids at all, regridder.py:334-361).
+        ds[name + "_type"] = (
+            (),
+            np.int64(-1),
+            {
+                "type": "StructuredGrid2d",
+                "name_x": self.xbounds.name,
+                "name_y": self.ybounds.name,
+            },
+        )
         return ds
 
 
