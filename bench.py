@@ -222,8 +222,10 @@ def main():
 
     pts = rng.uniform(0.5, n_side - 0.5, (n_points, 2))
     found = tree.locate_points(pts)  # compile + warm
+    # Best-of-5: the 1-vCPU host sees heavy steal-time noise; the min is
+    # the stable measure of the pipeline's true cost.
     best_locate_s = np.inf
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         found = tree.locate_points(pts)
         best_locate_s = min(best_locate_s, time.perf_counter() - t0)

@@ -422,3 +422,18 @@ class TestApplyUfunc:
             input_core_dims=[["x"]],
         )
         np.testing.assert_allclose(np.asarray(out.data), [3.0, 12.0])
+
+
+def test_copy_with_data():
+    # xarray parity: copy(data=...) replaces values, keeps structure.
+    da = DataArray(
+        np.arange(6.0).reshape(2, 3), dims=("t", "x"), name="v"
+    ).assign_coords(x=[10.0, 20.0, 30.0])
+    new = da.copy(data=np.ones((2, 3)))
+    assert new.dims == ("t", "x")
+    assert new.name == "v"
+    np.testing.assert_array_equal(np.asarray(new.values), 1.0)
+    np.testing.assert_array_equal(np.asarray(da.values).ravel(), np.arange(6.0))
+    np.testing.assert_array_equal(np.asarray(new["x"].values), [10.0, 20.0, 30.0])
+    with pytest.raises(ValueError, match="shape"):
+        da.copy(data=np.ones(5))

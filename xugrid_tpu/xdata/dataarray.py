@@ -258,9 +258,11 @@ class DataArray:
         return bool(self.values)
 
     # -- conversion ---------------------------------------------------------
-    def copy(self, deep: bool = True) -> "DataArray":
+    def copy(self, deep: bool = True, data=None) -> "DataArray":
+        """Copy; ``data`` replaces the values while keeping dims, coords,
+        and attrs (xarray's ``DataArray.copy(data=...)``)."""
         return DataArray._construct(
-            self.variable.copy(deep),
+            self.variable.copy(deep, data=data),
             {k: v.copy(deep) for k, v in self._coords.items()},
             self.name,
         )

@@ -113,10 +113,20 @@ class Variable:
     def __repr__(self) -> str:
         return f"<xdata.Variable {self.dims} {self.shape} {self.dtype}>"
 
-    def copy(self, deep: bool = True) -> "Variable":
-        data = self.data
-        if deep and isinstance(data, np.ndarray):
-            data = data.copy()
+    def copy(self, deep: bool = True, data=None) -> "Variable":
+        """Copy; ``data`` replaces the values (must match the shape),
+        mirroring xarray's ``Variable.copy(data=...)``."""
+        if data is None:
+            data = self.data
+            if deep and isinstance(data, np.ndarray):
+                data = data.copy()
+        else:
+            data = np.asarray(data)
+            if data.shape != np.shape(self.data):
+                raise ValueError(
+                    f"Data shape {data.shape} must match original shape "
+                    f"{np.shape(self.data)}"
+                )
         return Variable(self.dims, data, self.attrs, self.encoding)
 
     def astype(self, dtype) -> "Variable":
