@@ -80,7 +80,15 @@ def unique_rows(rows: np.ndarray):
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
 
     mode = os.environ.get("XUGRID_TPU_DEDUP", "auto")
-    use_device = mode == "device" or (mode == "auto" and n >= _DEVICE_MIN)
+    # auto: the device path needs a LOCAL backend — over the remote TPU
+    # tunnel a cold compile costs minutes, dwarfing the ~1 s/M-row host
+    # sort.  XUGRID_TPU_DEDUP=device forces it (multi-chip merges, local
+    # chips); =host forces numpy.
+    use_device = mode == "device" or (
+        mode == "auto"
+        and n >= _DEVICE_MIN
+        and jax.default_backend() == "cpu"
+    )
     if use_device:
         try:
             cols = _to_u32_columns(rows)
