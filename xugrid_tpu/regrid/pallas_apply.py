@@ -12,11 +12,15 @@ Work-skipping, planned host-side by ``plan_auto`` (measured on v5e, 1M
 sources -> 262k targets, 2.4M nnz, 20 slices):
 
 * The slab loop is dynamic per block: each block only pays
-  ``ceil(span_b / SUB)`` DMA+matmul steps for its actual index span.
-* The window loop is predicated per (block, slab) on the first/last
-  window slot whose indices can fall in that slab (windows are sorted
-  by source index at plan time) — each slot's one-hot pass runs for
-  ~1.3 slabs instead of all of them.
+  ``ceil(span_b / SUB)`` DMA+matmul steps for its actual index span,
+  and slabs stream through two VMEM buffers (slab k+1's DMA is issued
+  before slab k's matmul, hiding the per-step DMA latency).
+* The scatter matrices are laid out (SUB, block) — window slots on the
+  SUBLANE axis — so the slot loop is a dynamic ``fori_loop`` over
+  sublane slices running EXACTLY the [lo_j, hi_j) slots whose sorted
+  index range crosses the slab (~1.3 slabs per slot), with no
+  unrolled-branch overhead (Mosaic allows dynamic second-minor ref
+  indexing; dynamic lane slicing it does not).
 * Matmuls run as a manual 3-pass bf16 split (hi*hi + hi*lo + lo*hi,
   ~1.5e-5 worst-case relative error) — half the MXU passes of
   ``Precision.HIGHEST``; validity/count matrices are {0,1}/small-int
@@ -49,9 +53,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: rows per VMEM slab DMA. 1024 beats 2048 (25% less one-hot build work
-#: on ~2.5k spans) and 512 (slab fixed costs).
-SUB = 1024
+#: rows per VMEM slab DMA.  With the double-buffered pair loop and the
+#: dynamic slot loop, 512 wins (measured 15.3 ms vs 15.6/17.4 for
+#: 1024/2048 at 1M faces x 20 slices): smaller scatter tiles beat the
+#: per-step fixed costs once DMA latency is prefetched away.
+SUB = 512
 
 #: target rows per kernel block (grid step).
 BLOCK = 512
@@ -203,14 +209,16 @@ def plan_auto(
     return Plan(starts, n_subs, j_lo, j_hi, idx, wts, block, n)
 
 
-def _mm(a, x, a_exact=False, x_exact=False, highest=False):
+def _mm(a, x, a_exact=False, x_exact=False, highest=False, tn=False):
     """f32 matmul via manual bf16 splits.
 
     A full split costs 3 MXU passes (hi*hi + hi*lo + lo*hi, dropping the
     ~2^-16 lo*lo term); operands marked exact ({0,1} masks, small-int
     counts — exactly representable in bf16) skip their split.
+    ``tn=True`` contracts dim 0 of BOTH operands ((K, M) x (K, N) ->
+    (M, N)), the layout of the transposed scatter matrices.
     """
-    dn = (((1,), (0,)), ((), ()))
+    dn = (((0,), (0,)), ((), ())) if tn else (((1,), (0,)), ((), ()))
     if highest:
         return jax.lax.dot_general(
             a, x, dn,
@@ -250,19 +258,22 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
     # denominators — no validity matmul at all.
     masked = has_nan or method in _VALUE_MASKED
 
-    def kernel(starts_ref, n_subs_ref, jlo_ref, jhi_ref, idx_ref, w_ref,
-               source_hbm, out_ref, *scratch):
+    def kernel(starts_ref, n_subs_ref, jlo_ref, jhi_ref, idxT_ref, wT_ref,
+               rwsum_ref, source_hbm, out_ref, *scratch):
         if needs_smat:
-            wmat_ref, smat_ref, sub_vmem, sem = scratch
+            (wmat_ref, smat_ref, local_ref, mw_ref,
+             sub_a, sub_b, sem_a, sem_b) = scratch
         else:
-            wmat_ref, sub_vmem, sem = scratch
+            (wmat_ref, local_ref, mw_ref,
+             sub_a, sub_b, sem_a, sem_b) = scratch
             smat_ref = None
         b = pl.program_id(0)
         start = starts_ref[b]
         n_sub = n_subs_ref[b]
+        max_subs = jlo_ref.shape[1]
 
-        idx = idx_ref[...]  # (block, w)
-        wts = w_ref[...]
+        idx = idxT_ref[...]  # (w, block) — slots on the SUBLANE axis
+        wts = wT_ref[...]
         valid = idx >= 0
         local = jnp.where(valid, idx - start, -1)
         masked_w = jnp.where(valid, wts, 0.0)
@@ -272,52 +283,63 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
         elif method == "geometric_mean":
             # Reference semantics: weights are row-normalized first
             # (over all slots; padded ones carry weight 0).
-            normsum = jnp.sum(masked_w, axis=1, keepdims=True)
+            normsum = jnp.sum(masked_w, axis=0, keepdims=True)
             masked_w = masked_w / jnp.where(normsum == 0.0, 1.0, normsum)
+        # Stage the transformed tables into scratch so the slot loop can
+        # slice them dynamically (dynamic indexing is a ref operation).
+        local_ref[...] = local
+        mw_ref[...] = masked_w
 
-        block, w = idx.shape
-        sub, E = sub_vmem.shape
-        iota = jax.lax.broadcasted_iota(jnp.int32, (block, sub), 1)
-        mm = partial(_mm, highest=highest)
+        w, block = idx.shape
+        sub, E = sub_a.shape
+        iota = jax.lax.broadcasted_iota(jnp.int32, (sub, block), 0)
+        mm = partial(_mm, highest=highest, tn=True)
+
+        def slab_dma(k, buf, sem):
+            return pltpu.make_async_copy(
+                source_hbm.at[pl.ds(start + k * sub, sub)], buf, sem
+            )
 
         # Mosaic has no general VMEM gather; instead fold the window
         # into a weighted scatter matrix and resolve it on the MXU:
-        #   wmat[t, s] = sum_j masked_w[t, j] * (local[t, j] - s0 == s)
-        #   num += wmat @ slab        (block, sub) x (sub, E)
+        #   wmat[s, t] = sum_j masked_w[j, t] * (local[j, t] - s0 == s)
+        #   num += wmat^T-contract slab    (sub, block) x (sub, E)
         # Duplicate indices within a window accumulate their weights —
         # exactly the weighted-sum semantics.  smat is the same with
         # unit weights (multiplicities), for the unweighted sums.
-        def body(k, acc):
+        #
+        # Slots live on the SUBLANE axis, so the slot loop is a dynamic
+        # fori_loop over sublane slices (Mosaic allows dynamic
+        # second-minor indexing; lanes it does not) — it runs EXACTLY
+        # the [lo_j, hi_j) slots plan_auto assigned to this slab, with
+        # no unrolled-branch overhead.
+        def build(k):
+            # Out-of-range k (odd-count tail) reads a clamped table
+            # entry; plan_auto emits lo_j == hi_j there, so the loop
+            # body never runs and the matrices stay zero.
+            kc = jnp.minimum(k, max_subs - 1)
             s0 = k * sub
-            dma = pltpu.make_async_copy(
-                source_hbm.at[pl.ds(start + s0, sub)], sub_vmem, sem
-            )
-            dma.start()
-
-            # Build the scatter matrices while the DMA is in flight.
-            # The slot loop is statically unrolled (Mosaic cannot slice
-            # the minor axis dynamically) but predicated per (block,
-            # slab): only slots whose sorted index range crosses this
-            # slab run their one-hot pass.  Skipped slots contribute
-            # nothing anyway (their hits are all outside the slab), so
-            # this is purely a performance contract with plan_auto.
-            lo_j = jlo_ref[b, k]
-            hi_j = jhi_ref[b, k]
-            wmat_ref[...] = jnp.zeros((block, sub), dtype=jnp.float32)
+            lo_j = jlo_ref[b, kc]
+            hi_j = jhi_ref[b, kc]
+            is_real = k < n_sub
+            lo_j = jnp.where(is_real, lo_j, 0)
+            hi_j = jnp.where(is_real, hi_j, 0)
+            wmat_ref[...] = jnp.zeros((sub, block), dtype=jnp.float32)
             if needs_smat:
-                smat_ref[...] = jnp.zeros((block, sub), dtype=jnp.float32)
-            for j in range(w):
-                @pl.when(jnp.logical_and(j >= lo_j, j < hi_j))
-                def _(j=j):
-                    hit = iota == (local[:, j][:, None] - s0)
-                    wmat_ref[...] += jnp.where(
-                        hit, masked_w[:, j][:, None], 0.0
-                    )
-                    if needs_smat:
-                        smat_ref[...] += hit.astype(jnp.float32)
+                smat_ref[...] = jnp.zeros((sub, block), dtype=jnp.float32)
 
-            dma.wait()
-            slab = sub_vmem[...]
+            def slot(j, _):
+                localj = local_ref[pl.ds(j, 1), :]  # (1, block)
+                wj = mw_ref[pl.ds(j, 1), :]
+                hit = iota == (localj - s0)  # (sub, block)
+                wmat_ref[...] += jnp.where(hit, wj, 0.0)
+                if needs_smat:
+                    smat_ref[...] += hit.astype(jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(lo_j, hi_j, slot, 0)
+
+        def contrib(slab):
             wmat = wmat_ref[...]
             if masked:
                 nan = jnp.isnan(slab)
@@ -328,15 +350,14 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
 
             if method in ("mean", "first_order_conservative",
                           "conductance"):
-                num = acc[0] + mm(wmat, clean)
                 if masked:
-                    return (num, acc[1] + mm(wmat, fin, x_exact=True))
-                return (num,)
+                    return (mm(wmat, clean), mm(wmat, fin, x_exact=True))
+                return (mm(wmat, clean),)
             if method == "sum":
                 # UNWEIGHTED value sum; the weight sum only gates NaN.
-                vsum = acc[0] + mm(smat_ref[...], clean, a_exact=True)
+                vsum = mm(smat_ref[...], clean, a_exact=True)
                 if masked:
-                    return (vsum, acc[1] + mm(wmat, fin, x_exact=True))
+                    return (vsum, mm(wmat, fin, x_exact=True))
                 return (vsum,)
             if method == "harmonic_mean":
                 if has_nan:
@@ -345,9 +366,8 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
                     use = slab != 0.0
                 inv = jnp.where(use, 1.0 / jnp.where(use, slab, 1.0), 0.0)
                 return (
-                    acc[0] + mm(wmat, inv),
-                    acc[1] + mm(wmat, use.astype(jnp.float32),
-                                x_exact=True),
+                    mm(wmat, inv),
+                    mm(wmat, use.astype(jnp.float32), x_exact=True),
                 )
             # geometric_mean
             if has_nan:
@@ -358,10 +378,46 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
             lg = jnp.where(use, jnp.log(jnp.where(use, slab, 1.0)), 0.0)
             neg = jnp.logical_and(ok_val, slab < 0.0).astype(jnp.float32)
             return (
-                acc[0] + mm(wmat, lg),
-                acc[1] + mm(wmat, use.astype(jnp.float32), x_exact=True),
-                acc[2] + mm(smat_ref[...], neg, a_exact=True, x_exact=True),
+                mm(wmat, lg),
+                mm(wmat, use.astype(jnp.float32), x_exact=True),
+                mm(smat_ref[...], neg, a_exact=True, x_exact=True),
             )
+
+        # Double-buffered pair loop: slab k+1 streams into the other
+        # buffer while slab k is built and resolved — hides the per-step
+        # DMA latency that otherwise dominates (measured 7.7 ms of a
+        # 16.4 ms pass at 1M faces with the serial one-buffer loop).
+        def body(p, acc):
+            k0 = 2 * p
+            k1 = k0 + 1
+
+            @pl.when(k1 < n_sub)
+            def _():
+                slab_dma(k1, sub_b, sem_b).start()
+
+            build(k0)
+            slab_dma(k0, sub_a, sem_a).wait()
+            c0 = contrib(sub_a[...])
+            acc = tuple(a + c for a, c in zip(acc, c0))
+
+            @pl.when(k0 + 2 < n_sub)
+            def _():
+                slab_dma(k0 + 2, sub_a, sem_a).start()
+
+            build(k1)
+            ok1 = k1 < n_sub
+
+            @pl.when(ok1)
+            def _():
+                slab_dma(k1, sub_b, sem_b).wait()
+
+            # Tail guard: with an odd slab count the k1 matrices are all
+            # zero and the where() discards the (stale-buffer) products.
+            c1 = contrib(sub_b[...])
+            acc = tuple(
+                a + jnp.where(ok1, c, 0.0) for a, c in zip(acc, c1)
+            )
+            return acc
 
         if method == "geometric_mean":
             n_acc = 3
@@ -372,9 +428,22 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
         init = tuple(
             jnp.zeros((block, E), dtype=jnp.float32) for _ in range(n_acc)
         )
-        acc = jax.lax.fori_loop(0, n_sub, body, init)
 
-        den_vec = jnp.sum(masked_w, axis=1, keepdims=True)  # (block, 1)
+        # First block of the pass: scrub buffer B — uninitialized VMEM
+        # may hold NaN bit patterns that would poison the tail-guard
+        # products (0 * NaN) before any real slab lands in it.
+        @pl.when(b == 0)
+        def _():
+            sub_b[...] = jnp.zeros((sub, E), dtype=jnp.float32)
+
+        slab_dma(0, sub_a, sem_a).start()
+        n_pair = (n_sub + 1) // 2
+        acc = jax.lax.fori_loop(0, n_pair, body, init)
+
+        # Row weight sums come in as a (block, 1) input — the transposed
+        # layout puts slots on sublanes, so an in-kernel axis-0 sum
+        # would land on lanes, mismatching the (block, E) accumulators.
+        den_vec = rwsum_ref[...]  # (block, 1)
         if method == "mean":
             num = acc[0]
             den = acc[1] if masked else den_vec + jnp.zeros_like(num)
@@ -428,22 +497,36 @@ def pallas_windowed_apply(
     n_padded = indices.shape[0]
     n_blocks = n_padded // block
     E = sourceT.shape[1]
+    w = indices.shape[1]
 
-    scratch = [pltpu.VMEM((block, SUB), jnp.float32)]
+    # The kernel wants slots on sublanes: transpose the window tables
+    # (loop-invariant under an outer rep loop — XLA hoists the copies)
+    # and precompute the per-row weight sums for the NaN-free paths.
+    idxT = indices.T  # (w, n_padded)
+    wT = weights.T
+    rwsum = jnp.sum(
+        jnp.where(indices >= 0, weights, 0.0), axis=1, keepdims=True
+    )
+
+    scratch = [pltpu.VMEM((SUB, block), jnp.float32)]
     if method in _NEEDS_SMAT:
-        scratch.append(pltpu.VMEM((block, SUB), jnp.float32))
-    scratch += [pltpu.VMEM((SUB, E), jnp.float32), pltpu.SemaphoreType.DMA]
+        scratch.append(pltpu.VMEM((SUB, block), jnp.float32))
+    scratch += [
+        pltpu.VMEM((w, block), jnp.int32),    # staged local indices
+        pltpu.VMEM((w, block), jnp.float32),  # staged masked weights
+        pltpu.VMEM((SUB, E), jnp.float32),  # slab buffer A
+        pltpu.VMEM((SUB, E), jnp.float32),  # slab buffer B
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(
-                (block, indices.shape[1]), lambda b, *_: (b, 0)
-            ),
-            pl.BlockSpec(
-                (block, weights.shape[1]), lambda b, *_: (b, 0)
-            ),
+            pl.BlockSpec((w, block), lambda b, *_: (0, b)),
+            pl.BlockSpec((w, block), lambda b, *_: (0, b)),
+            pl.BlockSpec((block, 1), lambda b, *_: (b, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block, E), lambda b, *_: (b, 0)),
@@ -459,7 +542,7 @@ def pallas_windowed_apply(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, n_subs, j_lo, j_hi, indices, weights, sourceT)
+    )(starts, n_subs, j_lo, j_hi, idxT, wT, rwsum, sourceT)
 
 
 def pad_minor_pallas(n_extra: int) -> int:
