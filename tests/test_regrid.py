@@ -495,3 +495,50 @@ class TestFromDatasetRoundTrip:
             np.asarray(result.data), np.asarray(expected.data)
         )
         assert "y" in result.dims and "x" in result.dims
+
+
+class TestChunkedApply:
+    """Out-of-core chunking over extra dims (the dask map_blocks analog,
+    reference regridder.py:167-186): results identical to one-shot."""
+
+    def test_chunked_matches_unchunked(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        values = rng.normal(size=(7, 16))
+        values[:, ::5] = np.nan
+        source = quad_uda(4, 4, values=None)
+        grid = source.ugrid.grid
+        src = xu.UgridDataArray(
+            xdata.DataArray(
+                values, dims=("time", grid.face_dimension), name="v"
+            ),
+            grid,
+        )
+        target = quad_uda(2, 2, dx=2.0)
+        rg = OverlapRegridder(src, target, method="mean")
+        expected = np.asarray(rg.regrid(src).values)
+        # Budget of one source+target slice -> row-by-row chunks.
+        monkeypatch.setenv(
+            "XUGRID_TPU_APPLY_CHUNK_BYTES", str(4 * (16 + 4) + 1)
+        )
+        chunked = np.asarray(rg.regrid(src).values)
+        np.testing.assert_allclose(chunked, expected, equal_nan=True)
+
+    def test_chunked_3d_stack(self, monkeypatch):
+        rng = np.random.default_rng(6)
+        source = quad_uda(4, 4)
+        grid = source.ugrid.grid
+        src = xu.UgridDataArray(
+            xdata.DataArray(
+                rng.normal(size=(3, 2, 16)),
+                dims=("time", "layer", grid.face_dimension),
+                name="v",
+            ),
+            grid,
+        )
+        target = quad_uda(2, 2, dx=2.0)
+        rg = OverlapRegridder(src, target, method="sum")
+        expected = np.asarray(rg.regrid(src).values)
+        monkeypatch.setenv("XUGRID_TPU_APPLY_CHUNK_BYTES", "200")
+        chunked = np.asarray(rg.regrid(src).values)
+        assert chunked.shape == (3, 2, 4)
+        np.testing.assert_allclose(chunked, expected, equal_nan=True)

@@ -29,6 +29,13 @@ from xugrid_tpu.regrid.unstructured import UnstructuredGrid2d
 from xugrid_tpu.ugrid.ugrid2d import Ugrid2d
 
 
+def _apply_chunk_bytes() -> int:
+    """Device working-set budget per apply chunk (f32 source+target)."""
+    import os
+
+    return int(float(os.environ.get("XUGRID_TPU_APPLY_CHUNK_BYTES", 2e9)))
+
+
 def setup_grid(obj, **kwargs):
     if isinstance(obj, (UnstructuredGrid2d, StructuredGrid2d)):
         return obj  # already adapted (e.g. reconstructed from a dataset)
@@ -114,12 +121,34 @@ class BaseRegridder(abc.ABC):
                 f"Source size {source.shape[-1]} does not match regridder "
                 f"source size {source_grid.size}"
             )
-        out = apply_weights(
-            self._padded_weights,
-            source,
-            self._reduction,
-            self._target.size,
-        )
+        source2d = source.reshape((-1, source.shape[-1]))
+        n_extra = source2d.shape[0]
+        # Out-of-core chunking over the extra (time/layer) dims: bound
+        # the device working set so stacks larger than HBM stream
+        # through in slabs.  The analog of the reference's dask
+        # map_blocks path (xugrid/regrid/regridder.py:167-186), with the
+        # UGRID dim likewise kept whole per chunk.
+        per_slice = 4 * (source_grid.size + self._target.size)
+        rows = max(int(_apply_chunk_bytes() // max(per_slice, 1)), 1)
+        if n_extra > rows:
+            out = np.concatenate(
+                [
+                    apply_weights(
+                        self._padded_weights,
+                        source2d[i : i + rows],
+                        self._reduction,
+                        self._target.size,
+                    )
+                    for i in range(0, n_extra, rows)
+                ]
+            )
+        else:
+            out = apply_weights(
+                self._padded_weights,
+                source2d,
+                self._reduction,
+                self._target.size,
+            )
         return out.reshape(first_dims_shape + self._target.shape)
 
     def regrid_dataarray(self, source: xdata.DataArray, source_dims: Tuple[str, ...]):
