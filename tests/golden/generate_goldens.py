@@ -285,6 +285,97 @@ def golden_voronoi(ref):
     print("voronoi.npz: 4 modes")
 
 
+def golden_graph_morphology(ref):
+    """DAG sort/contraction and binary morphology on enumerated graphs
+    (xugrid/ugrid/connectivity.py:162-258, 791-877)."""
+    import scipy.sparse
+
+    conn = ref["connectivity"]
+    rng = np.random.default_rng(17)
+    out = {}
+
+    # A random DAG: edges only from lower to higher ids (shuffled labels).
+    n = 24
+    perm = rng.permutation(n)
+    edges = []
+    for a in range(n):
+        for b_ in range(a + 1, n):
+            if rng.random() < 0.15:
+                edges.append((perm[a], perm[b_]))
+    edges = np.array(edges)
+    A = scipy.sparse.coo_matrix(
+        (np.ones(len(edges)), (edges[:, 0], edges[:, 1])), shape=(n, n)
+    ).tocsr()
+    order = conn.topological_sort_by_dfs(A)
+    out["dag_edges"] = edges
+    out["dag_n"] = np.int64(n)
+    out["dag_order"] = order
+
+    # Vertex contraction: a chain with branches, keep every 3rd vertex.
+    m = 15
+    chain = np.array([[i, i + 1] for i in range(m - 1)])
+    C = scipy.sparse.coo_matrix(
+        (np.ones(len(chain)), (chain[:, 0], chain[:, 1])), shape=(m, m)
+    ).tocsr()
+    keep = np.arange(0, m, 3)
+    contracted = conn.contract_vertices(C, keep)
+    out["chain_m"] = np.int64(m)
+    out["chain_keep"] = keep
+    out["chain_edges"] = np.asarray(contracted)
+
+    # Binary morphology on the face adjacency of a quad patch.
+    ns = 8
+    j, i = np.meshgrid(np.arange(ns), np.arange(ns), indexing="ij")
+    fid = (j * ns + i).ravel()
+    pairs = []
+    for jj in range(ns):
+        for ii in range(ns):
+            f = jj * ns + ii
+            if ii + 1 < ns:
+                pairs.append((f, f + 1))
+            if jj + 1 < ns:
+                pairs.append((f, f + ns))
+    pairs = np.array(pairs)
+    rowcol = np.concatenate([pairs, pairs[:, ::-1]])
+    FF = scipy.sparse.coo_matrix(
+        (np.ones(len(rowcol)), (rowcol[:, 0], rowcol[:, 1])),
+        shape=(ns * ns, ns * ns),
+    ).tocsr()
+    exterior = np.flatnonzero(
+        (i.ravel() == 0) | (i.ravel() == ns - 1)
+        | (j.ravel() == 0) | (j.ravel() == ns - 1)
+    )
+    blob = np.zeros(ns * ns, dtype=bool)
+    blob[fid.reshape(ns, ns)[2:6, 2:6].ravel()] = True
+    out["morph_input"] = blob
+    out["morph_exterior"] = exterior
+    out["morph_eroded"] = conn.binary_erosion(
+        FF, blob, iterations=1, exterior=exterior
+    )
+    out["morph_eroded2"] = conn.binary_erosion(
+        FF, blob, iterations=2, exterior=exterior
+    )
+    out["morph_dilated"] = conn.binary_dilation(FF, blob, iterations=1)
+    full = np.ones(ns * ns, dtype=bool)
+    out["morph_border_erode"] = conn.binary_erosion(
+        FF, full, iterations=1, exterior=exterior, border_value=False
+    )
+
+    # structured_connectivity on a masked active grid.
+    active = np.ones((5, 6), dtype=bool)
+    active[1, 2] = active[3, 3] = active[0, 0] = False
+    adj = conn.structured_connectivity(active)
+    dense_adj = np.full((adj.n, 4), -1, dtype=np.int64)
+    for v in range(adj.n):
+        neigh = np.sort(adj.indices[adj.indptr[v]: adj.indptr[v + 1]])
+        dense_adj[v, : len(neigh)] = neigh
+    out["struct_active"] = active
+    out["struct_adjacency"] = dense_adj
+
+    np.savez(os.path.join(HERE, "graph_morphology.npz"), **out)
+    print("graph_morphology.npz: DAG sort, contraction, morphology")
+
+
 if __name__ == "__main__":
     ref = load_reference_modules()
     golden_reductions(ref)
@@ -292,4 +383,5 @@ if __name__ == "__main__":
     golden_laplace(ref)
     golden_connectivity(ref)
     golden_voronoi(ref)
+    golden_graph_morphology(ref)
     print("done")
