@@ -77,6 +77,28 @@ def _disk_z(x, y):
     return (zmax - z) / (zmax - zmin) * 10.0
 
 
+def _load_real_ugrid(filename: str):
+    """Open a registered real sample file as a UgridDataset, or None
+    (absent, or an unreadable format — e.g. netCDF4/HDF5, which the
+    scipy NetCDF3 backend cannot parse)."""
+    import warnings
+
+    import xugrid_tpu as xu
+    from xugrid_tpu.data.registry import fetch
+
+    path = fetch(filename)
+    if path is None:
+        return None
+    try:
+        return xu.open_dataset(path)
+    except Exception as exc:  # pragma: no cover - depends on local files
+        warnings.warn(
+            f"Could not read sample file {path} ({exc}); "
+            "using the synthetic stand-in instead."
+        )
+        return None
+
+
 def disk():
     """Triangulated disk with analytic data on nodes, edges, and faces."""
     import xugrid_tpu as xu
@@ -94,12 +116,17 @@ def disk():
 
 def elevation_nl(n_points: int = 26000, seed: int = 0):
     """
-    Synthetic stand-in for the reference's elevation_nl sample (~52k-face
-    triangular national-scale elevation mesh): a Delaunay triangulation
-    over an irregular national-outline-like domain with smooth elevation.
+    The elevation_nl sample (~52k-face triangular national elevation
+    mesh): loads the reference's published elevation_nl.nc when present
+    in XUGRID_DATA_DIR (xugrid/data/sample_data.py:47-59), else a
+    synthetic Delaunay stand-in over a national-outline-like domain.
     """
     import xugrid_tpu as xu
     from scipy.spatial import Delaunay
+
+    real = _load_real_ugrid("elevation_nl.nc")
+    if real is not None:
+        return real["elevation"]
 
     rng = np.random.default_rng(seed)
     # An irregular blobby domain ~ 250x300 km.
@@ -128,11 +155,17 @@ def elevation_nl(n_points: int = 26000, seed: int = 0):
 
 def adh_san_diego(n_times: int = 10, seed: int = 1):
     """
-    Synthetic stand-in for ADH_SanDiego.nc: a triangular coastal mesh
-    with time-varying depth on the nodes plus static elevation.
+    The ADH_SanDiego sample: loads the reference's published
+    ADH_SanDiego.nc when present in XUGRID_DATA_DIR
+    (xugrid/data/sample_data.py:34-45), else a synthetic triangular
+    coastal mesh with time-varying depth on the nodes.
     """
     import xugrid_tpu as xu
     from scipy.spatial import Delaunay
+
+    real = _load_real_ugrid("ADH_SanDiego.nc")
+    if real is not None:
+        return real
 
     rng = np.random.default_rng(seed)
     pts = rng.uniform([0.0, 0.0], [30e3, 40e3], (5000, 2))
@@ -161,11 +194,22 @@ def adh_san_diego(n_times: int = 10, seed: int = 1):
 
 def xoxo(seed: int = 2):
     """
-    Synthetic stand-in for the xoxo sample: two disjoint triangulated
+    The xoxo sample: loads the reference's published vertex/triangle
+    files when present in XUGRID_DATA_DIR (xugrid/data/sample_data.py:
+    20-32), else a synthetic stand-in — two disjoint triangulated
     letter-like regions in one topology.
     """
     import xugrid_tpu as xu
     from scipy.spatial import Delaunay
+
+    from xugrid_tpu.data.registry import fetch
+
+    fv = fetch("xoxo_vertices.txt")
+    ft = fetch("xoxo_triangles.txt")
+    if fv is not None and ft is not None:
+        vertices = np.loadtxt(fv, dtype=float)
+        triangles = np.loadtxt(ft, dtype=int)
+        return xu.Ugrid2d(vertices[:, 0], vertices[:, 1], -1, triangles)
 
     rng = np.random.default_rng(seed)
 
