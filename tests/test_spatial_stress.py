@@ -214,3 +214,67 @@ class TestBarycentricStress:
             axis=1
         )
         np.testing.assert_allclose(interp, f(pts[inside]), atol=1e-8)
+
+
+class TestNearestPoints:
+    """Device distance-matmul NN vs scipy KDTree."""
+
+    def _problem(self, seed=0, m=500, p=300):
+        rng = np.random.default_rng(seed)
+        sources = rng.uniform(0, 100, (m, 2))
+        queries = rng.uniform(-10, 110, (p, 2))
+        return sources, queries
+
+    def test_device_matches_kdtree(self, monkeypatch):
+        from xugrid_tpu.spatial import nearest
+
+        sources, queries = self._problem()
+        monkeypatch.setenv("XUGRID_TPU_NEAREST", "host")
+        host = nearest.nearest_points(sources, queries)
+        monkeypatch.setenv("XUGRID_TPU_NEAREST", "device")
+        dev = nearest.nearest_points(sources, queries)
+        # f32 device distances may tie-break differently at 1e-7; the
+        # chosen neighbor must then be equidistant.
+        diff = host != dev
+        if diff.any():
+            d_host = np.linalg.norm(
+                sources[host[diff]] - queries[diff], axis=1
+            )
+            d_dev = np.linalg.norm(
+                sources[dev[diff]] - queries[diff], axis=1
+            )
+            np.testing.assert_allclose(d_host, d_dev, rtol=1e-5)
+
+    def test_max_distance(self, monkeypatch):
+        from xugrid_tpu.spatial import nearest
+
+        sources = np.array([[0.0, 0.0], [10.0, 0.0]])
+        queries = np.array([[0.1, 0.0], [50.0, 50.0]])
+        for mode in ("host", "device"):
+            monkeypatch.setenv("XUGRID_TPU_NEAREST", mode)
+            idx = nearest.nearest_points(sources, queries, max_distance=5.0)
+            assert idx[0] == 0
+            assert idx[1] == -1
+
+    def test_multi_tile(self, monkeypatch):
+        from xugrid_tpu.spatial import nearest
+
+        # More sources than one TILE: the scan must track indices
+        # across tile boundaries.
+        rng = np.random.default_rng(5)
+        sources = rng.uniform(0, 1000, (nearest.TILE * 2 + 37, 2))
+        queries = sources[::97] + 1e-4  # near-exact hits
+        monkeypatch.setenv("XUGRID_TPU_NEAREST", "device")
+        idx = nearest.nearest_points(sources, queries)
+        np.testing.assert_array_equal(idx, np.arange(0, len(sources), 97))
+
+    def test_grid_wrappers(self, monkeypatch):
+        verts, faces = jittered_quads(5, seed=2)
+        grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+        pts = np.array([[0.01, 0.01], [2.5, 2.5]])
+        for mode in ("host", "device"):
+            monkeypatch.setenv("XUGRID_TPU_NEAREST", mode)
+            nodes = grid.locate_nearest_node(pts)
+            assert nodes[0] == 0  # corner node
+            faces_found = grid.locate_nearest_face(pts)
+            assert (faces_found >= 0).all()

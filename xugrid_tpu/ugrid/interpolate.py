@@ -414,7 +414,7 @@ def nearest_interpolate(
     max_distance: float,
 ) -> FloatArray:
     """Standalone nearest-fill on arbitrary coordinates."""
-    from scipy.spatial import KDTree
+    from xugrid_tpu.spatial.nearest import nearest_points
 
     isnull = np.isnan(data)
     if isnull.all():
@@ -423,11 +423,10 @@ def nearest_interpolate(
         return data.copy()
     i_source = np.flatnonzero(~isnull)
     i_target = np.flatnonzero(isnull)
-    tree = KDTree(coordinates[i_source])
-    _, index = tree.query(
-        coordinates[i_target], distance_upper_bound=max_distance, workers=-1
+    index = nearest_points(
+        coordinates[i_source], coordinates[i_target], max_distance
     )
-    keep = index < len(i_source)
+    keep = index >= 0
     out = data.copy()
     out[i_target[keep]] = data[i_source[index[keep]]]
     return out

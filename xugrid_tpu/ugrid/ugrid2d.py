@@ -708,11 +708,9 @@ class Ugrid2d(AbstractUgrid):
 
     def locate_nearest_face(self, points: FloatArray, max_distance: float = np.inf):
         """Nearest face (by centroid) per point; -1 beyond max_distance."""
-        _, indices = self.face_kdtree.query(
-            points, distance_upper_bound=max_distance, workers=-1
-        )
-        indices[indices == self.n_face] = -1
-        return indices
+        from xugrid_tpu.spatial.nearest import nearest_points
+
+        return nearest_points(self.face_coordinates, points, max_distance)
 
     def _locate_nearest(self, facet: str, points: FloatArray, max_distance=np.inf):
         if facet == "node":
@@ -1099,7 +1097,7 @@ class Ugrid2d(AbstractUgrid):
 
     # -- interpolation helper --------------------------------------------------------
     def _nearest_interpolate(self, data, ugrid_dim: str, max_distance: float):
-        from scipy.spatial import KDTree
+        from xugrid_tpu.spatial.nearest import nearest_points
 
         coordinates = self.get_coordinates(ugrid_dim)
         isnull = np.isnan(data)
@@ -1107,11 +1105,10 @@ class Ugrid2d(AbstractUgrid):
             raise ValueError("All values are NA.")
         i_source = np.flatnonzero(~isnull)
         i_target = np.flatnonzero(isnull)
-        tree = KDTree(coordinates[i_source])
-        _, index = tree.query(
-            coordinates[i_target], distance_upper_bound=max_distance, workers=-1
+        index = nearest_points(
+            coordinates[i_source], coordinates[i_target], max_distance
         )
-        keep = index < len(i_source)
+        keep = index >= 0  # beyond max_distance -> -1 -> left as NaN
         out = data.copy()
         out[i_target[keep]] = data[i_source[index[keep]]]
         return out

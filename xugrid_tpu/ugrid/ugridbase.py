@@ -698,20 +698,19 @@ class AbstractUgrid(abc.ABC):
         return self._edge_kdtree
 
     def locate_nearest_node(self, points: FloatArray, max_distance: float = np.inf):
-        """Nearest grid node per point; -1 when beyond max_distance."""
-        _, indices = self.node_kdtree.query(
-            points, distance_upper_bound=max_distance, workers=-1
-        )
-        indices[indices == self.n_node] = -1
-        return indices
+        """Nearest grid node per point; -1 when beyond max_distance.
+
+        Large batches run the MXU distance-matmul kernel on device;
+        small ones the host KDTree (spatial/nearest.py)."""
+        from xugrid_tpu.spatial.nearest import nearest_points
+
+        return nearest_points(self.node_coordinates, points, max_distance)
 
     def locate_nearest_edge(self, points: FloatArray, max_distance: float = np.inf):
         """Nearest grid edge (by midpoint) per point; -1 beyond max_distance."""
-        _, indices = self.edge_kdtree.query(
-            points, distance_upper_bound=max_distance, workers=-1
-        )
-        indices[indices == self.n_edge] = -1
-        return indices
+        from xugrid_tpu.spatial.nearest import nearest_points
+
+        return nearest_points(self.edge_coordinates, points, max_distance)
 
     def locate_points(self, points: FloatArray, tolerance: Optional[float] = None):
         """Index of the core entity containing each point (-1 outside)."""
