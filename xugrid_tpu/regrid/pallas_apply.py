@@ -145,7 +145,7 @@ def plan_auto(
     weights: np.ndarray | None = None,
     block: int = BLOCK,
     max_scalar_bytes: int = 96_000,
-    max_mean_slabs_per_slot: float = 4.0,
+    max_mean_slabs_per_slot: float = 8.0,
 ) -> Plan | None:
     """
     Plan the tiled apply, or None when the window structure has too
@@ -165,7 +165,10 @@ def plan_auto(
     n_subs = np.maximum(-(-spans // SUB), 1).astype(np.int32)
     n_blocks = len(starts)
     max_subs = int(n_subs.max())
-    if n_blocks * max_subs * 8 > max_scalar_bytes:
+    # Only starts/n_subs ride SMEM scalar prefetch; the per-slab slot
+    # tables are VMEM block inputs, so their size no longer gates the
+    # plan (this previously rejected the 10M-face north-star config).
+    if n_blocks * 8 > max_scalar_bytes:
         return None
 
     pad = n_blocks * block - n
@@ -200,8 +203,10 @@ def plan_auto(
     ).astype(np.int32)
 
     # Locality gate: mean number of slabs each (active) slot is scanned
-    # in.  Raster/Hilbert-ordered problems sit near 1.3; scattered
-    # indices blow up towards span/SUB and lose to the XLA gather.
+    # in.  Raster/Hilbert-ordered problems sit near 2.6 at 1M faces and
+    # 6.6 at 10M (measured; the kernel still beats the XLA gather 5.8x
+    # there); genuinely scattered indices blow up towards span/SUB and
+    # lose to the XLA gather.
     eff = float((j_hi - j_lo).sum())
     active = float(np.minimum(valid.sum(axis=1).max(axis=1), w).sum())
     if active > 0 and eff / active > max_mean_slabs_per_slot:
@@ -258,8 +263,8 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
     # denominators — no validity matmul at all.
     masked = has_nan or method in _VALUE_MASKED
 
-    def kernel(starts_ref, n_subs_ref, jlo_ref, jhi_ref, idxT_ref, wT_ref,
-               rwsum_ref, source_hbm, out_ref, *scratch):
+    def kernel(starts_ref, n_subs_ref, jtab_ref, idxT_ref,
+               wT_ref, rwsum_ref, source_hbm, out_ref, *scratch):
         if needs_smat:
             (wmat_ref, smat_ref, local_ref, mw_ref,
              sub_a, sub_b, sem_a, sem_b) = scratch
@@ -270,7 +275,7 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
         b = pl.program_id(0)
         start = starts_ref[b]
         n_sub = n_subs_ref[b]
-        max_subs = jlo_ref.shape[1]
+        max_subs = jtab_ref.shape[1]
 
         idx = idxT_ref[...]  # (w, block) — slots on the SUBLANE axis
         wts = wT_ref[...]
@@ -319,8 +324,13 @@ def _make_kernel(method: str, has_nan: bool, highest: bool):
             # body never runs and the matrices stay zero.
             kc = jnp.minimum(k, max_subs - 1)
             s0 = k * sub
-            lo_j = jlo_ref[b, kc]
-            hi_j = jhi_ref[b, kc]
+            # The slot table is a VMEM block slice (1, max_subs, 128):
+            # the slab index kc lands on the SUBLANE axis (dynamic
+            # sublane indexing is legal; lanes would not be) and lo/hi
+            # sit at static lanes 0/1.  SMEM no longer bounds the
+            # table size, which unblocks the 10M-face plan.
+            lo_j = jtab_ref[0, kc, 0]
+            hi_j = jtab_ref[0, kc, 1]
             is_real = k < n_sub
             lo_j = jnp.where(is_real, lo_j, 0)
             hi_j = jnp.where(is_real, hi_j, 0)
@@ -520,10 +530,17 @@ def pallas_windowed_apply(
         pltpu.SemaphoreType.DMA,
     ]
 
+    max_subs = j_lo.shape[1]
+    subs_pad = -(-max_subs // 8) * 8
+    # Slot table as a 3D VMEM input: (n_blocks, subs_pad, 128) with
+    # lo/hi at lanes 0/1 (padded rows are zero -> empty slot ranges).
+    jtab = jnp.zeros((n_blocks, subs_pad, 128), jnp.int32)
+    jtab = jtab.at[:, :max_subs, 0].set(j_lo).at[:, :max_subs, 1].set(j_hi)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec((1, subs_pad, 128), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((w, block), lambda b, *_: (0, b)),
             pl.BlockSpec((w, block), lambda b, *_: (0, b)),
             pl.BlockSpec((block, 1), lambda b, *_: (b, 0)),
@@ -542,7 +559,7 @@ def pallas_windowed_apply(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(starts, n_subs, j_lo, j_hi, idxT, wT, rwsum, sourceT)
+    )(starts, n_subs, jtab, idxT, wT, rwsum, sourceT)
 
 
 def pad_minor_pallas(n_extra: int) -> int:
