@@ -39,9 +39,16 @@ class AbstractUgridAccessor(abc.ABC):
         if isinstance(taken, xdata.Dataset):
             out = xdata.Dataset(attrs=dict(taken.attrs))
             for name in taken.data_vars:
-                out[name] = _reshape_raster_var(
-                    taken[name], face_dim, index2d, x, y
-                )
+                var = taken[name]
+                if face_dim in var.dims:
+                    out[name] = _reshape_raster_var(
+                        var, face_dim, index2d, x, y
+                    )
+                else:
+                    # Variables on other facets pass through untouched
+                    # (xarray isel semantics in the reference,
+                    # accessorbase.py:89-97).
+                    out[name] = var
             return out
         return _reshape_raster_var(taken, face_dim, index2d, x, y)
 
