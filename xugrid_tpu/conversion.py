@@ -178,10 +178,17 @@ def infer_xy_coords(obj):
         dims = set(obj.dims)
     else:
         dims = set(obj.dims)
+    coords = getattr(obj, "coords", {})
     if "x" in dims and "y" in dims:
         x, y = "x", "y"
     elif "longitude" in dims and "latitude" in dims:
         x, y = "longitude", "latitude"
+    if x is not None and x not in coords:
+        raise ValueError(
+            f"Found spatial dimensions ({y!r}, {x!r}) but no matching "
+            "coordinate variables; assign coordinates (e.g. "
+            f'obj.assign_coords({x}=..., {y}=...)) first.'
+        )
     else:
         for name in obj.coords:
             da = obj[name] if not hasattr(obj, "_coords") else obj.coords[name]
