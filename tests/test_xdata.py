@@ -437,3 +437,68 @@ def test_copy_with_data():
     np.testing.assert_array_equal(np.asarray(new["x"].values), [10.0, 20.0, 30.0])
     with pytest.raises(ValueError, match="shape"):
         da.copy(data=np.ones(5))
+
+
+class TestCFTimeEncoding:
+    """datetime64 variables CF-encode on write and decode on read
+    (NetCDF/zarr have no native datetime type; xarray parity)."""
+
+    def _time_ds(self):
+        ds = Dataset()
+        times = np.array(
+            ["2020-01-01", "2020-01-02T06:30:00", "NaT"],
+            dtype="datetime64[ns]",
+        )
+        ds["v"] = DataArray(
+            np.arange(3.0), dims=("time",)
+        ).assign_coords(time=times)
+        return ds, times
+
+    def test_netcdf_roundtrip(self, tmp_path):
+        ds, times = self._time_ds()
+        p = tmp_path / "t.nc"
+        ds.to_netcdf(p)
+        back = xdata.open_dataset(p)
+        t = np.asarray(back["time"].data)
+        assert np.issubdtype(t.dtype, np.datetime64)
+        assert np.isnat(t[2])
+        np.testing.assert_array_equal(t[:2], times[:2])
+        assert "time" in back.coords
+
+    def test_zarr_roundtrip(self, tmp_path):
+        ds, times = self._time_ds()
+        p = tmp_path / "t.zarr"
+        ds.to_zarr(p)
+        back = xdata.open_zarr(p)
+        t = np.asarray(back["time"].data)
+        assert np.issubdtype(t.dtype, np.datetime64)
+        assert np.isnat(t[2])
+        np.testing.assert_array_equal(t[:2], times[:2])
+
+    def test_decode_foreign_units(self, tmp_path):
+        # Files written by other tools use e.g. 'days since ...'.
+        from scipy.io import netcdf_file
+
+        p = tmp_path / "f.nc"
+        with netcdf_file(str(p), "w") as f:
+            f.createDimension("time", 3)
+            v = f.createVariable("time", np.float64, ("time",))
+            v[:] = np.array([0.0, 1.5, 3.0])
+            v.units = "days since 2000-01-01 12:00:00"
+        back = xdata.open_dataset(p)
+        t = np.asarray(back["time"].data)
+        assert t[0] == np.datetime64("2000-01-01T12:00:00")
+        assert t[1] == np.datetime64("2000-01-03T00:00:00")
+
+    def test_timedelta_encodes_as_seconds(self, tmp_path):
+        ds = Dataset()
+        ds["dt"] = DataArray(
+            np.array([1, 2], dtype="timedelta64[s]"), dims=("x",)
+        )
+        p = tmp_path / "d.nc"
+        ds.to_netcdf(p)
+        back = xdata.open_dataset(p)
+        np.testing.assert_allclose(
+            np.asarray(back["dt"].data, dtype=np.float64), [1.0, 2.0]
+        )
+        assert back["dt"].attrs.get("units") == "seconds"

@@ -21,6 +21,50 @@ except ImportError:
     HAS_NETCDF4 = False
 
 
+#: CF time-unit multipliers in nanoseconds.
+_TIME_UNITS_NS = {
+    "nanoseconds": 1,
+    "microseconds": 1_000,
+    "milliseconds": 1_000_000,
+    "seconds": 1_000_000_000,
+    "minutes": 60 * 1_000_000_000,
+    "hours": 3600 * 1_000_000_000,
+    "days": 86400 * 1_000_000_000,
+}
+
+
+def _parse_time_units(units):
+    """('seconds since 1970-01-01...') -> (ns_per_unit, epoch) or None."""
+    if not isinstance(units, str) or " since " not in units:
+        return None
+    unit, _, epoch = units.partition(" since ")
+    ns = _TIME_UNITS_NS.get(unit.strip().lower().rstrip("s") + "s")
+    if ns is None:
+        return None
+    epoch = epoch.strip().replace(" ", "T").rstrip("Z")
+    try:
+        return ns, np.datetime64(epoch, "ns")
+    except ValueError:
+        return None
+
+
+def _decode_cf_time(data, attrs):
+    """Decode CF '<unit> since <epoch>' numerics to datetime64[ns]."""
+    parsed = _parse_time_units(attrs.get("units"))
+    if parsed is None or not np.issubdtype(data.dtype, np.number):
+        return None
+    ns, epoch = parsed
+    values = np.asarray(data, dtype=np.float64) * ns
+    nat = ~np.isfinite(values)
+    out = epoch + np.where(nat, 0, np.round(values)).astype("timedelta64[ns]")
+    if nat.any():
+        out = np.where(nat, np.datetime64("NaT"), out)
+    attrs = dict(attrs)
+    attrs.pop("units", None)
+    attrs.pop("calendar", None)
+    return out, attrs
+
+
 def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
     attrs = dict(attrs)
     encoding = {}
@@ -39,6 +83,10 @@ def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
                 data = data * scale
             if offset is not None:
                 data = data + offset
+        decoded = _decode_cf_time(data, attrs)
+        if decoded is not None:
+            data, attrs = decoded
+            encoding["units"] = "seconds since 1970-01-01"
     return Variable(dims, data, attrs, encoding)
 
 
@@ -153,8 +201,42 @@ def annotate_cf_coordinates(ds: Dataset) -> Dataset:
     return out
 
 
+def encode_cf_time(ds: Dataset) -> Dataset:
+    """
+    CF-encode datetime64/timedelta64 variables as float64 with CF time
+    units ('seconds since 1970-01-01' / 'seconds'), matching xarray's
+    encoding path — NetCDF has no native datetime type.  float64
+    seconds carry ~0.25 us resolution over +-100 years; NaT maps to NaN.
+    """
+    out = None
+    for name, var in ds._variables.items():
+        kind = np.asarray(var.data).dtype.kind
+        if kind not in "mM":
+            continue
+        if out is None:
+            out = ds.copy(deep=False)
+        data = np.asarray(var.data).astype("datetime64[ns]" if kind == "M" else "timedelta64[ns]")
+        nat = np.isnat(data)
+        if kind == "M":
+            seconds = (
+                data.astype("datetime64[ns]").astype(np.int64) / 1e9
+            )
+            attrs = dict(var.attrs)
+            attrs["units"] = "seconds since 1970-01-01"
+            attrs["calendar"] = "proleptic_gregorian"
+        else:
+            seconds = data.astype("timedelta64[ns]").astype(np.int64) / 1e9
+            attrs = dict(var.attrs)
+            attrs["units"] = "seconds"
+        seconds = np.where(nat, np.nan, seconds)
+        out._variables[name] = Variable(
+            var.dims, seconds, attrs, var.encoding
+        )
+    return ds if out is None else out
+
+
 def to_netcdf(ds: Dataset, path, engine=None, **kwargs) -> None:
-    ds = annotate_cf_coordinates(ds)
+    ds = annotate_cf_coordinates(encode_cf_time(ds))
     if HAS_NETCDF4 and engine != "scipy":
         _write_netcdf4(ds, path)
         return

@@ -27,9 +27,12 @@ def _dtype_str(dtype: np.dtype) -> str:
 
 
 def to_zarr(ds: Dataset, store, **kwargs) -> None:
-    from xugrid_tpu.xdata.io_netcdf import annotate_cf_coordinates
+    from xugrid_tpu.xdata.io_netcdf import (
+        annotate_cf_coordinates,
+        encode_cf_time,
+    )
 
-    ds = annotate_cf_coordinates(ds)
+    ds = annotate_cf_coordinates(encode_cf_time(ds))
     root = Path(store)
     root.mkdir(parents=True, exist_ok=True)
     (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
@@ -89,7 +92,11 @@ def open_zarr(store, **kwargs) -> Dataset:
         data = _read_chunks(child, shape, chunks, dtype, meta)
         if dims is None:
             dims = tuple(f"{name}_dim_{i}" for i in range(len(shape)))
-        ds._variables[name] = Variable(tuple(dims), data, var_attrs)
+        from xugrid_tpu.xdata.io_netcdf import _decode_variable
+
+        ds._variables[name] = _decode_variable(
+            name, tuple(dims), data, var_attrs, decode_cf=True
+        )
     from xugrid_tpu.xdata.io_netcdf import _mark_coords
 
     _mark_coords(ds)
