@@ -376,6 +376,30 @@ def golden_graph_morphology(ref):
     print("graph_morphology.npz: DAG sort, contraction, morphology")
 
 
+def golden_sparse(ref):
+    """MatrixCOO/CSR construction and conversion semantics
+    (xugrid/core/sparse.py:22-158): duplicates are PRESERVED (not
+    coalesced) and row order must be respected by to_csr."""
+    rng = np.random.default_rng(41)
+    n, m, nnz = 9, 7, 40
+    row = np.sort(rng.integers(0, n, nnz))  # to_csr requires row-sorted
+    col = rng.integers(0, m, nnz)
+    data = rng.uniform(0.5, 2.0, nnz)
+    coo = ref["sparse"].MatrixCOO.from_triplet(row, col, data)
+    csr = ref["sparse"].MatrixCSR.from_triplet(row, col, data, n=n, m=m)
+    back = csr.to_coo()
+    np.savez(
+        os.path.join(HERE, "sparse.npz"),
+        row=row, col=col, data=data, n=n, m=m,
+        coo_n=np.int64(coo.n), coo_m=np.int64(coo.m),
+        csr_indptr=csr.indptr, csr_indices=csr.indices, csr_data=csr.data,
+        csr_n=np.int64(csr.n), csr_m=np.int64(csr.m),
+        csr_nnz=np.int64(csr.nnz),
+        back_row=back.row, back_col=back.col, back_data=back.data,
+    )
+    print("sparse.npz: COO/CSR construction")
+
+
 if __name__ == "__main__":
     ref = load_reference_modules()
     golden_reductions(ref)
@@ -384,4 +408,5 @@ if __name__ == "__main__":
     golden_connectivity(ref)
     golden_voronoi(ref)
     golden_graph_morphology(ref)
+    golden_sparse(ref)
     print("done")
