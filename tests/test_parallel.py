@@ -279,3 +279,40 @@ class TestNeighborExchangePlan:
         mesh, neighbors, values = self._mesh_and_adjacency()
         with pytest.raises(ValueError, match="halo"):
             sharded_laplace_smooth(mesh, neighbors, values, method="bogus")
+
+
+@requires_8_devices
+def test_sharded_from_regridder():
+    """The public bridge: a built OverlapRegridder sharded over a mesh
+    reproduces the single-device regrid."""
+    import xugrid_tpu as xu
+    from xugrid_tpu.xdata import DataArray
+
+    def quads(ns, dx=1.0):
+        x = np.arange(ns + 1.0) * dx
+        yy, xx = np.meshgrid(x, x, indexing="ij")
+        verts = np.column_stack([xx.ravel(), yy.ravel()])
+        j, i = np.meshgrid(np.arange(ns), np.arange(ns), indexing="ij")
+        nid = lambda ii, jj: jj * (ns + 1) + ii  # noqa: E731
+        return verts, np.stack(
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)], -1
+        ).reshape(-1, 4)
+
+    sv, sf = quads(16)
+    grid = xu.Ugrid2d(sv[:, 0], sv[:, 1], -1, sf)
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=grid.n_face)
+    src = xu.UgridDataArray(
+        DataArray(vals, dims=(grid.face_dimension,), name="v"), grid
+    )
+    tv, tf = quads(4, dx=4.0)
+    target = xu.UgridDataArray.from_data(
+        np.zeros(16), xu.Ugrid2d(tv[:, 0], tv[:, 1], -1, tf), facet="face"
+    )
+    rg = xu.OverlapRegridder(src, target, method="mean")
+    expected = np.asarray(rg.regrid(src).values)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    plan = ShardedRegrid.from_regridder(mesh, rg)
+    out = plan.gather(plan(vals.astype(np.float32)))
+    np.testing.assert_allclose(out, expected, rtol=1e-5)

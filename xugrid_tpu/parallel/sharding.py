@@ -172,6 +172,29 @@ class ShardedRegrid:
             apply_jit = jax.jit(_apply)
             self._apply = lambda src, w: apply_jit(src, self.indices, w)
 
+    @classmethod
+    def from_regridder(
+        cls,
+        mesh: Mesh,
+        regridder,
+        reduction: Callable | None = None,
+        axis: str | None = None,
+        method: str = "auto",
+    ) -> "ShardedRegrid":
+        """
+        Shard a built regridder's weights over a device mesh.
+
+        ``regridder`` is any BaseRegridder with computed weights (e.g.
+        OverlapRegridder); its reduction is reused unless overridden.
+        Apply with source fields in the SOURCE GRID's face order —
+        spatially sort both grids (e.g. ``partition_order``) before
+        building the regridder for an O(perimeter) halo exchange.
+        """
+        padded = regridder._padded_weights
+        if reduction is None:
+            reduction = getattr(regridder, "_reduction", reductions.mean)
+        return cls(mesh, padded, reduction=reduction, axis=axis, method=method)
+
     def put_source(self, source: np.ndarray) -> jax.Array:
         """Shard a source field (length m) across the mesh."""
         padded = _pad_to_multiple(
