@@ -249,3 +249,33 @@ class TestConversionNumpyCore:
         np.testing.assert_allclose(
             infer_interval_breaks1d(da, "y"), [3.0, 2.0, 1.0, 0.0]
         )
+
+
+class TestInferXYCoords:
+    """Dims-named coordinates take precedence over attrs-tagged aux
+    coordinates, and missing coordinate variables raise (review
+    regression: the attrs fallback must not run when dims matched)."""
+
+    def test_dims_win_over_aux_attrs(self):
+        from xugrid_tpu.conversion import infer_xy_coords
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(np.zeros((2, 3)), dims=("y", "x")).assign_coords(
+            x=[0.0, 1.0, 2.0], y=[0.0, 1.0]
+        )
+        da = da.assign_coords(
+            lon=("x", [10.0, 11.0, 12.0]), lat=("y", [50.0, 51.0])
+        )
+        da["lon"].attrs["standard_name"] = "longitude"
+        da["lat"].attrs["standard_name"] = "latitude"
+        assert infer_xy_coords(da) == ("x", "y")
+
+    def test_missing_one_coord_raises(self):
+        from xugrid_tpu.conversion import infer_xy_coords
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(np.zeros((2, 3)), dims=("y", "x")).assign_coords(
+            x=[0.0, 1.0, 2.0]
+        )
+        with pytest.raises(ValueError, match="coordinate"):
+            infer_xy_coords(da)

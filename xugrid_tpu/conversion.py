@@ -183,12 +183,6 @@ def infer_xy_coords(obj):
         x, y = "x", "y"
     elif "longitude" in dims and "latitude" in dims:
         x, y = "longitude", "latitude"
-    if x is not None and x not in coords:
-        raise ValueError(
-            f"Found spatial dimensions ({y!r}, {x!r}) but no matching "
-            "coordinate variables; assign coordinates (e.g. "
-            f'obj.assign_coords({x}=..., {y}=...)) first.'
-        )
     else:
         for name in obj.coords:
             da = obj[name] if not hasattr(obj, "_coords") else obj.coords[name]
@@ -201,6 +195,13 @@ def infer_xy_coords(obj):
                 x = name
             elif axis == "y" or stdname in ("latitude", "projection_y_coordinate"):
                 y = name
+    missing = [n for n in (x, y) if n is not None and n not in coords]
+    if missing:
+        raise ValueError(
+            f"Found spatial dimensions ({y!r}, {x!r}) but no matching "
+            f"coordinate variables for {missing}; assign coordinates "
+            f"(e.g. obj.assign_coords({x}=..., {y}=...)) first."
+        )
     return x, y
 
 

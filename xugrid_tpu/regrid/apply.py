@@ -29,6 +29,9 @@ import numpy as np
 
 from xugrid_tpu.core.sparse import PaddedCSR
 
+#: sentinel distinguishing "never planned" from a rejected (None) plan.
+_REJECTED = object()
+
 
 def _pad_minor(n_extra: int) -> int:
     """Lane padding: at least 8, multiples of 8, full 128 when close."""
@@ -117,11 +120,16 @@ def apply_weights(
     reduction,
     target_size: int,
     dtype=None,
+    plan_cache: dict | None = None,
 ):
     """
     Apply regridding weights over the flattened source.
 
     source: (..., m) array; leading dims are packed onto the lane axis.
+    ``plan_cache`` (a mutable dict owned by the caller, e.g. the
+    regridder) memoizes the Pallas slab plan across chunked/repeated
+    applies of the same weights — host-side planning re-sorts the full
+    window table otherwise.
     Returns (..., n_target) numpy array.
     """
     source = np.asarray(source)
@@ -134,15 +142,28 @@ def apply_weights(
 
     method, has_nan = _pallas_method(reduction, source2d)
     if method is not None:
-        from xugrid_tpu.regrid.pallas_apply import apply_windowed_pallas
-
-        out = apply_windowed_pallas(
-            source2d.T.astype(np.float32),
-            weights.indices,
-            weights.weights,
-            method,
-            has_nan=has_nan,
+        from xugrid_tpu.regrid.pallas_apply import (
+            apply_windowed_pallas,
+            plan_auto,
         )
+
+        plan = _REJECTED
+        if plan_cache is not None:
+            plan = plan_cache.get("pallas_plan", _REJECTED)
+        if plan is _REJECTED:
+            plan = plan_auto(weights.indices, weights.weights)
+            if plan_cache is not None:
+                plan_cache["pallas_plan"] = plan
+        out = None
+        if plan is not None:
+            out = apply_windowed_pallas(
+                source2d.T.astype(np.float32),
+                weights.indices,
+                weights.weights,
+                method,
+                has_nan=has_nan,
+                plan=plan,
+            )
         if out is not None:
             return out.T.astype(source2d.dtype).reshape(
                 leading + (target_size,)

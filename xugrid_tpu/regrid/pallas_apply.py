@@ -145,7 +145,7 @@ def plan_auto(
     weights: np.ndarray | None = None,
     block: int = BLOCK,
     max_scalar_bytes: int = 96_000,
-    max_mean_slabs_per_slot: float = 8.0,
+    max_mean_slabs_per_slot: float = 12.0,
 ) -> Plan | None:
     """
     Plan the tiled apply, or None when the window structure has too
@@ -204,11 +204,12 @@ def plan_auto(
 
     # Locality gate: mean number of slabs each (active) slot is scanned
     # in.  Raster/Hilbert-ordered problems sit near 2.6 at 1M faces and
-    # 6.6 at 10M (measured; the kernel still beats the XLA gather 5.8x
-    # there); genuinely scattered indices blow up towards span/SUB and
-    # lose to the XLA gather.
+    # 7.6 at 10M (measured; the kernel still beats the XLA gather 5.8x
+    # there — the 12.0 cap leaves headroom over that data point);
+    # genuinely scattered indices blow up towards span/SUB (tens to
+    # thousands at scale) and lose to the XLA gather.
     eff = float((j_hi - j_lo).sum())
-    active = float(np.minimum(valid.sum(axis=1).max(axis=1), w).sum())
+    active = float(any_valid.sum())  # active slots per block, summed
     if active > 0 and eff / active > max_mean_slabs_per_slot:
         return None
     return Plan(starts, n_subs, j_lo, j_hi, idx, wts, block, n)

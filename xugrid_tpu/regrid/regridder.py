@@ -72,6 +72,7 @@ class BaseRegridder(abc.ABC):
         self._target = setup_grid(target)
         self._weights = None
         self._padded = None
+        self._plan_cache = {}
         self._compute_weights(self._source, self._target, tolerance)
 
     @property
@@ -130,6 +131,7 @@ class BaseRegridder(abc.ABC):
         # UGRID dim likewise kept whole per chunk.
         per_slice = 4 * (source_grid.size + self._target.size)
         rows = max(int(_apply_chunk_bytes() // max(per_slice, 1)), 1)
+        plan_cache = getattr(self, "_plan_cache", None)
         if n_extra > rows:
             out = np.concatenate(
                 [
@@ -138,6 +140,7 @@ class BaseRegridder(abc.ABC):
                         source2d[i : i + rows],
                         self._reduction,
                         self._target.size,
+                        plan_cache=plan_cache,
                     )
                     for i in range(0, n_extra, rows)
                 ]
@@ -148,6 +151,7 @@ class BaseRegridder(abc.ABC):
                 source2d,
                 self._reduction,
                 self._target.size,
+                plan_cache=plan_cache,
             )
         return out.reshape(first_dims_shape + self._target.shape)
 
@@ -282,6 +286,7 @@ class BaseRegridder(abc.ABC):
         instance = cls.__new__(cls)
         instance._weights = cls._weights_from_dataset(weights)
         instance._padded = None
+        instance._plan_cache = {}
         instance._target = setup_grid(target)
         unstructured = (
             weights["__source_type"].attrs["type"] == "UnstructuredGrid2d"
@@ -338,6 +343,7 @@ class CentroidLocatorRegridder(BaseRegridder):
             n=target.size, m=source.size,
         )
         self._padded = None
+        self._plan_cache = {}
 
     def _regrid_array(self, source):
         source_grid = self._source
@@ -364,6 +370,7 @@ class CentroidLocatorRegridder(BaseRegridder):
             )
         self._weights = weights
         self._padded = None
+        self._plan_cache = {}
 
     @classmethod
     def _weights_from_dataset(cls, dataset) -> MatrixCOO:
@@ -381,6 +388,7 @@ class BaseOverlapRegridder(BaseRegridder, abc.ABC):
             n=target.size, m=source.size,
         )
         self._padded = None
+        self._plan_cache = {}
 
     @property
     def weights(self):
@@ -394,6 +402,7 @@ class BaseOverlapRegridder(BaseRegridder, abc.ABC):
             )
         self._weights = weights
         self._padded = None
+        self._plan_cache = {}
 
     @classmethod
     def _weights_from_dataset(cls, dataset) -> MatrixCSR:
@@ -491,6 +500,7 @@ class BarycentricInterpolator(BaseRegridder):
             n=target.size, m=source.size,
         )
         self._padded = None
+        self._plan_cache = {}
 
     @property
     def weights(self):
@@ -504,6 +514,7 @@ class BarycentricInterpolator(BaseRegridder):
             )
         self._weights = weights
         self._padded = None
+        self._plan_cache = {}
 
     @classmethod
     def from_weights(cls, weights, target):

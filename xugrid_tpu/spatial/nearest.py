@@ -75,13 +75,16 @@ def nearest_points(
     sources: np.ndarray,
     queries: np.ndarray,
     max_distance: float = np.inf,
+    tree=None,
 ):
     """
     Index of the nearest source per query (-1 beyond ``max_distance``).
 
     Dispatches between the MXU distance-matmul kernel and the host
     KDTree by problem shape and backend; XUGRID_TPU_NEAREST=
-    device|host overrides.
+    device|host overrides.  ``tree`` may pass a prebuilt
+    scipy KDTree over ``sources`` so repeated host-path lookups skip
+    the O(M log M) construction (the grids cache theirs).
     """
     sources = np.ascontiguousarray(sources, dtype=np.float64)
     queries = np.atleast_2d(np.ascontiguousarray(queries, dtype=np.float64))
@@ -94,9 +97,10 @@ def nearest_points(
         and jax.default_backend() != "cpu"
     )
     if not use_device or M == 0:
-        from scipy.spatial import KDTree
+        if tree is None:
+            from scipy.spatial import KDTree
 
-        tree = KDTree(sources)
+            tree = KDTree(sources)
         _, indices = tree.query(
             queries, distance_upper_bound=max_distance, workers=-1
         )

@@ -35,6 +35,37 @@ from xugrid_tpu import xdata
 from xugrid_tpu.constants import FloatArray
 
 
+def _make_chebyshev_precond(matvec, minv, lmax, degree):
+    """Shared Chebyshev approximation of (D^-1 A)^-1 on [lmax/30, lmax]
+    applied to D^-1 r: a fixed SPD linear operator (valid for PCG),
+    built from matvecs only.  degree <= 1 degrades to plain Jacobi."""
+    if degree <= 1:
+        def precond(r):
+            return minv * r
+
+        return precond
+
+    lo = lmax / 30.0
+    theta = (lmax + lo) / 2.0
+    delta = (lmax - lo) / 2.0
+    sigma = theta / delta
+
+    def precond(r):
+        rd = minv * r
+        d = rd / theta
+        z = d
+        rho_prev = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho = 1.0 / (2.0 * sigma - rho_prev)
+            resid = rd - minv * matvec(z)
+            d = rho * rho_prev * d + (2.0 * rho / delta) * resid
+            z = z + d
+            rho_prev = rho
+        return z
+
+    return precond
+
+
 def _make_pcg_coo():
     """COO segment-sum PCG, vmapped over right-hand sides — the fast
     formulation on CPU (the windowed gather costs ~3x there)."""
@@ -49,28 +80,7 @@ def _make_pcg_coo():
             return jax.ops.segment_sum(vals * x[cols], rows, num_segments=n)
 
         minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
-
-        if degree <= 1:
-            def precond(r):
-                return minv * r
-        else:
-            lo = lmax / 30.0
-            theta = (lmax + lo) / 2.0
-            delta = (lmax - lo) / 2.0
-            sigma = theta / delta
-
-            def precond(r):
-                rd = minv * r
-                d = rd / theta
-                z = d
-                rho_prev = 1.0 / sigma
-                for _ in range(degree - 1):
-                    rho = 1.0 / (2.0 * sigma - rho_prev)
-                    resid = rd - minv * matvec(z)
-                    d = rho * rho_prev * d + (2.0 * rho / delta) * resid
-                    z = z + d
-                    rho_prev = rho
-                return z
+        precond = _make_chebyshev_precond(matvec, minv, lmax, degree)
 
         def one(b1, x1):
             r = b1 - matvec(x1)
@@ -130,31 +140,7 @@ def _make_pcg_windowed():
             return jnp.einsum("nw,nwe->ne", wvals, gathered)
 
         minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)[:, None]
-
-        if degree <= 1:
-            def precond(r):
-                return minv * r
-        else:
-            # Chebyshev approximation of (D^-1 A)^-1 on [lmax/30, lmax]
-            # applied to D^-1 r: a fixed SPD linear operator (valid for
-            # PCG), built from matvecs only.
-            lo = lmax / 30.0
-            theta = (lmax + lo) / 2.0
-            delta = (lmax - lo) / 2.0
-            sigma = theta / delta
-
-            def precond(r):
-                rd = minv * r
-                d = rd / theta
-                z = d
-                rho_prev = 1.0 / sigma
-                for _ in range(degree - 1):
-                    rho = 1.0 / (2.0 * sigma - rho_prev)
-                    resid = rd - minv * matvec(z)
-                    d = rho * rho_prev * d + (2.0 * rho / delta) * resid
-                    z = z + d
-                    rho_prev = rho
-                return z
+        precond = _make_chebyshev_precond(matvec, minv, lmax, degree)
 
         def coldot(a, b):  # per-RHS inner products: (n, E) -> (E,)
             return jnp.sum(a * b, axis=0)

@@ -710,7 +710,10 @@ class Ugrid2d(AbstractUgrid):
         """Nearest face (by centroid) per point; -1 beyond max_distance."""
         from xugrid_tpu.spatial.nearest import nearest_points
 
-        return nearest_points(self.face_coordinates, points, max_distance)
+        return nearest_points(
+            self.face_coordinates, points, max_distance,
+            tree=self.face_kdtree,
+        )
 
     def _locate_nearest(self, facet: str, points: FloatArray, max_distance=np.inf):
         if facet == "node":

@@ -701,16 +701,22 @@ class AbstractUgrid(abc.ABC):
         """Nearest grid node per point; -1 when beyond max_distance.
 
         Large batches run the MXU distance-matmul kernel on device;
-        small ones the host KDTree (spatial/nearest.py)."""
+        small ones the cached host KDTree (spatial/nearest.py)."""
         from xugrid_tpu.spatial.nearest import nearest_points
 
-        return nearest_points(self.node_coordinates, points, max_distance)
+        return nearest_points(
+            self.node_coordinates, points, max_distance,
+            tree=self.node_kdtree,
+        )
 
     def locate_nearest_edge(self, points: FloatArray, max_distance: float = np.inf):
         """Nearest grid edge (by midpoint) per point; -1 beyond max_distance."""
         from xugrid_tpu.spatial.nearest import nearest_points
 
-        return nearest_points(self.edge_coordinates, points, max_distance)
+        return nearest_points(
+            self.edge_coordinates, points, max_distance,
+            tree=self.edge_kdtree,
+        )
 
     def locate_points(self, points: FloatArray, tolerance: Optional[float] = None):
         """Index of the core entity containing each point (-1 outside)."""

@@ -49,16 +49,29 @@ def _parse_time_units(units):
 
 
 def _decode_cf_time(data, attrs):
-    """Decode CF '<unit> since <epoch>' numerics to datetime64[ns]."""
-    parsed = _parse_time_units(attrs.get("units"))
-    if parsed is None or not np.issubdtype(data.dtype, np.number):
+    """Decode CF time numerics: '<unit> since <epoch>' to datetime64[ns],
+    bare time units ('seconds', 'days', ...) to timedelta64[ns] —
+    xarray's decode_times/decode_timedelta defaults."""
+    if not np.issubdtype(np.asarray(data).dtype, np.number):
         return None
-    ns, epoch = parsed
+    units = attrs.get("units")
+    parsed = _parse_time_units(units)
+    epoch = None
+    if parsed is not None:
+        ns, epoch = parsed
+    elif isinstance(units, str):
+        ns = _TIME_UNITS_NS.get(units.strip().lower().rstrip("s") + "s")
+        if ns is None:
+            return None
+    else:
+        return None
     values = np.asarray(data, dtype=np.float64) * ns
     nat = ~np.isfinite(values)
-    out = epoch + np.where(nat, 0, np.round(values)).astype("timedelta64[ns]")
+    delta = np.where(nat, 0, np.round(values)).astype("timedelta64[ns]")
+    out = delta if epoch is None else epoch + delta
     if nat.any():
-        out = np.where(nat, np.datetime64("NaT"), out)
+        fill = np.datetime64("NaT") if epoch is not None else np.timedelta64("NaT")
+        out = np.where(nat, fill, out)
     attrs = dict(attrs)
     attrs.pop("units", None)
     attrs.pop("calendar", None)
