@@ -672,12 +672,20 @@ void mean_value_weights(const double* pts, const int64_t* prims, int64_t n,
             dy[v] = poly[2 * v + 1] - py;
             r[v] = std::sqrt(dx[v] * dx[v] + dy[v] * dy[v]);
         }
+        // Point ON an edge: alpha -> pi there (tan(alpha/2) -> inf);
+        // the mean-value limit is linear interpolation between the two
+        // edge endpoints (matches geometry.mean_value_weights).
+        int64_t edge_v = -1;
         for (int64_t v = 0; v < n_vert; ++v) {
             const int64_t nxt = (v + 1 < n_vert) ? v + 1 : 0;
             const double cross = dx[v] * dy[nxt] - dy[v] * dx[nxt];
             const double dot = dx[v] * dx[nxt] + dy[v] * dy[nxt];
             tan_half[v] =
                 cross == 0.0 ? 0.0 : (r[v] * r[nxt] - dot) / cross;
+            if (std::abs(cross) <= 1e-12 * r[v] * r[nxt] && dot < 0.0 &&
+                edge_v < 0) {
+                edge_v = v;
+            }
         }
         bool any_vertex = false;
         for (int64_t v = 0; v < n_vert; ++v) {
@@ -689,6 +697,13 @@ void mean_value_weights(const double* pts, const int64_t* prims, int64_t n,
                 w[v] = r[v] <= tol ? 1.0 : 0.0;
                 total += w[v];
             }
+        } else if (edge_v >= 0) {
+            const int64_t nxt = (edge_v + 1 < n_vert) ? edge_v + 1 : 0;
+            double r_sum = r[edge_v] + r[nxt];
+            if (r_sum == 0.0) r_sum = 1.0;
+            w[edge_v] = r[nxt] / r_sum;
+            w[nxt] += r[edge_v] / r_sum;
+            total = w[edge_v] + w[nxt];
         } else {
             for (int64_t v = 0; v < n_vert; ++v) {
                 const int64_t prev = (v == 0) ? n_vert - 1 : v - 1;

@@ -1,0 +1,193 @@
+"""
+Regression tests for the high-effort xdata/spatial review findings:
+each test reproduces a confirmed bug from that review and pins the fix.
+"""
+
+import numpy as np
+import pytest
+
+import xugrid_tpu as xu
+from xugrid_tpu import xdata
+from xugrid_tpu.xdata import DataArray, Dataset, Variable
+
+
+class TestVariableIsel:
+    def test_multi_indexer_boolean_mask(self):
+        # Bool masks in the multi-array-indexer branch were cast to
+        # int indices [1,0,1], silently returning wrong rows.
+        v = Variable(("x", "y"), np.arange(12).reshape(3, 4))
+        out = v.isel({"x": np.array([True, False, True]), "y": [0, 1]})
+        np.testing.assert_array_equal(out.data, [[0, 1], [8, 9]])
+
+    def test_single_boolean_mask_still_works(self):
+        v = Variable(("x",), np.arange(5.0))
+        out = v.isel({"x": np.array([True, False, True, False, False])})
+        np.testing.assert_array_equal(out.data, [0.0, 2.0])
+
+
+class TestPackedFillDecode:
+    def test_int_fill_with_scale(self, tmp_path):
+        from scipy.io import netcdf_file
+
+        p = tmp_path / "packed.nc"
+        with netcdf_file(str(p), "w") as f:
+            f.createDimension("x", 3)
+            v = f.createVariable("v", np.int16, ("x",))
+            v[:] = np.array([100, -32767, 200], dtype=np.int16)
+            v._FillValue = np.int16(-32767)
+            v.scale_factor = 0.01
+        back = xdata.open_dataset(p)
+        data = np.asarray(back["v"].data)
+        np.testing.assert_allclose(data[[0, 2]], [1.0, 2.0])
+        assert np.isnan(data[1])  # sentinel masked BEFORE unpacking
+
+
+class TestExpandDims:
+    def test_coordinate_survives(self):
+        ds = Dataset()
+        ds["a"] = DataArray(np.arange(3.0), dims=("x",))
+        out = ds.expand_dims({"time": [10, 20]})
+        assert "time" in out.coords
+        sel = out.sel(time=20)
+        np.testing.assert_array_equal(np.asarray(sel["a"].data), [0, 1, 2])
+
+
+class TestZarrOverwrite:
+    def test_stale_arrays_removed(self, tmp_path):
+        p = tmp_path / "s.zarr"
+        ds1 = Dataset()
+        ds1["a"] = DataArray(np.arange(3.0), dims=("x",))
+        ds1["b"] = DataArray(np.arange(3.0), dims=("x",))
+        ds1.to_zarr(p)
+        ds2 = Dataset()
+        ds2["a"] = DataArray(np.arange(4.0), dims=("x",))
+        ds2.to_zarr(p)
+        back = xdata.open_zarr(p)
+        assert set(back.data_vars) == {"a"}
+        assert back["a"].shape == (4,)
+
+
+class TestSelTolerance:
+    def test_tolerance_enforced(self):
+        da = DataArray(
+            np.arange(3.0), dims=("x",)
+        ).assign_coords(x=[0.0, 10.0, 20.0])
+        assert float(da.sel(x=9.5, method="nearest").data) == 1.0
+        with pytest.raises(KeyError):
+            da.sel(x=4.9, method="nearest", tolerance=1.0)
+
+    def test_dataset_sel_tolerance(self):
+        ds = Dataset()
+        ds["v"] = DataArray(
+            np.arange(3.0), dims=("x",)
+        ).assign_coords(x=[0.0, 10.0, 20.0])
+        out = ds.sel(x=10.4, method="nearest", tolerance=1.0)
+        assert float(out["v"].data) == 1.0
+        with pytest.raises(KeyError):
+            ds.sel(x=4.9, method="nearest", tolerance=1.0)
+
+
+class TestWhereDrop:
+    def test_plain_array_cond(self):
+        da = DataArray(np.arange(5.0), dims=("x",))
+        out = da.where(
+            np.array([True, False, True, False, False]), drop=True
+        )
+        np.testing.assert_array_equal(np.asarray(out.data), [0.0, 2.0])
+
+
+class TestIdxReductions:
+    def test_idxmax_skips_nan(self):
+        da = DataArray(
+            np.array([1.0, np.nan, 3.0]), dims=("x",)
+        ).assign_coords(x=[10, 20, 30])
+        assert int(da.idxmax().data) == 30
+        assert int(da.idxmin().data) == 10
+
+    def test_idxmax_skipna_false(self):
+        da = DataArray(
+            np.array([1.0, np.nan, 3.0]), dims=("x",)
+        ).assign_coords(x=[10, 20, 30])
+        assert int(da.idxmax(skipna=False).data) == 20  # NaN wins argmax
+
+
+class TestMeanValueOnEdge:
+    def test_edge_point_is_linear_interpolation(self):
+        import jax.numpy as jnp
+
+        from xugrid_tpu.spatial.geometry import mean_value_weights
+
+        square = jnp.array(
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+        )
+        w = np.asarray(
+            mean_value_weights(jnp.array([0.25, 0.0]), square, 1e-12)
+        )
+        np.testing.assert_allclose(w, [0.75, 0.25, 0.0, 0.0], atol=1e-12)
+
+    def test_barycentric_on_edge_via_celltree(self):
+        from xugrid_tpu.spatial.celltree import CellTree2d
+
+        nodes = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+        tree = CellTree2d(nodes, np.array([[0, 1, 2]]), -1)
+        fi, w = tree.compute_barycentric_weights(np.array([[1.0, 0.0]]))
+        w = np.asarray(w)[0]
+        vals = np.array([0.0, 10.0, 100.0])
+        # Point midway along the bottom edge: value must be 5.
+        np.testing.assert_allclose((w[:3] * vals).sum(), 5.0, atol=1e-6)
+
+
+class TestCollinearIntersections:
+    def test_network_edge_overlap(self):
+        net = xu.Ugrid1d(
+            np.array([0.0, 2.0, 4.0]),
+            np.array([0.0, 0.0, 0.0]),
+            -1,
+            np.array([[0, 1], [1, 2]]),
+        )
+        ei, ci, pts = net.intersect_edges(
+            np.array([[[0.5, 0.0], [3.5, 0.0]]])
+        )
+        assert sorted(ci.tolist()) == [0, 1]
+
+    def test_segment_segment_collinear(self):
+        import jax.numpy as jnp
+
+        from xugrid_tpu.spatial.geometry import segment_segment_intersection
+
+        hit, pt = segment_segment_intersection(
+            jnp.array([0.0, 0.0]), jnp.array([4.0, 0.0]),
+            jnp.array([1.0, 0.0]), jnp.array([3.0, 0.0]),
+        )
+        assert bool(hit)
+        np.testing.assert_allclose(np.asarray(pt), [1.0, 0.0])
+        # Disjoint collinear segments: no hit.
+        hit, _ = segment_segment_intersection(
+            jnp.array([0.0, 0.0]), jnp.array([1.0, 0.0]),
+            jnp.array([2.0, 0.0]), jnp.array([3.0, 0.0]),
+        )
+        assert not bool(hit)
+
+
+class TestNearestPrecision:
+    def test_utm_scale_coordinates(self, monkeypatch):
+        from xugrid_tpu.spatial import nearest
+
+        # Sources 0.05 m apart at UTM magnitudes: f32 cannot represent
+        # the offsets without the local-origin shift.
+        base = np.array([500000.0, 4000000.0])
+        sources = base + np.array([[0.0, 0.0], [0.05, 0.0], [0.1, 0.0]])
+        queries = base + np.array([[0.06, 0.0]])
+        monkeypatch.setenv("XUGRID_TPU_NEAREST", "device")
+        idx = nearest.nearest_points(sources, queries)
+        assert idx[0] == 1
+
+
+class TestDatasetUpdateSizes:
+    def test_conflicting_sizes_rejected(self):
+        ds = Dataset()
+        ds["a"] = DataArray(np.arange(3.0), dims=("x",))
+        other = Dataset()
+        other["b"] = DataArray(np.arange(4.0), dims=("x",))
+        with pytest.raises(ValueError, match="conflicting size"):
+            ds.update(other)

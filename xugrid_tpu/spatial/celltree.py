@@ -454,4 +454,18 @@ def _segment_intersections(p0, p1, q0, q1):
     t = t_num / safe
     u = u_num / safe
     hit = ~parallel & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+
+    # Collinear overlap (parallel and q0 on p's line): intersect the
+    # projected parameter intervals; the q0-side entry point represents
+    # the overlap (numba_celltree reports these).
+    rr = np.einsum("ij,ij->i", r, r)
+    safe_rr = np.where(rr == 0.0, 1.0, rr)
+    s0 = np.einsum("ij,ij->i", q0 - p0, r) / safe_rr
+    s1 = np.einsum("ij,ij->i", q1 - p0, r) / safe_rr
+    lo = np.maximum(np.minimum(s0, s1), 0.0)
+    hi = np.minimum(np.maximum(s0, s1), 1.0)
+    collinear = parallel & (t_num == 0.0) & (rr > 0.0)
+    col_hit = collinear & (lo <= hi)
+    t = np.where(col_hit, lo, t)
+    hit = hit | col_hit
     return hit, p0 + t[:, None] * r

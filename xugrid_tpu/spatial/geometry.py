@@ -151,6 +151,19 @@ def segment_segment_intersection(p0, p1, q0, q1):
     u = u_num / safe
     hit = ~parallel & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
     point = p0 + t * r
+
+    # Collinear overlap: parallel AND q0 on p's line. Project q onto p
+    # and intersect the parameter intervals; report the entry point.
+    rr = r[0] * r[0] + r[1] * r[1]
+    safe_rr = jnp.where(rr == 0.0, 1.0, rr)
+    s0 = ((q0[0] - p0[0]) * r[0] + (q0[1] - p0[1]) * r[1]) / safe_rr
+    s1 = ((q1[0] - p0[0]) * r[0] + (q1[1] - p0[1]) * r[1]) / safe_rr
+    lo = jnp.maximum(jnp.minimum(s0, s1), 0.0)
+    hi = jnp.minimum(jnp.maximum(s0, s1), 1.0)
+    collinear = parallel & (t_num == 0.0) & (rr > 0.0)
+    col_hit = collinear & (lo <= hi)
+    hit = hit | col_hit
+    point = jnp.where(col_hit, p0 + lo * r, point)
     return hit, jnp.where(hit, point, jnp.nan)
 
 
@@ -350,7 +363,23 @@ def mean_value_weights(point, poly, tolerance):
     safe_r = jnp.where(r == 0.0, 1.0, r)
     w = jnp.where(valid, (tan_half[prev] + tan_half) / safe_r, 0.0)
 
-    # Vertex snap: exact hit on a vertex.
+    # Point ON an edge: alpha -> pi there (tan(alpha/2) -> inf), where
+    # the mean-value limit is plain linear interpolation between the two
+    # edge endpoints — forcing tan to 0 instead silently spreads weight
+    # over all vertices.
+    on_edge = valid & (jnp.abs(cross) <= 1e-12 * r * r_next) & (dot < 0.0)
+    any_edge = jnp.any(on_edge)
+    i_edge = jnp.argmax(on_edge)
+    r_sum = r[i_edge] + r_next[i_edge]
+    r_sum = jnp.where(r_sum == 0.0, 1.0, r_sum)
+    w_edge = (
+        jnp.zeros(m, w.dtype)
+        .at[i_edge].add(r_next[i_edge] / r_sum)
+        .at[nxt[i_edge]].add(r[i_edge] / r_sum)
+    )
+    w = jnp.where(any_edge, w_edge, w)
+
+    # Vertex snap: exact hit on a vertex (takes precedence over edge).
     on_vertex = valid & (r <= tolerance)
     any_vertex = jnp.any(on_vertex)
     w = jnp.where(any_vertex, on_vertex.astype(w.dtype), w)

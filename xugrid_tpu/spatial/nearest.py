@@ -109,16 +109,20 @@ def nearest_points(
         return indices
 
     n_tiles = -(-M // TILE)
+    # The kernel computes in f32: shift to a local origin first so
+    # large-magnitude coordinate systems (UTM ~1e6) keep their relative
+    # precision instead of collapsing to the ~0.1 m f32 grid.
+    origin = sources.mean(axis=0)
     # Pad with a huge FINITE coordinate: |pad|^2 overflows f32 to +inf
     # (losing every argmin), whereas inf pads would produce NaN
     # distances via 0*inf in the cross term — and NaN WINS argmin.
     padded = np.full((n_tiles * TILE, 2), 1e30, dtype=np.float32)
-    padded[:M] = sources
+    padded[:M] = sources - origin
     # Bucket the query count to powers of two so repeated calls reuse
     # compiles (pad queries join some tile's argmin harmlessly).
     P_pad = 1 << max(int(np.ceil(np.log2(max(P, 1)))), 3)
     q_pad = np.zeros((P_pad, 2), dtype=np.float32)
-    q_pad[:P] = queries
+    q_pad[:P] = queries - origin
     d2, idx = _nearest_device(jnp.asarray(q_pad), jnp.asarray(padded), n_tiles)
     idx = np.asarray(idx[:P], dtype=np.int64)
     if np.isfinite(max_distance):

@@ -372,7 +372,9 @@ class DataArray:
                 positional[dim] = label
                 continue
             index = as_index(self._coords[dim].data)
-            positional[dim] = resolve_label_indexer(index, label, method)
+            positional[dim] = resolve_label_indexer(
+                index, label, method, tolerance
+            )
         return self.isel(positional, drop=drop)
 
     def __getitem__(self, key) -> "DataArray":
@@ -555,7 +557,12 @@ class DataArray:
                 keep = mask.any(axis=axes) if axes else mask
                 keep_indexers[dim] = np.flatnonzero(keep)
             result = self.isel(keep_indexers)
-            sub_cond = cond.isel(keep_indexers) if isinstance(cond, DataArray) else cond
+            if isinstance(cond, DataArray):
+                sub_cond = cond.isel(keep_indexers)
+            else:
+                # Plain array/Variable cond must be subset too, or the
+                # recursive where() sees mismatched sizes.
+                sub_cond = cond_var.isel(keep_indexers).data
             return result.where(sub_cond, other)
         self_b = self
         xp = get_namespace(self.data)
@@ -632,9 +639,29 @@ class DataArray:
     def argmin(self, dim=None):
         return self._reduce("argmin", dim=dim, skipna=False)
 
-    def idxmax(self, dim=None):
+    def idxmax(self, dim=None, skipna=True):
+        return self._idx_reduce("argmax", dim, skipna)
+
+    def idxmin(self, dim=None, skipna=True):
+        return self._idx_reduce("argmin", dim, skipna)
+
+    def _idx_reduce(self, op, dim, skipna):
         dim = dim or self.dims[0]
-        pos = self._reduce("argmax", dim=dim, skipna=False)
+        values = np.asarray(self.data)
+        if skipna and np.issubdtype(values.dtype, np.floating):
+            # NaN must not win the arg reduction (xarray skipna=True).
+            fill = -np.inf if op == "argmax" else np.inf
+            clean = np.where(np.isnan(values), fill, values)
+            axis = self.dims.index(dim)
+            pos_data = np.argmax(clean, axis=axis) if op == "argmax" else np.argmin(clean, axis=axis)
+            pos_dims = tuple(d for d in self.dims if d != dim)
+            pos = DataArray._construct(
+                Variable(pos_dims, pos_data),
+                {k: v for k, v in self._coords.items() if dim not in v.dims},
+                self.name,
+            )
+        else:
+            pos = self._reduce(op, dim=dim, skipna=False)
         index = np.asarray(self.get_index(dim))
         return DataArray._construct(
             Variable(pos.dims, index[np.asarray(pos.data)]), dict(pos._coords), self.name

@@ -72,8 +72,6 @@ class Dataset:
             arr = np.asarray(value)
             if arr.ndim == 0:
                 self._variables[name] = Variable((), arr)
-            elif arr.ndim == 1 and name in self.dims_sizes():
-                self._variables[name] = Variable((name,), arr)
             elif arr.ndim == 1:
                 self._variables[name] = Variable((name,), arr)
             else:
@@ -294,6 +292,7 @@ class Dataset:
         if isinstance(other, Dataset):
             for k, v in other._variables.items():
                 self._variables[k] = v
+                self._check_sizes(k)
             self._coord_names |= other._coord_names
         else:
             for k, v in other.items():
@@ -371,7 +370,7 @@ class Dataset:
                     out._coord_names.discard(new)
         return out
 
-    def sel(self, indexers=None, method=None, drop: bool = False, **kwargs) -> "Dataset":
+    def sel(self, indexers=None, method=None, tolerance=None, drop: bool = False, **kwargs) -> "Dataset":
         indexers = dict(indexers or {})
         indexers.update(kwargs)
         positional = {}
@@ -379,7 +378,9 @@ class Dataset:
             var = self._variables.get(dim)
             if var is not None and var.dims == (dim,) and dim in self._coord_names:
                 index = as_index(var.data)
-                positional[dim] = resolve_label_indexer(index, label, method)
+                positional[dim] = resolve_label_indexer(
+                    index, label, method, tolerance
+                )
             else:
                 positional[dim] = label
         return self.isel(positional, drop=drop)
@@ -387,9 +388,6 @@ class Dataset:
     def transpose(self, *dims) -> "Dataset":
         out = Dataset(attrs=dict(self.attrs))
         for name, var in self._variables.items():
-            order = [d for d in dims if d in var.dims] + [
-                d for d in var.dims if d not in dims
-            ]
             order = [d for d in dims if d in var.dims]
             order += [d for d in var.dims if d not in order]
             out._variables[name] = var.transpose(*order) if var.ndim > 1 else var
@@ -405,6 +403,12 @@ class Dataset:
             else:
                 da = self[name].expand_dims(dim, **kwargs)
                 out._variables[name] = da.variable
+                # The expansion may introduce a coordinate for the new
+                # dimension (expand_dims({'time': [...]})): keep it.
+                for cname, cvar in da._coords.items():
+                    if cname not in out._variables:
+                        out._variables[cname] = cvar
+                        out._coord_names.add(cname)
         return out
 
     def equals(self, other) -> bool:

@@ -85,12 +85,19 @@ def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
         fill = attrs.pop("_FillValue", None)
         scale = attrs.pop("scale_factor", None)
         offset = attrs.pop("add_offset", None)
+        packed = scale is not None or offset is not None
         if fill is not None:
             encoding["_FillValue"] = fill
             if np.issubdtype(data.dtype, np.floating):
                 data = np.where(data == fill, np.nan, data)
-            # integer data keeps its fill value; topology ingest handles it.
-        if scale is not None or offset is not None:
+            elif packed:
+                # Packed integer data: the fill sentinel must become NaN
+                # BEFORE unpacking, or the scaled sentinel masquerades as
+                # a plausible physical value (CF/xarray semantics).
+                data = np.where(data == fill, np.nan, data.astype(np.float64))
+            # plain integer data keeps its fill value; topology ingest
+            # handles it.
+        if packed:
             data = data.astype(np.float64)
             if scale is not None:
                 data = data * scale
@@ -271,7 +278,8 @@ def _write_scipy(ds: Dataset, path) -> None:
             if target is not None:
                 data = data.astype(target)
             if data.dtype.kind in "US":
-                # encode strings as char arrays is out of scope; store repr
+                # String variables are skipped on the NetCDF3 path
+                # (char-array encoding not implemented).
                 continue
             nc_var = f.createVariable(name, data.dtype, tuple(var.dims))
             if var.ndim == 0:

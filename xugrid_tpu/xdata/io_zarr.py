@@ -34,6 +34,13 @@ def to_zarr(ds: Dataset, store, **kwargs) -> None:
 
     ds = annotate_cf_coordinates(encode_cf_time(ds))
     root = Path(store)
+    # Writing over an existing store must not leave stale arrays or
+    # chunk files behind (they would reappear on open with conflicting
+    # dimension sizes).
+    if (root / ".zgroup").exists():
+        import shutil
+
+        shutil.rmtree(root)
     root.mkdir(parents=True, exist_ok=True)
     (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
     (root / ".zattrs").write_text(json.dumps(_json_safe(ds.attrs)))

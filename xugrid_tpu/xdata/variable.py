@@ -40,10 +40,7 @@ def as_compatible_data(data) -> Any:
         return data
     if hasattr(data, "values") and hasattr(data, "dims"):
         return as_compatible_data(data.values)
-    arr = np.asarray(data)
-    if arr.dtype.kind == "U" or arr.dtype.kind == "S" or arr.dtype == object:
-        return arr
-    return arr
+    return np.asarray(data)
 
 
 _REDUCE_METHODS = (
@@ -160,8 +157,13 @@ class Variable:
                     data = data[tuple(sl)]
                     new_dims.append(dim)
                 else:
+                    k = np.asarray(k)
+                    # Boolean masks must become positions, not be cast
+                    # to 0/1 integer indices.
+                    if k.dtype == bool:
+                        k = np.flatnonzero(k)
                     data = get_namespace(data).take(
-                        data, np.asarray(k).astype(np.int64), axis=ax
+                        data, k.astype(np.int64), axis=ax
                     )
                     new_dims.append(dim)
             return Variable(tuple(new_dims), data, self.attrs)
