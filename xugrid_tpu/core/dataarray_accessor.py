@@ -344,16 +344,18 @@ class UgridDataArrayAccessor(AbstractUgridAccessor):
         rtol: float = 0.0,
         atol: float = 1.0e-4,
         maxiter: int = 500,
+        precondition_degree: int = 4,
     ) -> UgridDataArray:
         """
         Fill NaNs by solving Laplace's equation with the known values as
         boundary conditions.
 
         Iterative path is a jit-compiled conjugate-gradient solve with a
-        Jacobi preconditioner (TPU-friendly; the reference's sequential
-        ILU0 is inherently serial — dataarray_accessor.py:805-886,
-        interpolate.py:30-114).  ``delta``/``relax`` are accepted for API
-        parity.
+        degree-``precondition_degree`` Chebyshev polynomial of the
+        Jacobi-scaled operator as preconditioner (1 = plain Jacobi;
+        TPU-friendly — the reference's sequential ILU0 is inherently
+        serial, dataarray_accessor.py:805-886, interpolate.py:30-114).
+        ``delta``/``relax`` are accepted for API parity.
         """
         from xugrid_tpu.ugrid.interpolate import (
             interpolate_na_helper,
@@ -381,6 +383,7 @@ class UgridDataArrayAccessor(AbstractUgridAccessor):
                 "rtol": rtol,
                 "atol": atol,
                 "maxiter": maxiter,
+                "precondition_degree": precondition_degree,
             },
         )
         return UgridDataArray(da_filled, grid)

@@ -63,8 +63,6 @@ def _locate_polygon(grid, exterior, interiors, all_touched: bool) -> IntArray:
 
     from xugrid_tpu.spatial import queries as q
 
-    centroids = grid.centroids[grid_index]
-    tri_xy = vertices[triangles]
     n = len(grid_index)
     if n == 0:
         return grid_index

@@ -203,6 +203,12 @@ def cg_solve(
 
     Returns (solutions, iterations): iterations is the PCG iteration
     count until every right-hand side converged.
+
+    Layout contract: ``rows/cols/vals`` must be ordered
+    ``[off-diagonal entries..., diagonal entries]`` with exactly the n
+    diagonal entries (rows[i] == cols[i] == i) at the tail — the
+    Gershgorin bound for the Chebyshev interval depends on it, and an
+    underestimated spectrum makes the preconditioner indefinite.
     """
     import jax
 
@@ -211,6 +217,16 @@ def cg_solve(
     n = b.shape[-1]
     nnz = len(vals)
     n_pad = _next_pow2(n)
+
+    if not (
+        len(rows) >= n
+        and np.array_equal(rows[-n:], np.arange(n))
+        and np.array_equal(cols[-n:], np.arange(n))
+    ):
+        raise ValueError(
+            "cg_solve expects [offdiag..., diag...] COO layout with the "
+            "n diagonal entries at the tail (see docstring)."
+        )
 
     # Gershgorin bound on the Jacobi-scaled spectrum: per unknown,
     # 1 + sum(|offdiag|)/diag (diag entries sit at the tail of vals).
@@ -252,7 +268,9 @@ def cg_solve(
     # Pack COO rows into padded windows (idx/weights, -1/0 padded).
     order = np.argsort(rows, kind="stable")
     counts = np.bincount(rows, minlength=n_pad)
-    w_max = max(int(counts.max()), 1)
+    # Bucket the window width too: a NaN-pattern change that shifts the
+    # max row degree by one must not trigger a fresh Mosaic compile.
+    w_max = _next_pow2(max(int(counts.max()), 1))
     starts = np.zeros(n_pad + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     offsets = np.arange(nnz) - starts[rows[order]]

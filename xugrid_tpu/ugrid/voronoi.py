@@ -45,6 +45,12 @@ from xugrid_tpu.ugrid.connectivity import renumber, to_dense
 _DEVICE_MIN = 65536
 
 
+def _local_backend() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 # --------------------------------------------------------------------
 # Candidate construction (host: topology bookkeeping, O(n) passes)
 # --------------------------------------------------------------------
@@ -120,19 +126,27 @@ def _trim_padding(ids: IntArray) -> IntArray:
 # --------------------------------------------------------------------
 # Row-wise angle sort (the device kernel)
 # --------------------------------------------------------------------
-def _angle_sort_device(pts, valid, anchors):
+_ANGLE_SORT_KERNEL = None
+
+
+def _angle_sort_device(deltas, valid):
+    """deltas: candidate coords RELATIVE to the row anchor (subtracted
+    host-side in f64 so a f32 device pass keeps relative precision at
+    large coordinate magnitudes, e.g. UTM)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def kernel(pts, valid, anchors):
-        ang = jnp.arctan2(
-            pts[..., 1] - anchors[:, None, 1], pts[..., 0] - anchors[:, None, 0]
-        )
-        key = jnp.where(valid, ang, jnp.inf)
-        return jnp.argsort(key, axis=1)
+    global _ANGLE_SORT_KERNEL
+    if _ANGLE_SORT_KERNEL is None:
 
-    return np.asarray(kernel(pts, valid, anchors))
+        @jax.jit
+        def kernel(deltas, valid):
+            ang = jnp.arctan2(deltas[..., 1], deltas[..., 0])
+            key = jnp.where(valid, ang, jnp.inf)
+            return jnp.argsort(key, axis=1)
+
+        _ANGLE_SORT_KERNEL = kernel
+    return np.asarray(_ANGLE_SORT_KERNEL(deltas, valid))
 
 
 def angle_sort_rows(
@@ -147,21 +161,26 @@ def angle_sort_rows(
     """
     valid = cand >= 0
     pts = coords[np.maximum(cand, 0)]
+    # Subtract anchors in f64 FIRST: with x64 off the device pass runs
+    # f32, and absolute UTM-scale coordinates would round to ~0.5 m
+    # before the angle, scrambling the sort (the origin-shift lesson).
+    deltas = pts - anchors[:, None, :]
     mode = os.environ.get("XUGRID_TPU_VORONOI", "auto")
-    on_device = mode == "device" or (mode == "auto" and cand.size >= _DEVICE_MIN)
+    # auto engages the device only on a LOCAL backend: this is a build
+    # path, and a Mosaic/XLA compile over the remote tunnel costs far
+    # more than the numpy sort (same rule as core/dedup.py).
+    on_device = mode == "device" or (
+        mode == "auto"
+        and deltas.size >= _DEVICE_MIN
+        and _local_backend()
+    )
     if on_device:
         try:
-            order = _angle_sort_device(
-                pts.astype(np.float32 if pts.dtype != np.float64 else pts.dtype),
-                valid,
-                anchors.astype(pts.dtype),
-            )
+            order = _angle_sort_device(deltas, valid)
         except Exception:  # pragma: no cover - device fallback
             on_device = False
     if not on_device:
-        ang = np.arctan2(
-            pts[..., 1] - anchors[:, None, 1], pts[..., 0] - anchors[:, None, 0]
-        )
+        ang = np.arctan2(deltas[..., 1], deltas[..., 0])
         key = np.where(valid, ang, np.inf)
         order = np.argsort(key, axis=1)
     return np.take_along_axis(np.where(valid, cand, -1), order, axis=1)
