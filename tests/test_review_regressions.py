@@ -191,3 +191,100 @@ class TestDatasetUpdateSizes:
         other["b"] = DataArray(np.arange(4.0), dims=("x",))
         with pytest.raises(ValueError, match="conflicting size"):
             ds.update(other)
+
+
+class TestStructuredBounds:
+    def test_from_structured2d_bounds_1d_coords(self):
+        # x/y naming 1-D coords with explicit bounds: dims were swapped,
+        # scrambling face order (review finding, reproduced).
+        y_mid = np.array([0.5, 1.5])
+        x_mid = np.array([0.5, 1.5, 2.5])
+        da = DataArray(
+            np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]]), dims=("y", "x")
+        ).assign_coords(y=y_mid, x=x_mid)
+        xb = np.column_stack([x_mid - 0.5, x_mid + 0.5])
+        yb = np.column_stack([y_mid - 0.5, y_mid + 0.5])
+        uda = xu.UgridDataArray.from_structured2d(
+            da, x="x", y="y",
+            x_bounds=DataArray(xb, dims=("x", "two")),
+            y_bounds=DataArray(yb, dims=("y", "two")),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(uda.values), [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+        )
+
+    def test_dataset_from_structured2d_bounds(self):
+        y_mid = np.array([0.5, 1.5])
+        x_mid = np.array([0.5, 1.5, 2.5])
+        ds = Dataset()
+        ds["v"] = DataArray(
+            np.arange(6.0).reshape(2, 3), dims=("y", "x")
+        ).assign_coords(y=y_mid, x=x_mid)
+        ds["xb"] = DataArray(
+            np.column_stack([x_mid - 0.5, x_mid + 0.5]), dims=("x", "two")
+        )
+        ds["yb"] = DataArray(
+            np.column_stack([y_mid - 0.5, y_mid + 0.5]), dims=("y", "two")
+        )
+        uds = xu.UgridDataset.from_structured2d(
+            ds,
+            topology={
+                "mesh2d": {
+                    "x": "x", "y": "y",
+                    "bounds_x": "xb", "bounds_y": "yb",
+                }
+            },
+        )
+        assert "v" in uds.data_vars  # data was silently dropped before
+        np.testing.assert_array_equal(
+            np.asarray(uds["v"].values), np.arange(6.0)
+        )
+
+    def test_equidistance_check_uses_atol(self):
+        from xugrid_tpu.regrid.structured import StructuredGrid1d
+
+        da = DataArray(np.zeros(4), dims=("x",)).assign_coords(
+            x=[0.0, 1000.0, 2090.0, 3090.0]  # 1000/1090/1000 spacing
+        )
+        with pytest.raises(ValueError, match="equidistant"):
+            StructuredGrid1d(da, "x")
+
+    def test_single_cell_axis_length(self):
+        from xugrid_tpu.regrid.structured import StructuredGrid1d
+
+        da = DataArray(np.zeros(1), dims=("y",)).assign_coords(
+            y=[0.5], dy=1.0
+        )
+        g = StructuredGrid1d(da, "y")
+        assert g.length.shape == (1,)
+        np.testing.assert_allclose(g.length, [1.0])
+
+
+class TestCentroidLocatorValidation:
+    def test_wrong_source_size_raises(self):
+        def quads(ns, dx=1.0):
+            x = np.arange(ns + 1.0) * dx
+            yy, xx = np.meshgrid(x, x, indexing="ij")
+            verts = np.column_stack([xx.ravel(), yy.ravel()])
+            j, i = np.meshgrid(np.arange(ns), np.arange(ns), indexing="ij")
+            nid = lambda a, b: b * (ns + 1) + a  # noqa: E731
+            return verts, np.stack(
+                [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
+                -1,
+            ).reshape(-1, 4)
+
+        sv, sf = quads(4)
+        grid = xu.Ugrid2d(sv[:, 0], sv[:, 1], -1, sf)
+        src = xu.UgridDataArray(
+            DataArray(
+                np.arange(16.0), dims=(grid.face_dimension,), name="v"
+            ),
+            grid,
+        )
+        tv, tf = quads(2, dx=2.0)
+        target = xu.UgridDataArray.from_data(
+            np.zeros(4), xu.Ugrid2d(tv[:, 0], tv[:, 1], -1, tf), facet="face"
+        )
+        rg = xu.CentroidLocatorRegridder(src, target)
+        with pytest.raises(ValueError, match="does not match"):
+            rg._regrid_array(np.arange(4.0))

@@ -174,7 +174,6 @@ class UgridDatasetAccessor(AbstractUgridAccessor):
         return self._raster_dataset(grid, x, y, index)
 
     def _raster_dataset(self, grid, x, y, index):
-        self.grid_for_raster = grid
         accessor = _SingleGridProxy(self.obj, grid)
         return accessor._raster(x, y, index)
 

@@ -265,9 +265,15 @@ class UgridDataArray(_ForwardMixin):
         if x_bounds is not None and y_bounds is not None:
             if x is None or y is None:
                 raise ValueError("x and y must be provided for bounds")
-            ydim, xdim = da[x].dims[0], da[y].dims[-1]
-            if da[x].ndim == 2:
+            # With bounds, x/y name the DIMENSIONS (reference semantics,
+            # wrap.py:308-326); when they name coordinate variables
+            # instead, fall back to those variables' dims.
+            if y in da.dims and x in da.dims:
+                ydim, xdim = y, x
+            elif da[x].ndim == 2:
                 ydim, xdim = da[x].dims
+            else:
+                ydim, xdim = da[y].dims[0], da[x].dims[0]
             grid, index = Ugrid2d.from_structured_bounds(
                 np.asarray(x_bounds.data if hasattr(x_bounds, "data") else x_bounds),
                 np.asarray(y_bounds.data if hasattr(y_bounds, "data") else y_bounds),
@@ -467,8 +473,15 @@ class UgridDataset(_ForwardMixin):
                     name=name,
                     return_index=True,
                 )
-                sample = dataset[x] if x else None
-                dims = tuple(bounds_x.dims[:2])
+                # x/y name the dimensions to stack (reference
+                # wrap.py:622), not the bounds variable's own dims.
+                if y in dataset.dims_sizes() and x in dataset.dims_sizes():
+                    dims = (y, x)
+                else:
+                    dims = (
+                        dataset[y].dims[0],
+                        dataset[x].dims[0],
+                    )
             else:
                 grid, dims = Ugrid2d.from_structured(
                     dataset, x, y, name=name, return_dims=True

@@ -82,6 +82,10 @@ def _pallas_method(reduction, source2d):
     flag = os.environ.get("XUGRID_TPU_PALLAS", "")
     if flag == "0":
         return None, None
+    if source2d.shape[0] == 0:
+        # Zero extra rows would build 0-lane Mosaic buffers; the XLA
+        # path pads the lane axis and handles this shape.
+        return None, None
     from xugrid_tpu.regrid import reduce
     from xugrid_tpu.regrid.pallas_apply import PALLAS_METHODS
 

@@ -349,6 +349,13 @@ class CentroidLocatorRegridder(BaseRegridder):
         source_grid = self._source
         first_dims_shape = source.shape[: -source_grid.ndim]
         source = source.reshape(first_dims_shape + (-1,))
+        if source.shape[-1] != source_grid.size:
+            # JAX clamps out-of-bounds gathers, so a size mismatch would
+            # return garbage silently without this check.
+            raise ValueError(
+                f"Source size {source.shape[-1]} does not match regridder "
+                f"source size {source_grid.size}"
+            )
         out = apply_coo_gather(
             self._weights.row, self._weights.col, source, self._weights.n
         )

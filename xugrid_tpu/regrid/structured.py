@@ -67,7 +67,7 @@ class StructuredGrid1d:
                         f"midpoint; provide {bounds_name} or {size_name}."
                     )
                 atol = 1.0e-4 * size[0]
-                if not np.allclose(size, size[0], atol):
+                if not np.allclose(size, size[0], atol=atol):
                     raise ValueError(
                         f"DataArray has to be equidistant along {name}, or "
                         f'explicit bounds must be given as "{bounds_name}", '
@@ -112,7 +112,9 @@ class StructuredGrid1d:
 
     @property
     def length(self) -> FloatArray:
-        return np.squeeze(np.abs(np.diff(self.bounds, axis=1)))
+        # diff gives (n, 1); take the column rather than squeeze, which
+        # would collapse single-cell axes to a 0-d scalar.
+        return np.abs(np.diff(self.bounds, axis=1))[:, 0]
 
     @property
     def directional_bounds(self) -> FloatArray:
@@ -180,7 +182,7 @@ class StructuredGrid1d:
         total[total == 0] = 1.0
         w_self = 1.0 - (t_mid - s_mid) / total
         w_self[neighbor == 0] = 0.0
-        if np.any((w_self < 0.0) & (w_self > 1.0)):
+        if np.any((w_self < 0.0) | (w_self > 1.0)):
             raise ValueError(
                 f"Computed invalid weights for dimension: {self.name}"
             )
