@@ -405,7 +405,8 @@ extern "C" {
 void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
                   const double* x, const double* y, double* poly_xy,
                   double* bbox) {
-    for (int64_t i = 0; i < n; ++i) {
+    auto process = [&](int64_t i_lo, int64_t i_hi) {
+    for (int64_t i = i_lo; i < i_hi; ++i) {
         const int64_t* f = faces + nv * i;
         double* poly = poly_xy + 2 * nv * i;
         const int64_t first = f[0];
@@ -450,6 +451,21 @@ void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
         b[1] = y0;
         b[2] = x1;
         b[3] = y1;
+    }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (n > 100000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (n + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per;
+            const int64_t hi = std::min(n, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, n);
     }
 }
 
@@ -536,9 +552,25 @@ extern "C" {
 void polygon_clip_areas(const int64_t* pair_q, const int64_t* pair_p,
                         int64_t n_pairs, const double* query_xy, int64_t mq,
                         const double* tree_xy, int64_t mt, double* areas) {
-    for (int64_t i = 0; i < n_pairs; ++i) {
-        areas[i] = sh_clip_area(query_xy + 2 * mq * pair_q[i], mq,
-                                tree_xy + 2 * mt * pair_p[i], mt);
+    auto process = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            areas[i] = sh_clip_area(query_xy + 2 * mq * pair_q[i], mq,
+                                    tree_xy + 2 * mt * pair_p[i], mt);
+        }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (n_pairs > 100000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (n_pairs + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per;
+            const int64_t hi = std::min(n_pairs, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, n_pairs);
     }
 }
 

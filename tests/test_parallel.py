@@ -316,3 +316,51 @@ def test_sharded_from_regridder():
     plan = ShardedRegrid.from_regridder(mesh, rg)
     out = plan.gather(plan(vals.astype(np.float32)))
     np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+@requires_8_devices
+def test_multi_axis_mesh():
+    """Sharding over one axis of a 2-axis mesh uses that axis's size
+    (review regression: devices.size broke multi-axis meshes)."""
+    padded_field = None
+    rng = np.random.default_rng(4)
+    n_target, m, w = 32, 256, 4
+    rows = np.repeat(np.arange(n_target), w)
+    cols = rng.integers(0, m, n_target * w)
+    weights = rng.uniform(0.5, 1.5, n_target * w)
+    csr = MatrixCSR.from_triplet(rows, cols, weights, n=n_target, m=m)
+    padded = PaddedCSR.from_csr(csr)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "y"))
+    plan = ShardedRegrid(mesh, padded, axis="x", method="allgather")
+    source = rng.normal(size=m)
+    out = plan.gather(plan(source))
+    expected = np.empty(n_target)
+    for t in range(n_target):
+        sl = slice(csr.indptr[t], csr.indptr[t + 1])
+        v = source[csr.indices[sl]]
+        wts = csr.data[sl]
+        expected[t] = (v * wts).sum() / wts.sum()
+    np.testing.assert_allclose(out, expected, rtol=1e-12)
+
+
+@requires_8_devices
+def test_halo_zero_is_noop():
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from xugrid_tpu.parallel.sharding import halo_exchange
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    vals = np.arange(64.0)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"),
+        check_rep=False,
+    )
+    def f(v):
+        return halo_exchange(mesh, "x", v, halo=0)
+
+    out = np.asarray(jax.jit(f)(vals))
+    np.testing.assert_array_equal(out, vals)

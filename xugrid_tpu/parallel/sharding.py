@@ -87,7 +87,9 @@ class ShardedRegrid:
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
         self.reduction = reduction
-        n_devices = mesh.devices.size
+        # Shard count along the NAMED axis (a multi-axis mesh shards
+        # P(axis) arrays over that axis only, not every device).
+        n_devices = mesh.shape[self.axis]
 
         indices = _pad_to_multiple(weights.indices, n_devices, -1)
         values = _pad_to_multiple(weights.weights, n_devices, 0.0)
@@ -198,7 +200,9 @@ class ShardedRegrid:
     def put_source(self, source: np.ndarray) -> jax.Array:
         """Shard a source field (length m) across the mesh."""
         padded = _pad_to_multiple(
-            np.asarray(source, dtype=self.weights.dtype), self.mesh.devices.size, np.nan
+            np.asarray(source, dtype=self.weights.dtype),
+            self.mesh.shape[self.axis],
+            np.nan,
         )
         return jax.device_put(padded, self.src_sharding)
 
@@ -219,6 +223,12 @@ def halo_exchange(mesh: Mesh, axis: str, local: jax.Array, halo: int):
     block extended with ``halo`` rows from both neighbors (ppermute over
     ICI).  For use inside shard_map-decorated functions.
     """
+    if halo <= 0:
+        return local
+    if halo > local.shape[0]:
+        raise ValueError(
+            f"halo ({halo}) exceeds the local block ({local.shape[0]})"
+        )
     axis_size = jax.lax.axis_size(axis)
     left_edge = local[:halo]
     right_edge = local[-halo:]
@@ -260,7 +270,7 @@ class NeighborExchangePlan:
     ):
         self.mesh = mesh
         self.axis = axis or mesh.axis_names[0]
-        n_devices = mesh.devices.size
+        n_devices = mesh.shape[self.axis]
         idx = np.asarray(neighbor_indices, dtype=np.int64)
         n = idx.shape[0]
         n_req_block = -(-n // n_devices)
@@ -375,7 +385,7 @@ def sharded_laplace_smooth(
     the right call when remote references are dense.
     """
     axis = axis or mesh.axis_names[0]
-    n_devices = mesh.devices.size
+    n_devices = mesh.shape[axis]
     n = len(values)
     vals = _pad_to_multiple(np.asarray(values, dtype=np.float64), n_devices, np.nan)
     vec_sharding = NamedSharding(mesh, P(axis))

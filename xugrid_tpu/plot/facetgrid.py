@@ -115,22 +115,34 @@ class FacetGrid:
         grid = self.data.grid
         obj = self.data.obj if hasattr(self.data, "obj") else self.data
 
+        # Resolve the shared color scale from the FULL stack up front
+        # and pass it into every panel: per-panel _cmap_params then
+        # makes identical cmap/levels decisions (post-hoc set_clim
+        # cannot unify diverging-cmap choices or contour levels).
         vmin = kwargs.pop("vmin", None)
         vmax = kwargs.pop("vmax", None)
+        robust = kwargs.pop("robust", False)
         data = np.asarray(obj.data, dtype=np.float64)
-        if vmin is None:
-            vmin = np.nanmin(data)
-        if vmax is None:
-            vmax = np.nanmax(data)
+        finite = data[np.isfinite(data)]
+        if finite.size:
+            if vmin is None:
+                vmin = float(
+                    np.percentile(finite, 2) if robust else finite.min()
+                )
+            if vmax is None:
+                vmax = float(
+                    np.percentile(finite, 98) if robust else finite.max()
+                )
 
         artist = None
         for ax, name_dict in zip(self.axes.ravel(), self.name_dicts.ravel()):
             if name_dict is None:
                 continue
             sub = obj.isel(**name_dict)
-            artist = func(grid, sub, ax=ax, add_colorbar=False, **kwargs)
-            if hasattr(artist, "set_clim"):
-                artist.set_clim(vmin, vmax)
+            artist = func(
+                grid, sub, ax=ax, add_colorbar=False,
+                vmin=vmin, vmax=vmax, **kwargs,
+            )
             ax.set_title(self._title(name_dict))
         if add_colorbar and artist is not None:
             self.cbar = self.fig.colorbar(

@@ -216,7 +216,14 @@ def imshow(
     x, y, index = grid.rasterize(resolution)
     img = np.where(index != -1, values[np.maximum(index, 0)], np.nan)
     kwargs.setdefault("origin", "upper")
-    kwargs.setdefault("extent", (x.min(), x.max(), y.min(), y.max()))
+    # Extent spans the OUTER cell edges; center-to-center would shift
+    # the raster by half a pixel against mesh overlays.
+    d = abs(resolution)
+    kwargs.setdefault(
+        "extent",
+        (x.min() - 0.5 * d, x.max() + 0.5 * d,
+         y.min() - 0.5 * d, y.max() + 0.5 * d),
+    )
     kwargs = _cmap_params(img, kwargs)
     artist = ax.imshow(img, **kwargs)
     _add_colorbar(ax, artist, add_colorbar)
@@ -285,6 +292,10 @@ class _PlotMethods:
     def line(self, **kwargs):
         grid, da = self._grid_and_data()
         facet = self._dispatch()
+        if facet == "edge":
+            fg = self._maybe_facet(line, kwargs)
+            if fg is not None:
+                return fg
         return line(grid, da if facet == "edge" else None, **kwargs)
 
     def scatter(self, **kwargs):

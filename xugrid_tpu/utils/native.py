@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 import numpy as np
@@ -35,6 +34,10 @@ def _compile() -> Path | None:
     lib_path = _BUILD_DIR / "libhost_kernels.so"
     if lib_path.exists() and lib_path.stat().st_mtime >= _SOURCE.stat().st_mtime:
         return lib_path
+    # Compile to a process-unique temp path and publish with an atomic
+    # rename: concurrent builders (pytest + bench, shard workers) must
+    # never observe — or dlopen — a half-written library.
+    tmp_path = lib_path.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -45,13 +48,18 @@ def _compile() -> Path | None:
         "-pthread",
         str(_SOURCE),
         "-o",
-        str(lib_path),
+        str(tmp_path),
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
         )
-    except (subprocess.SubprocessError, FileNotFoundError):
+        os.replace(tmp_path, lib_path)
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            tmp_path.unlink(missing_ok=True)
+        except OSError:
+            pass
         return None
     return lib_path
 
