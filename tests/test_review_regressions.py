@@ -288,3 +288,66 @@ class TestCentroidLocatorValidation:
         rg = xu.CentroidLocatorRegridder(src, target)
         with pytest.raises(ValueError, match="does not match"):
             rg._regrid_array(np.arange(4.0))
+
+
+class TestTopologyReviewFindings:
+    def test_nan_decoded_float_connectivity_with_encoding_fill(self):
+        # CF decode replaces fills with NaN and moves the sentinel to
+        # encoding; from_dataset must treat NaN as fill regardless.
+        from xugrid_tpu.xdata import Variable
+
+        grid = xu.Ugrid2d(
+            np.array([0.0, 1.0, 2.0, 0.0, 1.0]),
+            np.array([0.0, 0.0, 0.0, 1.0, 1.0]),
+            -1,
+            np.array([[0, 1, 4, 3], [1, 2, 4, -1]]),
+        )
+        ds = grid.to_dataset()
+        conn_name = "mesh2d_face_nodes"
+        conn = np.asarray(ds[conn_name].data, dtype=np.float64)
+        conn[conn < 0] = np.nan
+        ds._variables[conn_name] = Variable(
+            ds[conn_name].dims, conn, dict(ds[conn_name].attrs),
+            {"_FillValue": -999.0},
+        )
+        back = xu.Ugrid2d.from_dataset(ds)
+        assert back.n_face == 2
+        np.testing.assert_array_equal(
+            back.face_node_connectivity[1], [1, 2, 4, -1]
+        )
+
+    def test_ugrid1d_clip_box(self):
+        net = xu.Ugrid1d(
+            np.array([0.0, 1.0, 2.0, 3.0]),
+            np.array([0.0, 0.0, 1.0, 1.0]),
+            -1,
+            np.array([[0, 1], [1, 2], [2, 3]]),
+        )
+        sub = net.clip_box(-0.5, -0.25, 1.2, 0.25)  # only edge 0 midpoint
+        assert sub.n_edge == 1
+
+    def test_contract_vertices_reconvergent_paths(self):
+        import scipy.sparse
+
+        from xugrid_tpu.ugrid.connectivity import contract_vertices
+
+        # v -> a -> b, v -> c -> b, b -> k: a braided channel, valid DAG.
+        v, a, b, c, k = 0, 1, 2, 3, 4
+        edges = np.array([[v, a], [v, c], [a, b], [c, b], [b, k]])
+        A = scipy.sparse.coo_matrix(
+            (np.ones(len(edges)), (edges[:, 0], edges[:, 1])), shape=(5, 5)
+        ).tocsr()
+        out = contract_vertices(A, np.array([v, k]))
+        assert (np.sort(out, axis=0)[:1] == [[v, k]]).all()
+
+    def test_contract_vertices_true_cycle_raises(self):
+        import scipy.sparse
+
+        from xugrid_tpu.ugrid.connectivity import contract_vertices
+
+        edges = np.array([[0, 1], [1, 2], [2, 0]])
+        A = scipy.sparse.coo_matrix(
+            (np.ones(3), (edges[:, 0], edges[:, 1])), shape=(3, 3)
+        ).tocsr()
+        with pytest.raises(ValueError, match="cycle"):
+            contract_vertices(A, np.array([0]))

@@ -148,7 +148,11 @@ def contract_vertices(A: sparse.csr_matrix, indices: IntArray) -> IntArray:
                 edges.append((int(v), u))
                 continue
             if u in visited:
-                raise ValueError("The graph contains at least one cycle")
+                # Reconvergent downstream paths (braided channels) are
+                # valid DAGs: skip the already-expanded vertex rather
+                # than flag a cycle.  True cycles are caught by the
+                # u == v check above.
+                continue
             visited.add(u)
             stack.extend(int(n) for n in neighbors(adj, u))
     return np.array(edges, dtype=IntDType).reshape((-1, 2))

@@ -25,19 +25,7 @@ from xugrid_tpu.constants import (
 )
 from xugrid_tpu.ugrid import connectivity, conventions
 from xugrid_tpu.ugrid.selection_utils import section_coordinates_1d
-from xugrid_tpu.ugrid.ugridbase import AbstractUgrid, as_pandas_index
-
-
-def _strip_dim_coords(ds):
-    """Drop synthetic index coordinates named after their own dimension
-    (assigned by the wrap layer for subset tracking) before storing the
-    dataset on the grid for round-tripping."""
-    drop = [
-        name
-        for name in list(ds._coord_names)
-        if ds._variables[name].dims == (name,)
-    ]
-    return ds.drop_vars(drop, errors="ignore")
+from xugrid_tpu.ugrid.ugridbase import AbstractUgrid, as_pandas_index, _strip_dim_coords
 
 
 def _alt_cumsum(a: IntArray) -> IntArray:
@@ -549,7 +537,18 @@ class Ugrid1d(AbstractUgrid):
         return grid
 
     def clip_box(self, xmin, ymin, xmax, ymax):
-        return self.sel(x=slice(xmin, xmax), y=slice(ymin, ymax))
+        """Subset network: edges whose midpoints fall in the box.
+
+        (The reference's version crashes — it forwards to sel without
+        the required obj argument, xugrid/ugrid/ugrid1d.py; here the box
+        selection subsets the topology directly.)"""
+        edge_index = np.nonzero(
+            (self.edge_x >= xmin)
+            & (self.edge_x <= xmax)
+            & (self.edge_y >= ymin)
+            & (self.edge_y <= ymax)
+        )[0]
+        return self.topology_subset(edge_index)
 
     def to_periodic(self, obj=None):
         if obj is not None:

@@ -30,19 +30,7 @@ from xugrid_tpu.constants import (
 )
 from xugrid_tpu.ugrid import connectivity, conventions
 from xugrid_tpu.ugrid.selection_utils import section_coordinates_2d
-from xugrid_tpu.ugrid.ugridbase import AbstractUgrid, as_pandas_index, numeric_bound
-
-
-def _strip_dim_coords(ds):
-    """Drop synthetic index coordinates named after their own dimension
-    (assigned by the wrap layer for subset tracking) before storing the
-    dataset on the grid for round-tripping."""
-    drop = [
-        name
-        for name in list(ds._coord_names)
-        if ds._variables[name].dims == (name,)
-    ]
-    return ds.drop_vars(drop, errors="ignore")
+from xugrid_tpu.ugrid.ugridbase import AbstractUgrid, as_pandas_index, numeric_bound, _strip_dim_coords
 
 
 class Ugrid2d(AbstractUgrid):

@@ -34,6 +34,18 @@ def numeric_bound(v: Union[float, None], other: float) -> float:
     return other if v is None else v
 
 
+def _strip_dim_coords(ds):
+    """Drop synthetic index coordinates named after their own dimension
+    (assigned by the wrap layer for subset tracking) before storing the
+    dataset on the grid for round-tripping."""
+    drop = [
+        name
+        for name in list(ds._coord_names)
+        if ds._variables[name].dims == (name,)
+    ]
+    return ds.drop_vars(drop, errors="ignore")
+
+
 def as_pandas_index(index, n: int) -> pd.Index:
     """Normalize bool/int arrays to a unique pandas Index of positions."""
     if isinstance(index, np.ndarray):
@@ -305,10 +317,20 @@ class AbstractUgrid(abc.ABC):
             data = data.T
         data = data.copy()
         file_fill = da.encoding.get("_FillValue", da.attrs.get("_FillValue"))
-        if file_fill is not None and not np.isnan(np.asarray(file_fill)).any():
-            is_fill = data == file_fill
-        elif np.issubdtype(data.dtype, np.floating):
+        if np.issubdtype(data.dtype, np.floating):
+            # CF decode replaces the fill sentinel with NaN and moves
+            # the original value to encoding: for float connectivity,
+            # NaN IS the fill regardless of the recorded sentinel
+            # (reference ugridbase.py:663-689 falls through to isnan).
             is_fill = np.isnan(data)
+            if file_fill is not None and not np.isnan(
+                np.asarray(file_fill)
+            ).any():
+                is_fill |= data == file_fill
+        elif file_fill is not None and not np.isnan(
+            np.asarray(file_fill)
+        ).any():
+            is_fill = data == file_fill
         else:
             is_fill = data == fill_value
         data[is_fill] = fill_value
