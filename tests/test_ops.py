@@ -84,6 +84,145 @@ class TestEarcut:
         )
         assert np.isclose(self._area(vertices, tris).sum(), shoelace)
 
+    @staticmethod
+    def _signed_area(vertices, triangles):
+        a = vertices[triangles[:, 0]]
+        b = vertices[triangles[:, 1]]
+        c = vertices[triangles[:, 2]]
+        return 0.5 * (
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        )
+
+    def test_multi_hole_grid(self):
+        # Rectangular holes in a grid: many holes bridge to shared
+        # vertices, exercising the locally-inside occurrence choice.
+        for gx, gy in [(2, 1), (3, 2), (4, 3)]:
+            w, h = 10.0, 8.0
+            outer = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
+            holes = []
+            for i in range(gx):
+                for j in range(gy):
+                    x0, x1 = (i + 0.25) * w / gx, (i + 0.75) * w / gx
+                    y0, y1 = (j + 0.25) * h / gy, (j + 0.75) * h / gy
+                    holes.append(
+                        np.array(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+                        )[::-1]
+                    )
+            vertices = np.vstack([outer] + holes)
+            rings = np.cumsum([4] + [4] * len(holes))
+            tris = earcut_triangulate(vertices, rings)
+            areas = self._signed_area(vertices, tris)
+            expect = w * h - sum(
+                abs(
+                    0.5
+                    * np.sum(
+                        r[:, 0] * np.roll(r[:, 1], -1)
+                        - np.roll(r[:, 0], -1) * r[:, 1]
+                    )
+                )
+                for r in holes
+            )
+            assert (areas > 0).all()
+            assert np.isclose(areas.sum(), expect)
+
+    def test_multi_hole_fuzz(self):
+        # Random star outers with random rectangular holes; every
+        # triangle must be CCW and the total area exact.  Regression for
+        # the weakly-simple ear-clip failures (convex in-triangle
+        # blockers, chains through corner-coincident duplicates, and
+        # self-crossings AT a shared bridge vertex).
+        rng = np.random.default_rng(7)
+
+        def pip(p, ring):
+            c = False
+            m = len(ring)
+            for i in range(m):
+                a, b = ring[i], ring[(i + 1) % m]
+                if (a[1] > p[1]) != (b[1] > p[1]):
+                    xi = a[0] + (p[1] - a[1]) / (b[1] - a[1]) * (
+                        b[0] - a[0]
+                    )
+                    if p[0] < xi:
+                        c = not c
+            return c
+
+        for _ in range(60):
+            n = int(rng.integers(5, 12))
+            while True:
+                ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+                gaps = np.diff(
+                    np.concatenate([ang, [ang[0] + 2 * np.pi]])
+                )
+                if gaps.max() < np.pi:
+                    break
+            rad = rng.uniform(4.0, 8.0, n)
+            outer = np.column_stack(
+                [rad * np.cos(ang), rad * np.sin(ang)]
+            )
+            holes, boxes = [], []
+            want = int(rng.integers(1, 4))
+            for _t in range(60):
+                if len(holes) >= want:
+                    break
+                cx, cy = rng.uniform(-3, 3, 2)
+                hw, hh = rng.uniform(0.3, 1.2, 2)
+                x0, x1, y0, y1 = cx - hw, cx + hw, cy - hh, cy + hh
+                box = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+                )
+                if not all(pip(p, outer) for p in box):
+                    continue
+                clear = True
+                for i in range(n):
+                    a, b = outer[i], outer[(i + 1) % n]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    if not (
+                        hi[0] < x0
+                        or lo[0] > x1
+                        or hi[1] < y0
+                        or lo[1] > y1
+                    ):
+                        clear = False
+                        break
+                if not clear:
+                    continue
+                if any(
+                    not (x1 < b0 or b1 < x0 or y1 < b2 or b3 < y0)
+                    for b0, b1, b2, b3 in boxes
+                ):
+                    continue
+                boxes.append((x0, x1, y0, y1))
+                holes.append(box[::-1])
+            vertices = np.vstack([outer] + holes)
+            rings = np.cumsum([n] + [4] * len(holes))
+            tris = earcut_triangulate(vertices, rings)
+            areas = self._signed_area(vertices, tris)
+            x, y = outer.T
+            expect = 0.5 * abs(
+                np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+            ) - sum(
+                4.0 * hw_ * hh_
+                for (hw_, hh_) in [
+                    ((b1 - b0) / 2, (b3 - b2) / 2)
+                    for b0, b1, b2, b3 in boxes
+                ]
+            )
+            assert (areas > -1e-9).all()
+            assert np.isclose(areas.sum(), expect)
+
+    def test_hole_outside_outer_dropped(self):
+        # A hole lying entirely outside the outer ring is invalid input;
+        # it must be ignored instead of corrupting the triangulation.
+        outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)
+        hole = np.array([[10, 1], [10, 2], [11, 2], [11, 1]], float)
+        vertices = np.vstack([outer, hole])
+        tris = earcut_triangulate(vertices, np.array([4, 8]))
+        areas = self._signed_area(vertices, tris)
+        assert (areas > 0).all()
+        assert np.isclose(areas.sum(), 16.0)
+
 
 class TestSnapping:
     def test_snap_nodes(self):

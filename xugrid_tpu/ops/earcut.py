@@ -36,6 +36,132 @@ def _point_in_triangle(p, a, b, c, eps=0.0):
     return not (has_neg and has_pos)
 
 
+def _find_bridge_target(ring_xy: np.ndarray, hx: float, hy: float) -> int:
+    """
+    Position (in ring order) of a ring vertex VISIBLE from the hole
+    point (hx, hy) along the +x direction — the Eberly/mapbox bridge
+    search: closest ray-edge intersection, then the intersected edge's
+    right endpoint, demoted to the best reflex vertex inside the
+    (M, I, P) triangle when one blocks the line of sight.
+    """
+    p = ring_xy
+    q = np.roll(ring_xy, -1, axis=0)
+    denom = q[:, 1] - p[:, 1]
+    straddle = ((p[:, 1] <= hy) & (q[:, 1] >= hy)) | (
+        (q[:, 1] <= hy) & (p[:, 1] >= hy)
+    )
+    safe = np.where(denom == 0.0, 1.0, denom)
+    t = (hy - p[:, 1]) / safe
+    xint = p[:, 0] + t * (q[:, 0] - p[:, 0])
+    valid = straddle & (denom != 0.0) & (xint >= hx)
+    if not valid.any():
+        # A point inside the ring always has a ray crossing to the
+        # right; none means the hole anchor lies OUTSIDE the ring
+        # (invalid input).  Signal the caller to drop the hole rather
+        # than splice a crossing bridge that corrupts the whole
+        # triangulation.
+        return -1
+
+    xv = np.where(valid, xint, np.inf)
+    e = int(np.argmin(xv))
+    ix = xint[e]
+    # Right endpoint of the intersected edge.
+    e_next = (e + 1) % len(ring_xy)
+    cand = e if ring_xy[e, 0] > ring_xy[e_next, 0] else e_next
+    if ring_xy[cand, 0] < hx:
+        cand = e if cand == e_next else e_next
+
+    # Vertices inside triangle (M, I, P) block visibility; among them the
+    # one with the smallest |tan| to the ray (ties: nearest) is visible.
+    m = np.array([hx, hy])
+    i_pt = np.array([ix, hy])
+    c_pt = ring_xy[cand]
+    vx = ring_xy[:, 0]
+    # Only REFLEX vertices can block visibility (Eberly's construction).
+    prev_xy = np.roll(ring_xy, 1, axis=0)
+    next_xy = np.roll(ring_xy, -1, axis=0)
+    corner_cross = (ring_xy[:, 0] - prev_xy[:, 0]) * (
+        next_xy[:, 1] - ring_xy[:, 1]
+    ) - (ring_xy[:, 1] - prev_xy[:, 1]) * (next_xy[:, 0] - ring_xy[:, 0])
+    reflex = corner_cross < 0.0
+    inside = np.zeros(len(ring_xy), dtype=bool)
+    box_lo = min(hx, ix, c_pt[0])
+    box_hi = max(hx, ix, c_pt[0])
+    scan = np.flatnonzero((vx >= box_lo) & (vx <= box_hi) & reflex)
+    for j in scan:
+        if j == cand:
+            continue
+        if _point_in_triangle(ring_xy[j], m, i_pt, c_pt):
+            inside[j] = True
+    if inside.any():
+        js = np.flatnonzero(inside)
+        dx = ring_xy[js, 0] - hx
+        dx = np.where(dx <= 0.0, np.inf, dx)
+        tan = np.abs(ring_xy[js, 1] - hy) / dx
+        d2 = np.sum((ring_xy[js] - m) ** 2, axis=1)
+        order = np.lexsort((d2, tan))
+        cand = int(js[order[0]])
+
+    # Visibility certificate: the Eberly construction assumes a strictly
+    # simple polygon, but previously spliced bridges make the ring only
+    # WEAKLY simple and the chosen vertex can be occluded.  Verify the
+    # bridge crosses no ring edge; otherwise take the nearest vertex
+    # with a crossing-free bridge.
+    if _bridge_crosses_ring(ring_xy, m, cand):
+        d2_all = np.sum((ring_xy - m) ** 2, axis=1)
+        for j in np.argsort(d2_all):
+            j = int(j)
+            if not _bridge_crosses_ring(ring_xy, m, j):
+                return j
+    return int(cand)
+
+
+def _bridge_crosses_ring(ring_xy: np.ndarray, m: np.ndarray, cand: int) -> bool:
+    """Does segment m -> ring_xy[cand] properly cross any ring edge?
+    Edges sharing the candidate's coordinates (bridge duplicates) and
+    mere endpoint touches do not count."""
+    c = ring_xy[cand]
+    p = ring_xy
+    q = np.roll(ring_xy, -1, axis=0)
+
+    def cross(ux, uy, vx, vy, wx, wy):
+        return (vx - ux) * (wy - uy) - (vy - uy) * (wx - ux)
+
+    d1 = cross(m[0], m[1], c[0], c[1], p[:, 0], p[:, 1])
+    d2 = cross(m[0], m[1], c[0], c[1], q[:, 0], q[:, 1])
+    d3 = cross(p[:, 0], p[:, 1], q[:, 0], q[:, 1], m[0], m[1])
+    d4 = cross(p[:, 0], p[:, 1], q[:, 0], q[:, 1], c[0], c[1])
+    proper = (d1 * d2 < 0.0) & (d3 * d4 < 0.0)
+    # Ignore edges touching the candidate's coordinates.
+    touches_c = (
+        ((p[:, 0] == c[0]) & (p[:, 1] == c[1]))
+        | ((q[:, 0] == c[0]) & (q[:, 1] == c[1]))
+    )
+    return bool((proper & ~touches_c).any())
+
+
+def _locally_inside(prev_xy, v_xy, next_xy, b_xy) -> bool:
+    """Is direction v -> b locally inside the CCW ring corner
+    (prev, v, next)?  The mapbox-earcut ``locallyInside`` test —
+    required to pick the right OCCURRENCE of a duplicated bridge vertex
+    so the spliced ring stays planar at the shared point."""
+
+    def cross(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (
+            r[0] - p[0]
+        )
+
+    if cross(prev_xy, v_xy, next_xy) >= 0.0:  # convex corner
+        return (
+            cross(v_xy, b_xy, next_xy) <= 0.0
+            and cross(v_xy, prev_xy, b_xy) <= 0.0
+        )
+    return (
+        cross(v_xy, b_xy, prev_xy) > 0.0
+        or cross(v_xy, next_xy, b_xy) > 0.0
+    )
+
+
 def _bridge_holes(outer: np.ndarray, holes: List[np.ndarray]):
     """
     Merge holes into the outer ring via bridges.  Returns the merged ring
@@ -51,23 +177,41 @@ def _bridge_holes(outer: np.ndarray, holes: List[np.ndarray]):
     order = sorted(
         range(len(holes)), key=lambda k: -holes[k][:, 0].max()
     )
+    spliced = []
     for k in order:
         hole = holes[k]
         nh = len(hole)
         # rightmost hole vertex
         h_local = int(np.argmax(hole[:, 0]))
         hx, hy = hole[h_local]
-        # Find bridge target on the current ring: the visible vertex with
-        # minimal angle/distance to the right of the hole vertex.  Simple
-        # robust choice: nearest ring vertex with x >= hx that creates a
-        # bridge segment not crossing the ring; fall back to nearest.
         coords = np.concatenate(vertices)
         ring_xy = coords[ring]
-        candidates = np.flatnonzero(ring_xy[:, 0] >= hx)
-        if len(candidates) == 0:
-            candidates = np.arange(len(ring))
-        d2 = np.sum((ring_xy[candidates] - [hx, hy]) ** 2, axis=1)
-        best = candidates[np.argmin(d2)]
+        best = _find_bridge_target(ring_xy, hx, hy)
+        if best < 0:  # hole anchor outside the ring: skip the hole
+            continue
+
+        # If the target's coordinates occur more than once (earlier
+        # bridges duplicate their anchor vertex), splice into the
+        # occurrence whose corner wedge contains the bridge direction —
+        # otherwise the ring crosses itself AT the shared vertex even
+        # though no two edges properly intersect.
+        t_xy = ring_xy[best]
+        same = np.flatnonzero(
+            (ring_xy[:, 0] == t_xy[0]) & (ring_xy[:, 1] == t_xy[1])
+        )
+        if len(same) > 1:
+            m_xy = np.array([hx, hy])
+            nr = len(ring_xy)
+            for pos in same:
+                pos = int(pos)
+                if _locally_inside(
+                    ring_xy[(pos - 1) % nr],
+                    ring_xy[pos],
+                    ring_xy[(pos + 1) % nr],
+                    m_xy,
+                ):
+                    best = pos
+                    break
 
         # Splice: ring[:best+1] + hole(h..h) + ring[best:]
         hole_indices = [offset + (h_local + i) % nh for i in range(nh)]
@@ -80,8 +224,9 @@ def _bridge_holes(outer: np.ndarray, holes: List[np.ndarray]):
         ring = new_ring
         vertices.append(hole)
         offset += nh
+        spliced.append(k)
 
-    return np.concatenate(vertices), ring
+    return np.concatenate(vertices), ring, spliced
 
 
 def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
@@ -98,6 +243,16 @@ def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
 
     while len(ring) > 3 and guard < max_iter:
         n = len(ring)
+        # ANY ring vertex strictly inside the candidate ear blocks it.
+        # The classic reflex-only shortcut is a theorem for strictly
+        # simple polygons, but bridged (weakly simple) rings violate it:
+        # a hole chain can dip into an ear with only a CONVEX vertex
+        # inside (both its edges crossing the ear's diagonal).  Vertices
+        # coinciding with an ear corner (bridge duplicates) are exempted
+        # in the inner test below.
+        r_arr = np.array(ring, dtype=np.int64)
+        xy = coords[r_arr]
+        reflex_pos = np.arange(n)
         clipped = False
         for i in range(n):
             guard += 1
@@ -108,23 +263,76 @@ def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
             )
             if cross <= eps:  # reflex or degenerate corner
                 continue
-            # No other ring vertex inside the candidate ear.
+            # No ring vertex strictly inside the candidate ear (points
+            # coinciding with an ear corner sit on the boundary and do
+            # not block — bridge duplicates).
+            ear_positions = {(i - 1) % n, i, (i + 1) % n}
+            others = np.array(
+                [p_ for p_ in reflex_pos if p_ not in ear_positions],
+                dtype=np.int64,
+            )
             ear_ok = True
-            for j in ring:
-                if j in (i0, i1, i2):
-                    continue
-                if _point_in_triangle(coords[j], a, b, c, eps=eps):
+            if len(others):
+                pts = xy[others]
+                dup = (
+                    ((pts[:, 0] == a[0]) & (pts[:, 1] == a[1]))
+                    | ((pts[:, 0] == b[0]) & (pts[:, 1] == b[1]))
+                    | ((pts[:, 0] == c[0]) & (pts[:, 1] == c[1]))
+                )
+                d1 = (pts[:, 0] - b[0]) * (a[1] - b[1]) - (
+                    a[0] - b[0]
+                ) * (pts[:, 1] - b[1])
+                d2 = (pts[:, 0] - c[0]) * (b[1] - c[1]) - (
+                    b[0] - c[0]
+                ) * (pts[:, 1] - c[1])
+                d3 = (pts[:, 0] - a[0]) * (c[1] - a[1]) - (
+                    c[0] - a[0]
+                ) * (pts[:, 1] - a[1])
+                has_neg = (d1 < -eps) | (d2 < -eps) | (d3 < -eps)
+                has_pos = (d1 > eps) | (d2 > eps) | (d3 > eps)
+                ear_ok = bool(((has_neg & has_pos) | dup).all())
+            if ear_ok and n > 4:
+                # The point test alone cannot catch a chain that dives
+                # through the ear via a corner-coincident bridge
+                # duplicate: also reject if any ring edge properly
+                # crosses the new diagonal a -> c.  (Edges touching the
+                # diagonal's endpoints give a zero cross product and
+                # pass, so bridge slits along the diagonal are fine.)
+                ep = xy
+                eq = np.roll(xy, -1, axis=0)
+                e1 = (c[0] - a[0]) * (ep[:, 1] - a[1]) - (
+                    c[1] - a[1]
+                ) * (ep[:, 0] - a[0])
+                e2 = (c[0] - a[0]) * (eq[:, 1] - a[1]) - (
+                    c[1] - a[1]
+                ) * (eq[:, 0] - a[0])
+                e3 = (eq[:, 0] - ep[:, 0]) * (a[1] - ep[:, 1]) - (
+                    eq[:, 1] - ep[:, 1]
+                ) * (a[0] - ep[:, 0])
+                e4 = (eq[:, 0] - ep[:, 0]) * (c[1] - ep[:, 1]) - (
+                    eq[:, 1] - ep[:, 1]
+                ) * (c[0] - ep[:, 0])
+                crossing = (e1 * e2 < 0.0) & (e3 * e4 < 0.0)
+                crossing[(i - 1) % n] = False
+                crossing[i] = False
+                crossing[(i + 1) % n] = False
+                if crossing.any():
                     ear_ok = False
-                    break
             if ear_ok:
                 triangles.append((i0, i1, i2))
                 del ring[i]
                 clipped = True
                 break
         if not clipped:
-            # Degenerate input: clip the least-reflex corner to guarantee
-            # progress (matches earcut's fallback behavior).
-            triangles.append((ring[0], ring[1], ring[2]))
+            # Degenerate input: guarantee progress by removing a vertex,
+            # but only EMIT the fallback corner when it is CCW — a CW
+            # emission would double-cover exterior/hole area.
+            a, b, c = coords[ring[0]], coords[ring[1]], coords[ring[2]]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (
+                c[0] - a[0]
+            )
+            if cross > 0.0:
+                triangles.append((ring[0], ring[1], ring[2]))
             del ring[1]
     if len(ring) == 3:
         triangles.append((ring[0], ring[1], ring[2]))
@@ -157,8 +365,10 @@ def earcut_triangulate(vertices: np.ndarray, rings: np.ndarray) -> np.ndarray:
     for s, e in zip(starts, rings):
         ring = vertices[s:e]
         indices = np.arange(s, e)
-        # Drop a closing duplicate vertex.
-        if len(ring) > 1 and np.allclose(ring[0], ring[-1]):
+        # Drop an EXACT closing duplicate vertex (a relative-tolerance
+        # comparison would eat legitimate short closing edges at large
+        # coordinate magnitudes).
+        if len(ring) > 1 and np.array_equal(ring[0], ring[-1]):
             ring = ring[:-1]
             indices = indices[:-1]
         ring_list.append((ring, indices))
@@ -177,9 +387,13 @@ def earcut_triangulate(vertices: np.ndarray, rings: np.ndarray) -> np.ndarray:
         hole_idx.append(indices)
 
     if holes:
-        merged_coords, merged_ring = _bridge_holes(outer, holes)
+        merged_coords, merged_ring, hole_order = _bridge_holes(outer, holes)
         # Map local merged indices back to the original vertex numbering.
-        local_to_global = np.concatenate([outer_idx] + hole_idx)
+        # _bridge_holes appends holes in ITS processing order (sorted by
+        # rightmost x), so the mapping must follow that order too.
+        local_to_global = np.concatenate(
+            [outer_idx] + [hole_idx[k] for k in hole_order]
+        )
         tris_local = _ear_clip(merged_coords, merged_ring)
         return local_to_global[tris_local]
     tris_local = _ear_clip(outer, range(len(outer)))
