@@ -242,6 +242,19 @@ class TestDataset:
         assert set(df.columns) == {"v", "w"}
         assert len(df) == 12
 
+    def test_to_dataframe_dim_order(self, ds):
+        default = ds.to_dataframe()
+        reordered = ds.to_dataframe(dim_order=list(default.index.names)[::-1])
+        assert list(reordered.index.names) == list(default.index.names)[::-1]
+        # same values, addressed with swapped key order
+        key = default.index[0]
+        assert (
+            reordered.loc[tuple(reversed(key)), "v"]
+            == default.loc[key, "v"]
+        )
+        with pytest.raises(ValueError, match="dim_order"):
+            ds.to_dataframe(dim_order=[default.index.names[0]])
+
     def test_full_like(self, ds):
         f = xdata.full_like(ds, 7.0)
         assert (f["v"].values == 7.0).all()

@@ -230,7 +230,7 @@ class UgridDataArrayAccessor(AbstractUgridAccessor):
         variables = [
             var for var in ds.data_vars if dim in ds._variables[var].dims
         ]
-        df = ds[variables].to_dataframe()
+        df = ds[variables].to_dataframe(dim_order=dim_order)
         geometry = self.grid.to_shapely(dim)
         return gpd.GeoDataFrame(df, geometry=geometry, crs=self.grid.crs)
 

@@ -242,7 +242,12 @@ class UgridDatasetAccessor(AbstractUgridAccessor):
             new_grids.append(new_grid)
         return UgridDataset(obj, new_grids)
 
-    def to_geodataframe(self, dim: Optional[str] = None, name: Optional[str] = None):
+    def to_geodataframe(
+        self,
+        dim: Optional[str] = None,
+        name: Optional[str] = None,
+        dim_order=None,
+    ):
         """Convert facet data + geometry of all grids to a GeoDataFrame."""
         import geopandas as gpd
         import pandas as pd
@@ -259,7 +264,7 @@ class UgridDatasetAccessor(AbstractUgridAccessor):
                 ]
                 if not variables:
                     continue
-                df = self.obj[variables].to_dataframe()
+                df = self.obj[variables].to_dataframe(dim_order=dim_order)
                 geometry = grid.to_shapely(facet_dim)
                 frames.append(
                     gpd.GeoDataFrame(df, geometry=geometry, crs=grid.crs)

@@ -35,6 +35,14 @@ def _locate_polygon(grid, exterior, interiors, all_touched: bool) -> IntArray:
     Faces covered by one polygon: triangulate it, join triangles against
     the grid by overlap, and (unless all_touched) keep only faces whose
     centroid falls inside a triangle.
+
+    Known deviation from the reference (xugrid/ugrid/burn.py
+    ``_burn_polygons``): with ``all_touched=True`` the reference counts a
+    face whose edge merely TOUCHES the polygon boundary (zero-area
+    contact), because its rasterization marks any intersected cell.  We
+    intersect by clip area and drop zero-area grazes, so
+    boundary-touching faces with no interior overlap are excluded.  For
+    a polygon aligned with face edges both give the same face set.
     """
     vertices, triangles = _triangulate_polygon(exterior, interiors)
     tri_index, grid_index, area = grid.celltree.intersect_faces(

@@ -313,10 +313,10 @@ class DataArray:
             return self.values.item()
         raise NotImplementedError("to_pandas only for 0D/1D")
 
-    def to_dataframe(self, name=None):
+    def to_dataframe(self, name=None, dim_order=None):
         name = name or self.name or "data"
         ds = self.rename(name).to_dataset() if name != self.name else self.to_dataset(name)
-        return ds.to_dataframe()
+        return ds.to_dataframe(dim_order=dim_order)
 
     # -- indexing -----------------------------------------------------------
     def _resolve_indexers(self, indexers, kwargs):

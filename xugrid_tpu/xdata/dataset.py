@@ -448,11 +448,20 @@ class Dataset:
     def unify_chunks(self):
         return self
 
-    def to_dataframe(self):
+    def to_dataframe(self, dim_order=None):
         import pandas as pd
 
         sizes = self.dims_sizes()
-        dims = sorted(sizes)
+        if dim_order is None:
+            dims = sorted(sizes)
+        else:
+            dim_order = list(dim_order)
+            if set(dim_order) != set(sizes):
+                raise ValueError(
+                    f"dim_order {dim_order} does not match dataset "
+                    f"dimensions {sorted(sizes)}"
+                )
+            dims = dim_order
         if len(dims) == 0:
             return pd.DataFrame(
                 {k: [np.asarray(self._variables[k].data).item()] for k in self.data_vars}
