@@ -229,8 +229,16 @@ def _bridge_holes(outer: np.ndarray, holes: List[np.ndarray]):
     return np.concatenate(vertices), ring, spliced
 
 
-def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
-    """Triangulate a (possibly bridged) simple ring by ear clipping."""
+def _ear_clip(
+    coords: np.ndarray, ring: Sequence[int], bridged: bool = False
+) -> np.ndarray:
+    """Triangulate a (possibly bridged) simple ring by ear clipping.
+
+    ``bridged=True`` enables the extra tests required for weakly simple
+    rings produced by hole bridging (all-vertex ear blocking plus a
+    diagonal-crossing check, O(n) more work per candidate ear); plain
+    simple polygons use the classic reflex-only test.
+    """
     ring = list(ring)
     triangles = []
     guard = 0
@@ -243,16 +251,26 @@ def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
 
     while len(ring) > 3 and guard < max_iter:
         n = len(ring)
-        # ANY ring vertex strictly inside the candidate ear blocks it.
-        # The classic reflex-only shortcut is a theorem for strictly
-        # simple polygons, but bridged (weakly simple) rings violate it:
-        # a hole chain can dip into an ear with only a CONVEX vertex
-        # inside (both its edges crossing the ear's diagonal).  Vertices
-        # coinciding with an ear corner (bridge duplicates) are exempted
-        # in the inner test below.
         r_arr = np.array(ring, dtype=np.int64)
         xy = coords[r_arr]
-        reflex_pos = np.arange(n)
+        if bridged:
+            # ANY ring vertex strictly inside the candidate ear blocks
+            # it.  The classic reflex-only shortcut is a theorem for
+            # strictly simple polygons, but bridged (weakly simple)
+            # rings violate it: a hole chain can dip into an ear with
+            # only a CONVEX vertex inside (both its edges crossing the
+            # ear's diagonal).  Corner-coincident bridge duplicates are
+            # exempted in the inner test below.
+            reflex_pos = np.arange(n)
+        else:
+            prev_xy = np.roll(xy, 1, axis=0)
+            next_xy = np.roll(xy, -1, axis=0)
+            rcross = (xy[:, 0] - prev_xy[:, 0]) * (
+                next_xy[:, 1] - xy[:, 1]
+            ) - (xy[:, 1] - prev_xy[:, 1]) * (
+                next_xy[:, 0] - xy[:, 0]
+            )
+            reflex_pos = np.flatnonzero(rcross <= eps)
         clipped = False
         for i in range(n):
             guard += 1
@@ -291,7 +309,7 @@ def _ear_clip(coords: np.ndarray, ring: Sequence[int]) -> np.ndarray:
                 has_neg = (d1 < -eps) | (d2 < -eps) | (d3 < -eps)
                 has_pos = (d1 > eps) | (d2 > eps) | (d3 > eps)
                 ear_ok = bool(((has_neg & has_pos) | dup).all())
-            if ear_ok and n > 4:
+            if ear_ok and bridged and n > 4:
                 # The point test alone cannot catch a chain that dives
                 # through the ear via a corner-coincident bridge
                 # duplicate: also reject if any ring edge properly
@@ -394,7 +412,7 @@ def earcut_triangulate(vertices: np.ndarray, rings: np.ndarray) -> np.ndarray:
         local_to_global = np.concatenate(
             [outer_idx] + [hole_idx[k] for k in hole_order]
         )
-        tris_local = _ear_clip(merged_coords, merged_ring)
+        tris_local = _ear_clip(merged_coords, merged_ring, bridged=True)
         return local_to_global[tris_local]
     tris_local = _ear_clip(outer, range(len(outer)))
     return outer_idx[tris_local]
