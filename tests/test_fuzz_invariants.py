@@ -1,0 +1,161 @@
+"""
+Randomized metamorphic invariants on Delaunay meshes.
+
+Property-based complements to the example-based suites: partition/merge
+round trips, regrid conservation of constants, selection consistency,
+Laplace maximum-principle bounds, and voronoi tesselation sanity on
+irregular triangulations.  Reference strategy: tests/test_partitioning.py
+and tests/test_regrid/ use fixed meshes; these cover the irregular-mesh
+space those fixtures miss.
+"""
+
+import numpy as np
+import pytest
+
+import xugrid_tpu as xu
+from xugrid_tpu import xdata
+
+pytest.importorskip("scipy.spatial")
+from scipy.spatial import Delaunay  # noqa: E402
+
+
+def random_tri_grid(rng, n):
+    pts = rng.uniform(0, 10, (n, 2))
+    return xu.Ugrid2d(
+        pts[:, 0], pts[:, 1], -1, Delaunay(pts).simplices.astype(np.int64)
+    )
+
+
+def face_uda(grid, values, name="v"):
+    return xu.UgridDataArray(
+        xdata.DataArray(values, dims=(grid.face_dimension,), name=name),
+        grid,
+    )
+
+
+class TestPartitionMergeRoundTrip:
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_round_trip(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(40, 120)))
+        data = rng.normal(size=grid.n_face)
+        uda = face_uda(grid, data)
+        n_part = int(rng.integers(2, 6))
+        parts = uda.ugrid.partition(n_part=n_part)
+        assert sum(p.ugrid.grid.n_face for p in parts) == grid.n_face
+        merged = xu.merge_partitions(parts)
+        mgrid = merged.ugrid.grids[0]
+        assert mgrid.n_face == grid.n_face
+        np.testing.assert_allclose(mgrid.area.sum(), grid.area.sum())
+        # identical (value, centroid) multisets
+        vdat = np.asarray(merged["v"].obj.data)
+        key0 = np.lexsort(grid.centroids.T)
+        key1 = np.lexsort(mgrid.centroids.T)
+        np.testing.assert_allclose(data[key0], vdat[key1])
+
+
+class TestRegridInvariants:
+    @pytest.mark.parametrize("seed", [23, 24])
+    def test_mean_of_constant(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(40, 120)))
+        const = face_uda(grid, np.full(grid.n_face, 3.25), "c")
+        xs = np.linspace(-0.5, 10.5, 8)
+        ys = np.linspace(-0.5, 10.5, 7)
+        tgt = xdata.DataArray(
+            np.zeros((6, 7)),
+            dims=("y", "x"),
+            coords={"y": 0.5 * (ys[:-1] + ys[1:]), "x": 0.5 * (xs[:-1] + xs[1:])},
+        )
+        out = xu.OverlapRegridder(const, target=tgt, method="mean").regrid(
+            const
+        )
+        vals = np.asarray(out.data)
+        covered = ~np.isnan(vals)
+        assert covered.any()
+        np.testing.assert_allclose(vals[covered], 3.25)
+
+    def test_conservative_conserves_integral(self):
+        rng = np.random.default_rng(29)
+        grid = random_tri_grid(rng, 80)
+        # first_order_conservative weights are overlap/source_area, so
+        # regridding v=face_area makes each face contribute exactly its
+        # covered area: the plain sum over a target covering the whole
+        # mesh must reproduce the mesh area.
+        uda = face_uda(grid, grid.area.copy(), "a")
+        xs = np.linspace(-1.0, 11.0, 7)
+        ys = np.linspace(-1.0, 11.0, 6)
+        tgt = xdata.DataArray(
+            np.zeros((5, 6)),
+            dims=("y", "x"),
+            coords={"y": 0.5 * (ys[:-1] + ys[1:]), "x": 0.5 * (xs[:-1] + xs[1:])},
+        )
+        out = xu.RelativeOverlapRegridder(
+            uda, target=tgt, method="first_order_conservative"
+        ).regrid(uda)
+        vals = np.asarray(out.data)
+        assert np.nanmin(vals) >= 0.0
+        np.testing.assert_allclose(
+            np.nansum(vals), grid.area.sum(), rtol=1e-6
+        )
+
+
+class TestSelectionInvariants:
+    @pytest.mark.parametrize("seed", [31, 32])
+    def test_sel_box_and_points(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(50, 150)))
+        const = face_uda(grid, np.full(grid.n_face, 3.25), "c")
+        sub = const.ugrid.sel(x=slice(2, 8), y=slice(2, 8))
+        sg = sub.ugrid.grid
+        assert sg.n_face > 0
+        assert not np.isnan(sg.node_coordinates).any()
+        qp = rng.uniform(1, 9, (20, 2))
+        spts = const.ugrid.sel_points(x=qp[:, 0], y=qp[:, 1])
+        obj = spts.obj if hasattr(spts, "obj") else spts
+        v = np.asarray(obj.data)
+        np.testing.assert_allclose(v[~np.isnan(v)], 3.25)
+
+
+class TestLaplaceMaximumPrinciple:
+    @pytest.mark.parametrize("seed", [41, 42])
+    def test_bounds(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(50, 120)))
+        vals = np.full(grid.n_face, np.nan)
+        k = max(4, grid.n_face // 8)
+        known = rng.choice(grid.n_face, k, replace=False)
+        vals[known] = rng.uniform(-2, 5, k)
+        da = face_uda(grid, vals, "z")
+        filled = da.ugrid.laplace_interpolate(direct_solve=False)
+        f = np.asarray(filled.obj.data)
+        lo, hi = np.nanmin(vals), np.nanmax(vals)
+        assert not np.isnan(f).any()
+        assert f.min() >= lo - 1e-6
+        assert f.max() <= hi + 1e-6
+        # known values untouched
+        np.testing.assert_allclose(f[known], vals[known])
+
+
+class TestVoronoiInvariants:
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_tesselations_well_formed(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(30, 90)))
+        cv = grid.tesselate_centroidal_voronoi()
+        assert not np.isnan(cv.node_coordinates).any()
+        # all cells positively oriented — the reference can emit flipped
+        # boundary cells here (verified on seed 3); we must not.
+        assert (cv.area > 0).all()
+        # coverage tracks the mesh area closely; boundary cells may
+        # overlap or undershoot slightly (documented reference behavior
+        # for add_vertices=True with irregular boundaries)
+        assert abs(cv.area.sum() - grid.area.sum()) <= 0.02 * grid.area.sum()
+        cc = grid.tesselate_circumcenter_voronoi()
+        assert not np.isnan(cc.node_coordinates).any()
+
+    def test_triangulate_preserves_area(self):
+        rng = np.random.default_rng(5)
+        grid = random_tri_grid(rng, 60)
+        tg = grid.triangulate()
+        np.testing.assert_allclose(tg.area.sum(), grid.area.sum())
