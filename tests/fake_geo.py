@@ -69,6 +69,19 @@ class LineString(_Geometry):
     def _xy(self):
         return self.coords
 
+    def interpolate(self, distance, normalized=False):
+        xy = self.coords
+        seg = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = cum[-1] if cum[-1] > 0 else 1.0
+        d = float(distance) * total if normalized else float(distance)
+        d = min(max(d, 0.0), cum[-1])
+        i = int(np.searchsorted(cum, d, side="right") - 1)
+        i = min(i, len(seg) - 1)
+        t = (d - cum[i]) / seg[i] if seg[i] > 0 else 0.0
+        p = xy[i] + t * (xy[i + 1] - xy[i])
+        return Point(p)
+
 
 class LinearRing(LineString):
     type_id = int(GeometryType.LINEARRING)

@@ -241,6 +241,37 @@ class TestSnapToGrid:
             coerce_geometry(gdf)
 
 
+class TestSyntheticGeoData:
+    def test_provinces_nl(self, geo):
+        shp, gpd = geo
+        from xugrid_tpu.data.synthetic import provinces_nl
+
+        gdf = provinces_nl()
+        assert len(gdf) == 12
+        assert all(
+            g.type_id == shp.GeometryType.POLYGON for g in gdf.geometry
+        )
+        assert list(gdf["id"].to_numpy()) == list(range(12))
+
+    def test_hydamo_network(self, geo):
+        shp, gpd = geo
+        from xugrid_tpu.data.synthetic import hydamo_network
+
+        objects, points, profiles = hydamo_network()
+        assert len(objects) >= 1
+        assert all(
+            g.type_id == shp.GeometryType.LINESTRING
+            for g in objects.geometry
+        )
+        assert all(
+            g.type_id == shp.GeometryType.POINT for g in points.geometry
+        )
+        assert all(
+            g.type_id == shp.GeometryType.LINESTRING
+            for g in profiles.geometry
+        )
+
+
 class TestPolygonize:
     def test_two_regions(self, geo):
         shp, gpd = geo
