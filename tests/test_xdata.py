@@ -280,6 +280,20 @@ class TestIO:
         assert back["conn"].encoding["_FillValue"] == -1
         assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
 
+    def test_netcdf_uint8_widened(self, tmp_path):
+        # NC_BYTE is signed and scipy writes raw uint8 as a char array
+        # (read back as |S1 with corrupted values): the writer must
+        # widen uint8 to int16.
+        ds = xdata.Dataset()
+        ds["flags"] = (("x",), np.array([0, 1, 127, 128, 255], np.uint8))
+        path = tmp_path / "u8.nc"
+        ds.to_netcdf(path)
+        back = xdata.open_dataset(path)
+        assert back["flags"].dtype == np.int16
+        np.testing.assert_array_equal(
+            back["flags"].values, [0, 1, 127, 128, 255]
+        )
+
     def test_zarr_roundtrip(self, da, tmp_path):
         ds = da.to_dataset()
         store = tmp_path / "test.zarr"

@@ -181,6 +181,9 @@ _NC3_DTYPES = {
     np.dtype(np.uint64): np.int32,
     np.dtype(np.uint32): np.int32,
     np.dtype(np.uint16): np.int32,
+    # NC_BYTE is signed and scipy writes raw uint8 as a char array
+    # (read back as |S1, corrupting values): widen to int16.
+    np.dtype(np.uint8): np.int16,
     np.dtype(np.bool_): np.int8,
     np.dtype(np.float16): np.float32,
 }
