@@ -137,6 +137,36 @@ class TestLaplaceMaximumPrinciple:
         np.testing.assert_allclose(f[known], vals[known])
 
 
+class TestBarycentricLinearReproduction:
+    @pytest.mark.parametrize("seed", [47, 48])
+    def test_linear_field(self, seed):
+        rng = np.random.default_rng(seed)
+        grid = random_tri_grid(rng, int(rng.integers(80, 160)))
+        a, b, c = rng.normal(size=3)
+        cen = grid.centroids
+        uda = face_uda(grid, a * cen[:, 0] + b * cen[:, 1] + c, "v")
+        xs = np.linspace(3, 7, 9)
+        ys = np.linspace(3, 7, 8)
+        tgt = xdata.DataArray(
+            np.zeros((8, 9)),
+            dims=("y", "x"),
+            coords={"y": ys, "x": xs},
+            name="t",
+        )
+        out = np.asarray(
+            xu.BarycentricInterpolator(uda, target=tgt).regrid(uda).data
+        )
+        YY, XX = np.meshgrid(ys, xs, indexing="ij")
+        expect = a * XX + b * YY + c
+        m = ~np.isnan(out)
+        assert m.sum() > 0.8 * m.size
+        err = np.abs(out[m] - expect[m]) / max(1.0, np.abs(expect).max())
+        # Mean-value coordinates reproduce linear fields exactly in
+        # interior voronoi cells; boundary cells use projected exterior
+        # vertices (reference semantics) and deviate slightly.
+        assert np.median(err) < 1e-9
+        assert err.max() < 5e-3
+
 class TestVoronoiInvariants:
     @pytest.mark.parametrize("seed", [3, 4])
     def test_tesselations_well_formed(self, seed):
