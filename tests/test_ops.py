@@ -212,6 +212,45 @@ class TestEarcut:
             assert (areas > -1e-9).all()
             assert np.isclose(areas.sum(), expect)
 
+    def test_concave_holes(self):
+        # Concave holes (L-shapes, stars, triangles) exercise reflex
+        # hole chains through the bridge machinery.
+        rng = np.random.default_rng(71)
+        L = np.array(
+            [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float
+        )
+        star_ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+        star_r = np.where(np.arange(10) % 2 == 0, 1.0, 0.45)
+        star = np.column_stack(
+            [5.0 + star_r * np.cos(star_ang), 5.0 + star_r * np.sin(star_ang)]
+        )
+        for trial in range(20):
+            outer = np.array(
+                [[-4, -4], [12, -4], [12, 12], [-4, 12]], float
+            )
+            cx, cy = rng.uniform(0, 2, 2)
+            holes = [
+                (L + [cx, cy])[::-1],
+                star[::-1],
+                np.array([[8, 0], [10, 0], [9, 2]], float)[::-1],
+            ]
+            verts = np.vstack([outer] + holes)
+            rings = np.cumsum([4] + [len(h) for h in holes])
+            tris = earcut_triangulate(verts, rings)
+            areas = self._signed_area(verts, tris)
+
+            def ring_area(r):
+                x, y = r[:, 0], r[:, 1]
+                return 0.5 * np.sum(
+                    x * np.roll(y, -1) - np.roll(x, -1) * y
+                )
+
+            expect = abs(ring_area(outer)) - sum(
+                abs(ring_area(h)) for h in holes
+            )
+            assert (areas > -1e-9).all()
+            assert np.isclose(areas.sum(), expect)
+
     def test_hole_outside_outer_dropped(self):
         # A hole lying entirely outside the outer ring is invalid input;
         # it must be ignored instead of corrupting the triangulation.

@@ -192,6 +192,61 @@ class TestOverlapConservation:
         np.testing.assert_allclose(per_face, grid.area, rtol=1e-8)
 
 
+class TestClipAreaOracle:
+    @staticmethod
+    def _sh_clip_area(subj, clip):
+        def signed(p):
+            x, y = p[:, 0], p[:, 1]
+            return 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+
+        if signed(clip) < 0:
+            clip = clip[::-1]
+        if signed(subj) < 0:
+            subj = subj[::-1]
+        out = [tuple(p) for p in subj]
+        for e in range(len(clip)):
+            a, b = clip[e], clip[(e + 1) % len(clip)]
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            inp = out
+            out = []
+            if not inp:
+                break
+            for i in range(len(inp)):
+                P, Q = inp[i], inp[(i + 1) % len(inp)]
+                dP = dx * (P[1] - a[1]) - dy * (P[0] - a[0])
+                dQ = dx * (Q[1] - a[1]) - dy * (Q[0] - a[0])
+                if dP >= 0:
+                    out.append(P)
+                if (dP > 0 and dQ < 0) or (dP < 0 and dQ > 0):
+                    t = dP / (dP - dQ)
+                    out.append(
+                        (P[0] + t * (Q[0] - P[0]), P[1] + t * (Q[1] - P[1]))
+                    )
+        if len(out) < 3:
+            return 0.0
+        return abs(signed(np.array(out)))
+
+    @pytest.mark.parametrize("seed", [73, 74])
+    def test_pairwise_areas_match_sutherland_hodgman(self, seed):
+        # The flagship weight path: every reported (target, source) clip
+        # area must match a pure-python Sutherland-Hodgman oracle on
+        # irregular triangle meshes.
+        pytest.importorskip("scipy.spatial")
+        from scipy.spatial import Delaunay
+
+        rng = np.random.default_rng(seed)
+        ps = rng.uniform(0, 10, (int(rng.integers(30, 80)), 2))
+        sf = Delaunay(ps).simplices.astype(np.int64)
+        tree = CellTree2d(ps, sf, -1)
+        pt = rng.uniform(1, 9, (int(rng.integers(20, 50)), 2))
+        tf = Delaunay(pt).simplices.astype(np.int64)
+        ti, si, areas = tree.intersect_faces(pt, tf, -1)
+        assert len(ti) > 0
+        for k in rng.choice(len(ti), min(len(ti), 120), replace=False):
+            expect = self._sh_clip_area(pt[tf[ti[k]]], ps[sf[si[k]]])
+            assert abs(areas[k] - expect) <= 1e-9 * max(1.0, expect)
+
+
 class TestBarycentricStress:
     def test_weights_reproduce_linear_field(self):
         verts, faces = jittered_quads(6, seed=31)
