@@ -60,7 +60,9 @@ def _write_array(path: Path, var: Variable) -> None:
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),
-        "chunks": list(data.shape) if data.ndim else [1],
+        # zarr v2 requires len(chunks) == len(shape); 0-d arrays use []
+        # (zarr-python normalize_chunks semantics) with chunk key "0".
+        "chunks": list(data.shape),
         "dtype": _dtype_str(data.dtype),
         "compressor": _COMPRESSOR,
         "fill_value": None,
