@@ -280,6 +280,60 @@ class TestIO:
         assert back["conn"].encoding["_FillValue"] == -1
         assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
 
+    def test_zarr_foreign_store_features(self, tmp_path):
+        # Legal zarr v2 features our writer never emits but readers of
+        # foreign stores hit: absent chunks (= fill_value), string-coded
+        # NaN fills, uncompressed chunks, big-endian dtypes, and F-order
+        # (must raise, not silently transpose).
+        import json
+        import zlib
+
+        store = tmp_path / "foreign.zarr"
+        store.mkdir()
+        (store / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+
+        d = store / "sparse"
+        d.mkdir()
+        (d / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [4, 4], "chunks": [2, 2],
+            "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+            "fill_value": "NaN", "order": "C", "filters": None,
+        }))
+        (d / ".zattrs").write_text(
+            json.dumps({"_ARRAY_DIMENSIONS": ["y", "x"]})
+        )
+        chunk = np.arange(4.0).reshape(2, 2)
+        (d / "0.0").write_bytes(zlib.compress(chunk.tobytes()))
+
+        d2 = store / "intfill"
+        d2.mkdir()
+        (d2 / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [3], "chunks": [2],
+            "dtype": ">i4", "compressor": None, "fill_value": -9,
+            "order": "C", "filters": None,
+        }))
+        (d2 / ".zattrs").write_text(
+            json.dumps({"_ARRAY_DIMENSIONS": ["x"]})
+        )
+        (d2 / "0").write_bytes(np.array([5, 6], ">i4").tobytes())
+
+        ds = xdata.open_zarr(store)
+        s = np.asarray(ds["sparse"].data)
+        np.testing.assert_allclose(s[:2, :2], chunk)
+        assert np.isnan(s[2:, :]).all() and np.isnan(s[:2, 2:]).all()
+        assert list(np.asarray(ds["intfill"].data)) == [5, 6, -9]
+
+        d3 = store / "forder"
+        d3.mkdir()
+        (d3 / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [2], "chunks": [2],
+            "dtype": "<i4", "compressor": None, "fill_value": 0,
+            "order": "F", "filters": None,
+        }))
+        (d3 / "0").write_bytes(np.array([1, 2], "<i4").tobytes())
+        with pytest.raises(NotImplementedError, match="order='F'"):
+            xdata.open_zarr(store)
+
     def test_netcdf_uint8_widened(self, tmp_path):
         # NC_BYTE is signed and scipy writes raw uint8 as a char array
         # (read back as |S1 with corrupted values): the writer must

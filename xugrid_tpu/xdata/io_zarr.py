@@ -114,14 +114,34 @@ def open_zarr(store, **kwargs) -> Dataset:
 
 def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
     compressor = meta.get("compressor")
+    if meta.get("order", "C") != "C":
+        # Silently reading an F-order store would transpose every chunk.
+        raise NotImplementedError(
+            "zarr arrays with order='F' require the zarr package"
+        )
+    if meta.get("filters"):
+        raise NotImplementedError(
+            "zarr arrays with filters require the zarr package"
+        )
     ndim = max(len(shape), 1)
     grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [1]
-    out = np.zeros(shape if shape else (), dtype=dtype)
+    fill = meta.get("fill_value")
+    if fill is None:
+        init = np.zeros(shape if shape else (), dtype=dtype)
+    else:
+        if isinstance(fill, str) and dtype.kind == "f":
+            fill = float(fill)  # "NaN" / "Infinity" spec encodings
+        init = np.full(shape if shape else (), fill, dtype=dtype)
+    out = init
     import itertools
 
     for idx in itertools.product(*(range(g) for g in grid)):
         key = ".".join(map(str, idx)) if idx else "0"
-        raw = (path / key).read_bytes()
+        chunk_file = path / key
+        if not chunk_file.exists():
+            # Absent chunk: entirely fill_value (legal sparse store).
+            continue
+        raw = chunk_file.read_bytes()
         if compressor and compressor.get("id") == "zlib":
             raw = zlib.decompress(raw)
         elif compressor and compressor.get("id") == "blosc":
