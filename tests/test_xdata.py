@@ -280,6 +280,21 @@ class TestIO:
         assert back["conn"].encoding["_FillValue"] == -1
         assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
 
+    def test_zarr_consolidated_metadata(self, da, tmp_path):
+        # xarray's open_zarr reads .zmetadata by default
+        # (consolidated=True); the writer must emit it.
+        import json
+
+        store = tmp_path / "c.zarr"
+        da.to_dataset().to_zarr(store)
+        meta = json.loads((store / ".zmetadata").read_text())
+        assert meta["zarr_consolidated_format"] == 1
+        assert "v/.zarray" in meta["metadata"]
+        assert ".zgroup" in meta["metadata"]
+        # entries mirror the on-disk files
+        on_disk = json.loads((store / "v" / ".zarray").read_text())
+        assert meta["metadata"]["v/.zarray"] == on_disk
+
     def test_zarr_foreign_store_features(self, tmp_path):
         # Legal zarr v2 features our writer never emits but readers of
         # foreign stores hit: absent chunks (= fill_value), string-coded

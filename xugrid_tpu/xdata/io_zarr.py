@@ -46,6 +46,24 @@ def to_zarr(ds: Dataset, store, **kwargs) -> None:
     (root / ".zattrs").write_text(json.dumps(_json_safe(ds.attrs)))
     for name, var in ds._variables.items():
         _write_array(root / str(name), var)
+    # Consolidated metadata: xarray's open_zarr reads this by default
+    # (consolidated=True) and warns or fails without it.
+    consolidated = {}
+    for key in (".zgroup", ".zattrs"):
+        consolidated[key] = json.loads((root / key).read_text())
+    for child in sorted(root.iterdir()):
+        if child.is_dir():
+            for key in (".zarray", ".zattrs"):
+                f = child / key
+                if f.exists():
+                    consolidated[f"{child.name}/{key}"] = json.loads(
+                        f.read_text()
+                    )
+    (root / ".zmetadata").write_text(
+        json.dumps(
+            {"zarr_consolidated_format": 1, "metadata": consolidated}
+        )
+    )
 
 
 def _write_array(path: Path, var: Variable) -> None:
