@@ -280,6 +280,23 @@ class TestIO:
         assert back["conn"].encoding["_FillValue"] == -1
         assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
 
+    def test_netcdf_string_roundtrip(self, tmp_path):
+        # Strings were silently DROPPED on the NetCDF3 path; now they
+        # use the CF char-array encoding (trailing string{N} dim).
+        ds = xdata.Dataset()
+        ds["names"] = (("x",), np.array(["alpha", "be", "gamma!"], "U"))
+        ds["codes"] = (("x",), np.array([b"ab", b"c", b"de"], "S2"))
+        ds["title_var"] = ((), np.str_("hello"))
+        path = tmp_path / "strings.nc"
+        ds.to_netcdf(path)
+        back = xdata.open_dataset(path)
+        assert list(np.asarray(back["names"].data)) == [
+            b"alpha", b"be", b"gamma!",
+        ]
+        assert back["names"].dims == ("x",)
+        assert list(np.asarray(back["codes"].data)) == [b"ab", b"c", b"de"]
+        assert np.asarray(back["title_var"].data)[()] == b"hello"
+
     def test_zarr_consolidated_metadata(self, da, tmp_path):
         # xarray's open_zarr reads .zmetadata by default
         # (consolidated=True); the writer must emit it.

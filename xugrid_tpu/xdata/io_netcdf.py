@@ -81,6 +81,20 @@ def _decode_cf_time(data, attrs):
 def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
     attrs = dict(attrs)
     encoding = {}
+    if (
+        data.dtype == np.dtype("S1")
+        and data.ndim >= 1
+        and dims
+        and str(dims[-1]).startswith("string")
+    ):
+        # Collapse the CF char-array encoding back to fixed-width bytes
+        # (inverse of the writer's "string{N}" trailing dimension).
+        k = data.shape[-1]
+        data = (
+            np.ascontiguousarray(data).view(f"S{max(k, 1)}")
+            .reshape(data.shape[:-1])
+        )
+        dims = tuple(dims[:-1])
     if decode_cf:
         fill = attrs.pop("_FillValue", None)
         scale = attrs.pop("scale_factor", None)
@@ -280,11 +294,24 @@ def _write_scipy(ds: Dataset, path) -> None:
             target = _NC3_DTYPES.get(data.dtype)
             if target is not None:
                 data = data.astype(target)
+            var_dims = tuple(var.dims)
             if data.dtype.kind in "US":
-                # String variables are skipped on the NetCDF3 path
-                # (char-array encoding not implemented).
-                continue
-            nc_var = f.createVariable(name, data.dtype, tuple(var.dims))
+                # CF char-array encoding (xarray convention): a
+                # fixed-width string becomes S1 chars over an extra
+                # trailing "string{N}" dimension.
+                if data.dtype.kind == "U":
+                    data = np.char.encode(data, "utf-8")
+                k = max(data.dtype.itemsize, 1)
+                strdim = f"string{k}"
+                if strdim not in f.dimensions:
+                    f.createDimension(strdim, k)
+                data = (
+                    np.ascontiguousarray(data)
+                    .view("S1")
+                    .reshape(data.shape + (k,))
+                )
+                var_dims = var_dims + (strdim,)
+            nc_var = f.createVariable(name, data.dtype, var_dims)
             if var.ndim == 0:
                 # scipy's assignValue is broken for true scalars; write
                 # through the underlying array instead.
