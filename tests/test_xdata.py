@@ -297,6 +297,20 @@ class TestIO:
         assert list(np.asarray(back["codes"].data)) == [b"ab", b"c", b"de"]
         assert np.asarray(back["title_var"].data)[()] == b"hello"
 
+    def test_zarr_zero_length_roundtrip(self, tmp_path):
+        # Zero-length dims previously crashed the chunk-grid math with
+        # ZeroDivisionError; zarr requires chunk lengths >= 1.
+        ds = xdata.Dataset()
+        ds["empty"] = (("x",), np.zeros((0,), np.float64))
+        ds["e2"] = (("x", "y"), np.zeros((0, 3), np.int32))
+        ds["v"] = (("y",), np.arange(3.0))
+        store = tmp_path / "e.zarr"
+        ds.to_zarr(store)
+        back = xdata.open_zarr(store)
+        assert np.asarray(back["empty"].data).shape == (0,)
+        assert np.asarray(back["e2"].data).shape == (0, 3)
+        np.testing.assert_allclose(np.asarray(back["v"].data), [0, 1, 2])
+
     def test_zarr_consolidated_metadata(self, da, tmp_path):
         # xarray's open_zarr reads .zmetadata by default
         # (consolidated=True); the writer must emit it.

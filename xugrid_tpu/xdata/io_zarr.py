@@ -78,9 +78,10 @@ def _write_array(path: Path, var: Variable) -> None:
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),
-        # zarr v2 requires len(chunks) == len(shape); 0-d arrays use []
+        # zarr v2 requires len(chunks) == len(shape) and every chunk
+        # length >= 1 (even for zero-length dims); 0-d arrays use []
         # (zarr-python normalize_chunks semantics) with chunk key "0".
-        "chunks": list(data.shape),
+        "chunks": [max(1, s) for s in data.shape],
         "dtype": _dtype_str(data.dtype),
         "compressor": _COMPRESSOR,
         "fill_value": None,
@@ -91,8 +92,9 @@ def _write_array(path: Path, var: Variable) -> None:
     attrs = _json_safe(dict(var.attrs))
     attrs["_ARRAY_DIMENSIONS"] = list(map(str, var.dims))
     (path / ".zattrs").write_text(json.dumps(attrs))
-    chunk_key = ".".join(["0"] * max(data.ndim, 1))
-    (path / chunk_key).write_bytes(zlib.compress(data.tobytes(), 4))
+    if data.size:
+        chunk_key = ".".join(["0"] * max(data.ndim, 1))
+        (path / chunk_key).write_bytes(zlib.compress(data.tobytes(), 4))
 
 
 def open_zarr(store, **kwargs) -> Dataset:
@@ -142,7 +144,12 @@ def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
             "zarr arrays with filters require the zarr package"
         )
     ndim = max(len(shape), 1)
-    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [1]
+    if any(s == 0 for s in shape):
+        # Zero-length array: no chunk files exist.
+        return np.zeros(shape, dtype=dtype)
+    grid = [
+        max(1, -(-s // max(1, c))) for s, c in zip(shape, chunks)
+    ] or [1]
     fill = meta.get("fill_value")
     if fill is None:
         init = np.zeros(shape if shape else (), dtype=dtype)
