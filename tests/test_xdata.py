@@ -280,6 +280,38 @@ class TestIO:
         assert back["conn"].encoding["_FillValue"] == -1
         assert np.array_equal(back.coords["x"].values, [0, 1, 2, 3])
 
+    def test_attr_coercion_roundtrip(self, tmp_path):
+        # numpy-typed attributes crashed scipy (int64 typecode missing)
+        # and json (np.bool_); float attrs silently dropped to f32.
+        attrs = {
+            "np_int": np.int64(7),
+            "np_bool": np.True_,
+            "precise": 0.1234567890123456789,
+            "iarr64": np.array([1, 2], np.int64),
+            "text": "hello",
+        }
+        ds = xdata.Dataset()
+        ds["v"] = (("x",), np.arange(3.0), dict(attrs))
+        ds.attrs["gattr"] = np.int64(3)
+
+        p = tmp_path / "attrs.nc"
+        ds.to_netcdf(p)
+        back = xdata.open_dataset(p)
+        a = dict(back["v"].attrs)
+        assert a["np_int"] == 7
+        assert a["np_bool"] == 1
+        assert abs(float(a["precise"]) - attrs["precise"]) < 1e-15
+        assert list(np.asarray(a["iarr64"])) == [1, 2]
+        assert back.attrs["gattr"] == 3
+
+        z = tmp_path / "attrs.zarr"
+        ds.to_zarr(z)
+        backz = xdata.open_zarr(z)
+        az = dict(backz["v"].attrs)
+        assert az["np_int"] == 7
+        assert az["np_bool"] in (True, 1)
+        assert abs(float(az["precise"]) - attrs["precise"]) < 1e-15
+
     def test_netcdf_string_roundtrip(self, tmp_path):
         # Strings were silently DROPPED on the NetCDF3 path; now they
         # use the CF char-array encoding (trailing string{N} dim).

@@ -280,12 +280,50 @@ def to_netcdf(ds: Dataset, path, engine=None, **kwargs) -> None:
     _write_scipy(ds, path)
 
 
+def _nc3_attr(value):
+    """Coerce attribute values to types scipy's netcdf_file can encode
+    (its typecode table lacks int64/uint/np.bool_ scalars)."""
+    if isinstance(value, np.bool_):
+        return int(value)
+    if isinstance(value, np.integer):
+        v = int(value)
+        if np.iinfo(np.int32).min <= v <= np.iinfo(np.int32).max:
+            return v
+        return np.float64(v)
+    if isinstance(value, np.floating):
+        # scipy encodes python floats as NC_FLOAT (f32, lossy); an
+        # explicit float64 scalar keeps NC_DOUBLE.
+        return np.float64(value)
+    if isinstance(value, float):
+        return np.float64(value)
+    if isinstance(value, np.str_):
+        return str(value)
+    if isinstance(value, np.bytes_):
+        return bytes(value)
+    if isinstance(value, np.ndarray):
+        if value.dtype.kind in "ui" and value.dtype.itemsize > 4:
+            info = np.iinfo(np.int32)
+            if value.size and (
+                value.min() < info.min or value.max() > info.max
+            ):
+                return value.astype(np.float64)
+            return value.astype(np.int32)
+        if value.dtype == np.bool_:
+            return value.astype(np.int8)
+        if value.dtype.kind == "f" and value.dtype.itemsize > 8:
+            return value.astype(np.float64)
+        return value
+    if isinstance(value, (list, tuple)):
+        return [_nc3_attr(v) for v in value]
+    return value
+
+
 def _write_scipy(ds: Dataset, path) -> None:
     from scipy.io import netcdf_file
 
     with netcdf_file(str(path), "w") as f:
         for k, v in ds.attrs.items():
-            setattr(f, k, v)
+            setattr(f, k, _nc3_attr(v))
         sizes = ds.dims_sizes()
         for dim, size in sizes.items():
             f.createDimension(dim, size)
@@ -319,10 +357,10 @@ def _write_scipy(ds: Dataset, path) -> None:
             else:
                 nc_var[:] = data
             for k, v in var.attrs.items():
-                setattr(nc_var, k, v)
+                setattr(nc_var, k, _nc3_attr(v))
             fill = var.encoding.get("_FillValue")
             if fill is not None and "_FillValue" not in var.attrs:
-                nc_var._FillValue = fill
+                nc_var._FillValue = _nc3_attr(fill)
 
 
 def _write_netcdf4(ds: Dataset, path) -> None:

@@ -194,10 +194,16 @@ def _json_safe(obj):
         return {k: _json_safe(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_json_safe(v) for v in obj]
+    if isinstance(obj, np.bool_):
+        return bool(obj)
     if isinstance(obj, (np.integer,)):
         return int(obj)
     if isinstance(obj, (np.floating,)):
         return float(obj)
+    if isinstance(obj, np.bytes_):
+        return obj.decode("utf-8", errors="replace")
+    if isinstance(obj, np.str_):
+        return str(obj)
     if isinstance(obj, np.ndarray):
-        return obj.tolist()
+        return _json_safe(obj.tolist())
     return obj
