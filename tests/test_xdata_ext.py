@@ -1,0 +1,280 @@
+"""
+xarray-parity extension methods on the xdata layer: count/quantile/
+rank/shift/roll/sortby/ffill/bfill/integrate/differentiate/dot,
+stack/unstack, reindex/interp, groupby/rolling/coarsen/weighted/
+resample, and the Dataset counterparts.  A reference (xugrid) user
+forwards these through the UGRID wrappers, so they must exist and
+match xarray semantics on the subset exercised here.
+"""
+
+import numpy as np
+import pytest
+
+from xugrid_tpu import xdata
+
+
+@pytest.fixture
+def da():
+    return xdata.DataArray(
+        np.array([[1.0, np.nan, 3.0], [4.0, 5.0, np.nan]]),
+        dims=("t", "x"),
+        coords={"t": [0, 1], "x": [10, 20, 30]},
+        name="v",
+    )
+
+
+@pytest.fixture
+def ds():
+    out = xdata.Dataset()
+    out["v"] = (("t", "x"), np.array([[1.0, np.nan, 3.0], [4.0, 5.0, 6.0]]))
+    out["w"] = (("x",), np.array([10.0, 20.0, 30.0]))
+    return out.assign_coords(t=[0, 1], x=[100, 200, 300])
+
+
+class TestSimpleMethods:
+    def test_count(self, da):
+        assert list(np.asarray(da.count("x").data)) == [2, 2]
+        assert int(da.count()) == 4
+
+    def test_quantile(self, da):
+        q = da.quantile(0.5, dim="x")
+        assert q.dims == ("t",)
+        np.testing.assert_allclose(np.asarray(q.data), [2.0, 4.5])
+        qq = da.quantile([0.25, 0.75], dim="x")
+        assert qq.dims == ("quantile", "t")
+        np.testing.assert_allclose(
+            np.asarray(qq.coords["quantile"].data), [0.25, 0.75]
+        )
+
+    def test_cumprod(self):
+        cp = xdata.DataArray(np.array([1.0, 2.0, 3.0]), dims=("x",))
+        assert list(np.asarray(cp.cumprod("x").data)) == [1, 2, 6]
+
+    def test_rank(self):
+        r = xdata.DataArray(
+            np.array([3.0, 1.0, np.nan, 2.0]), dims=("x",)
+        ).rank("x")
+        v = np.asarray(r.data)
+        np.testing.assert_allclose(v[[0, 1, 3]], [3, 1, 2])
+        assert np.isnan(v[2])
+
+    def test_shift_and_roll(self, da):
+        s = da.shift(x=1)
+        assert np.isnan(np.asarray(s.data)[:, 0]).all()
+        assert np.asarray(s.data)[0, 1] == 1.0
+        # coords NOT shifted
+        assert list(np.asarray(s.coords["x"].data)) == [10, 20, 30]
+        ro = da.roll(x=1, roll_coords=True)
+        assert np.asarray(ro.data)[0, 0] == 3.0
+        assert list(np.asarray(ro.coords["x"].data)) == [30, 10, 20]
+
+    def test_sortby(self, da):
+        sb = da.sortby("x", ascending=False)
+        assert list(np.asarray(sb.coords["x"].data)) == [30, 20, 10]
+        assert np.asarray(sb.data)[0, 0] == 3.0
+
+    def test_ffill_bfill(self):
+        f = xdata.DataArray(
+            np.array([np.nan, 1.0, np.nan, np.nan, 2.0]), dims=("x",)
+        )
+        ff = np.asarray(f.ffill("x").data)
+        assert np.isnan(ff[0]) and list(ff[1:]) == [1, 1, 1, 2]
+        bf = np.asarray(f.bfill("x").data)
+        assert list(bf[:3]) == [1, 1, 2]
+        fl = np.asarray(f.ffill("x", limit=1).data)
+        assert fl[2] == 1.0 and np.isnan(fl[3])
+
+    def test_integrate_differentiate(self):
+        g = xdata.DataArray(
+            np.array([0.0, 1.0, 4.0]), dims=("x",),
+            coords={"x": [0.0, 1.0, 2.0]},
+        )
+        assert abs(float(g.integrate("x").data) - 3.0) < 1e-12
+        np.testing.assert_allclose(
+            np.asarray(g.differentiate("x").data), [1.0, 2.0, 3.0]
+        )
+
+    def test_dot(self):
+        a = xdata.DataArray(np.arange(6.0).reshape(2, 3), dims=("i", "j"))
+        b = xdata.DataArray(np.arange(3.0), dims=("j",))
+        d = a.dot(b)
+        assert d.dims == ("i",)
+        np.testing.assert_allclose(np.asarray(d.data), [5.0, 14.0])
+
+    def test_assign_attrs_and_map_blocks(self, da):
+        aa = da.assign_attrs(units="m")
+        assert aa.attrs["units"] == "m" and "units" not in da.attrs
+        mb = da.map_blocks(lambda x: x * 2)
+        assert np.nanmax(np.asarray(mb.data)) == 10.0
+
+
+class TestStackReindexInterp:
+    def test_stack_unstack(self):
+        da = xdata.DataArray(
+            np.arange(6.0).reshape(2, 3), dims=("y", "x"),
+            coords={"y": [0, 1], "x": [10, 20, 30]}, name="v",
+        )
+        st = da.stack(z=("y", "x"))
+        assert st.dims == ("z",) and st.sizes["z"] == 6
+        assert list(np.asarray(st.coords["y"].data)) == [0, 0, 0, 1, 1, 1]
+        assert list(np.asarray(st.coords["x"].data)) == [10, 20, 30] * 2
+        un = st.unstack("z")
+        assert un.dims == ("y", "x")
+        np.testing.assert_allclose(np.asarray(un.data), np.asarray(da.data))
+        assert list(np.asarray(un.coords["x"].data)) == [10, 20, 30]
+
+    def test_reindex(self):
+        da = xdata.DataArray(
+            np.arange(6.0).reshape(2, 3), dims=("y", "x"),
+            coords={"y": [0, 1], "x": [10, 20, 30]}, name="v",
+        )
+        r = da.reindex(x=[20, 40, 10])
+        v = np.asarray(r.data)
+        assert v[0, 0] == 1.0 and np.isnan(v[0, 1]) and v[0, 2] == 0.0
+        rn = da.reindex(x=[12, 29], method="nearest", tolerance=5)
+        assert np.asarray(rn.data)[0, 0] == 0.0
+        assert np.asarray(rn.data)[0, 1] == 2.0
+        other = xdata.DataArray(
+            np.zeros((2, 2)), dims=("y", "x"),
+            coords={"y": [0, 1], "x": [30, 10]},
+        )
+        rl = da.reindex_like(other)
+        assert list(np.asarray(rl.coords["x"].data)) == [30, 10]
+
+    def test_interp(self):
+        g = xdata.DataArray(
+            np.array([0.0, 10.0, 20.0]), dims=("x",),
+            coords={"x": [0.0, 1.0, 2.0]},
+        )
+        iv = np.asarray(g.interp(x=[0.5, 1.5, 3.0]).data)
+        np.testing.assert_allclose(iv[:2], [5.0, 15.0])
+        assert np.isnan(iv[2])
+        assert abs(float(g.interp(x=0.25).data) - 2.5) < 1e-12
+
+
+class TestGrouped:
+    def test_groupby(self):
+        gb = xdata.DataArray(
+            np.array([1.0, 2.0, 3.0, 4.0]), dims=("x",),
+            coords={"x": [0, 1, 2, 3], "label": ("x", ["a", "b", "a", "b"])},
+            name="v",
+        )
+        m = gb.groupby("label").mean()
+        assert list(np.asarray(m.coords["label"].data)) == ["a", "b"]
+        np.testing.assert_allclose(np.asarray(m.data), [2.0, 3.0])
+        np.testing.assert_allclose(
+            np.asarray(gb.groupby("label").sum().data), [4.0, 6.0]
+        )
+        assert list(np.asarray(gb.groupby("label").count().data)) == [2, 2]
+        items = dict(iter(gb.groupby("label")))
+        np.testing.assert_allclose(np.asarray(items["a"].data), [1.0, 3.0])
+        mapped = gb.groupby("label").map(lambda s: s.max())
+        np.testing.assert_allclose(np.asarray(mapped.data), [3.0, 4.0])
+
+    def test_rolling(self):
+        rr = xdata.DataArray(np.array([1.0, 2.0, 3.0, 4.0]), dims=("x",))
+        rm = np.asarray(rr.rolling(x=2).mean().data)
+        assert np.isnan(rm[0])
+        np.testing.assert_allclose(rm[1:], [1.5, 2.5, 3.5])
+        rc = np.asarray(
+            rr.rolling(x=3, center=True, min_periods=1).sum().data
+        )
+        np.testing.assert_allclose(rc, [3.0, 6.0, 9.0, 7.0])
+
+    def test_coarsen(self):
+        cc = xdata.DataArray(
+            np.arange(6.0), dims=("x",), coords={"x": np.arange(6.0)}
+        )
+        cm = cc.coarsen(x=2).mean()
+        np.testing.assert_allclose(np.asarray(cm.data), [0.5, 2.5, 4.5])
+        np.testing.assert_allclose(
+            np.asarray(cm.coords["x"].data), [0.5, 2.5, 4.5]
+        )
+        ct = xdata.DataArray(np.arange(7.0), dims=("x",)).coarsen(
+            x=2, boundary="trim"
+        ).sum()
+        np.testing.assert_allclose(np.asarray(ct.data), [1.0, 5.0, 9.0])
+        with pytest.raises(ValueError, match="not a multiple"):
+            xdata.DataArray(np.arange(7.0), dims=("x",)).coarsen(x=2).mean()
+
+    def test_weighted(self):
+        w = xdata.DataArray(np.array([1.0, 3.0]), dims=("x",))
+        v = xdata.DataArray(np.array([2.0, 4.0]), dims=("x",))
+        assert abs(float(v.weighted(w).mean("x").data) - 3.5) < 1e-12
+        assert abs(float(v.weighted(w).sum("x").data) - 14.0) < 1e-12
+        assert abs(float(v.weighted(w).sum_of_weights("x").data) - 4.0) < 1e-12
+        # NaN values get zero weight
+        v2 = xdata.DataArray(np.array([2.0, np.nan]), dims=("x",))
+        assert abs(float(v2.weighted(w).mean("x").data) - 2.0) < 1e-12
+
+    def test_resample(self):
+        times = np.array(
+            ["2020-01-01", "2020-01-02", "2020-02-01", "2020-02-15"],
+            dtype="datetime64[ns]",
+        )
+        tr = xdata.DataArray(
+            np.array([1.0, 3.0, 5.0, 7.0]), dims=("time",),
+            coords={"time": times}, name="v",
+        )
+        rm = tr.resample(time="M").mean()
+        np.testing.assert_allclose(np.asarray(rm.data), [2.0, 6.0])
+
+
+class TestDatasetExtensions:
+    def test_where_fillna(self, ds):
+        wh = ds.where(ds["v"] > 2.0)
+        assert np.isnan(np.asarray(wh["v"].data)[0, 0])
+        fn = ds.fillna(0.0)
+        assert np.asarray(fn["v"].data)[0, 1] == 0.0
+
+    def test_count_quantile(self, ds):
+        ct = ds.count("x")
+        assert list(np.asarray(ct["v"].data)) == [2, 3]
+        qt = ds.quantile(0.5, dim="x")
+        assert qt["v"].dims == ("t",)
+
+    def test_diff_shift_roll(self, ds):
+        assert ds.diff("x")["v"].sizes["x"] == 2
+        sh = ds.shift(x=1)
+        assert np.isnan(np.asarray(sh["w"].data)[0])
+        rl = ds.roll(x=1)
+        assert np.asarray(rl["w"].data)[0] == 30.0
+
+    def test_sortby_dropna(self, ds):
+        sb = ds.sortby("x", ascending=False)
+        assert list(np.asarray(sb.coords["x"].data)) == [300, 200, 100]
+        assert ds.dropna("x").sizes["x"] == 2
+
+    def test_to_array(self, ds):
+        ta = ds.to_array()
+        assert ta.dims == ("variable", "t", "x")
+        assert list(np.asarray(ta.coords["variable"].data)) == ["v", "w"]
+
+    def test_stack_unstack(self, ds):
+        st = ds.stack(z=("t", "x"))
+        assert st["v"].dims == ("z",) and st["w"].dims == ("z",)
+        # partial variable broadcast over the product
+        assert list(np.asarray(st["w"].data)) == [10.0, 20.0, 30.0] * 2
+        un = st.unstack()
+        np.testing.assert_allclose(
+            np.asarray(un["v"].data), np.asarray(ds["v"].data),
+            equal_nan=True,
+        )
+
+    def test_reindex_interp(self, ds):
+        ri = ds.reindex(x=[200, 400])
+        assert np.asarray(ri["w"].data)[0] == 20.0
+        assert np.isnan(np.asarray(ri["w"].data)[1])
+        ii = ds.interp(x=[150.0, 250.0])
+        np.testing.assert_allclose(np.asarray(ii["w"].data), [15.0, 25.0])
+
+    def test_groupby(self):
+        ds2 = xdata.Dataset()
+        ds2["v"] = (("x",), np.array([1.0, 2.0, 3.0, 4.0]))
+        ds2 = ds2.assign_coords(x=[0, 1, 2, 3], lab=("x", ["a", "b", "a", "b"]))
+        gm = ds2.groupby("lab").mean()
+        np.testing.assert_allclose(np.asarray(gm["v"].data), [2.0, 3.0])
+        items = dict(iter(ds2.groupby("lab")))
+        np.testing.assert_allclose(
+            np.asarray(items["b"]["v"].data), [2.0, 4.0]
+        )

@@ -713,6 +713,473 @@ class DataArray:
         mask = isnan.any(axis=axis) if how == "any" else isnan.all(axis=axis)
         return self.isel({dim: np.flatnonzero(~mask)})
 
+    # -- xarray-parity convenience methods ---------------------------------
+    def assign_attrs(self, *args, **kwargs) -> "DataArray":
+        out = self.copy(deep=False)
+        out.attrs.update(dict(*args, **kwargs))
+        return out
+
+    def count(self, dim=None) -> "DataArray":
+        """Number of non-NaN elements along ``dim``."""
+        data = np.asarray(self.data)
+        if data.dtype.kind == "f":
+            valid = ~np.isnan(data)
+        else:
+            valid = np.ones(data.shape, dtype=bool)
+        var = Variable(self.dims, valid.astype(np.int64))
+        out = DataArray._construct(var, dict(self._coords), self.name)
+        return out._reduce("sum", dim=dim, skipna=False)
+
+    def quantile(self, q, dim=None, skipna=True, **kwargs) -> "DataArray":
+        """NaN-aware quantiles; array ``q`` adds a leading ``quantile``
+        dimension (xarray semantics)."""
+        data = np.asarray(self.data)
+        q_arr = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        scalar_q = np.ndim(q) == 0
+        if dim is None:
+            axis = None
+            new_dims = ()
+        else:
+            dims = [dim] if isinstance(dim, str) else list(dim)
+            axis = tuple(self.dims.index(d) for d in dims)
+            new_dims = tuple(d for d in self.dims if d not in dims)
+        func = np.nanquantile if skipna else np.quantile
+        result = func(data, q_arr, axis=axis)
+        coords = {
+            k: v
+            for k, v in self._coords.items()
+            if set(v.dims) <= set(new_dims)
+        }
+        if scalar_q:
+            result = result[0]
+            var = Variable(new_dims, result)
+        else:
+            var = Variable(("quantile",) + new_dims, result)
+            coords["quantile"] = Variable(("quantile",), q_arr)
+        return DataArray._construct(var, coords, self.name)
+
+    def cumprod(self, dim=None) -> "DataArray":
+        xp = get_namespace(self.data)
+        axis = None if dim is None else self.dims.index(dim)
+        return self._apply_unary(lambda d: xp.cumprod(d, axis=axis))
+
+    def rank(self, dim) -> "DataArray":
+        """Rank values along ``dim`` (average method, NaN stays NaN)."""
+        from scipy.stats import rankdata
+
+        axis = self.dims.index(dim)
+        data = np.asarray(self.data, dtype=np.float64)
+        ranked = rankdata(
+            data, method="average", axis=axis, nan_policy="omit"
+        ).astype(np.float64)
+        ranked = np.where(np.isnan(data), np.nan, ranked)
+        var = Variable(self.dims, ranked, self.attrs)
+        return DataArray._construct(var, dict(self._coords), self.name)
+
+    def _shift_kwargs(self, shifts, kwargs):
+        shifts = dict(shifts or {})
+        shifts.update(kwargs)
+        return shifts
+
+    def shift(self, shifts=None, fill_value=np.nan, **kwargs) -> "DataArray":
+        """Shift data along dims, introducing ``fill_value`` (coords are
+        NOT shifted — xarray semantics)."""
+        shifts = self._shift_kwargs(shifts, kwargs)
+        data = np.asarray(self.data)
+        if data.dtype.kind in "iub" and (
+            fill_value is np.nan or (
+                isinstance(fill_value, float) and np.isnan(fill_value)
+            )
+        ):
+            data = data.astype(np.float64)
+        out = data.copy()
+        for dim, n in shifts.items():
+            if n == 0:
+                continue
+            axis = self.dims.index(dim)
+            out = np.roll(out, n, axis=axis)
+            index = [slice(None)] * out.ndim
+            index[axis] = slice(0, n) if n > 0 else slice(n, None)
+            out[tuple(index)] = fill_value
+        var = Variable(self.dims, out, self.attrs)
+        return DataArray._construct(var, dict(self._coords), self.name)
+
+    def roll(self, shifts=None, roll_coords=False, **kwargs) -> "DataArray":
+        """Cyclically roll data (and optionally coords) along dims."""
+        shifts = self._shift_kwargs(shifts, kwargs)
+        out = np.asarray(self.data)
+        for dim, n in shifts.items():
+            out = np.roll(out, n, axis=self.dims.index(dim))
+        coords = {}
+        for k, v in self._coords.items():
+            if roll_coords and any(d in shifts for d in v.dims):
+                cdat = np.asarray(v.data)
+                for dim, n in shifts.items():
+                    if dim in v.dims:
+                        cdat = np.roll(cdat, n, axis=v.dims.index(dim))
+                coords[k] = Variable(v.dims, cdat, v.attrs)
+            else:
+                coords[k] = v
+        var = Variable(self.dims, out, self.attrs)
+        return DataArray._construct(var, coords, self.name)
+
+    def sortby(self, variables, ascending: bool = True) -> "DataArray":
+        """Sort along the dimension(s) of the given coordinate(s)."""
+        if isinstance(variables, (str, DataArray)):
+            variables = [variables]
+        out = self
+        for v in variables:
+            key = self._coords[v] if isinstance(v, str) else v.variable
+            if len(key.dims) != 1:
+                raise ValueError("sortby requires 1-D sort keys")
+            dim = key.dims[0]
+            order = np.argsort(np.asarray(key.data), kind="stable")
+            if not ascending:
+                order = order[::-1]
+            out = out.isel({dim: order})
+        return out
+
+    def _fill_directional(self, dim, limit, reverse) -> "DataArray":
+        axis = self.dims.index(dim)
+        data = np.asarray(self.data, dtype=np.float64)
+        moved = np.moveaxis(data, axis, 0)
+        n = moved.shape[0]
+        if reverse:
+            moved = moved[::-1]
+        idx = np.arange(n).reshape((n,) + (1,) * (moved.ndim - 1))
+        valid = ~np.isnan(moved)
+        last = np.where(valid, idx, -1)
+        last = np.maximum.accumulate(last, axis=0)
+        if limit is not None:
+            age = idx - last
+            last = np.where((last >= 0) & (age <= limit), last, -1)
+        gather = np.where(last >= 0, last, 0)
+        filled = np.take_along_axis(moved, gather, axis=0)
+        filled = np.where(last >= 0, filled, np.nan)
+        filled = np.where(valid, moved, filled)
+        if reverse:
+            filled = filled[::-1]
+        out = np.moveaxis(filled, 0, axis)
+        var = Variable(self.dims, out, self.attrs)
+        return DataArray._construct(var, dict(self._coords), self.name)
+
+    def ffill(self, dim, limit=None) -> "DataArray":
+        """Forward-fill NaNs along ``dim``."""
+        return self._fill_directional(dim, limit, reverse=False)
+
+    def bfill(self, dim, limit=None) -> "DataArray":
+        """Backward-fill NaNs along ``dim``."""
+        return self._fill_directional(dim, limit, reverse=True)
+
+    def integrate(self, coord) -> "DataArray":
+        """Trapezoidal integral over the named coordinate."""
+        key = self._coords[coord]
+        dim = key.dims[0]
+        axis = self.dims.index(dim)
+        result = np.trapezoid(
+            np.asarray(self.data), x=np.asarray(key.data), axis=axis
+        )
+        new_dims = tuple(d for d in self.dims if d != dim)
+        coords = {
+            k: v
+            for k, v in self._coords.items()
+            if set(v.dims) <= set(new_dims)
+        }
+        return DataArray._construct(
+            Variable(new_dims, result), coords, self.name
+        )
+
+    def differentiate(self, coord) -> "DataArray":
+        """Central-difference derivative along the named coordinate."""
+        key = self._coords[coord]
+        dim = key.dims[0]
+        axis = self.dims.index(dim)
+        result = np.gradient(
+            np.asarray(self.data, dtype=np.float64),
+            np.asarray(key.data, dtype=np.float64),
+            axis=axis,
+        )
+        var = Variable(self.dims, result, self.attrs)
+        return DataArray._construct(var, dict(self._coords), self.name)
+
+    def dot(self, other, dims=None) -> "DataArray":
+        """Tensor contraction over shared (or named) dimensions."""
+        if dims is None:
+            dims = [d for d in self.dims if d in other.dims]
+        elif isinstance(dims, str):
+            dims = [dims]
+        a_keep = [d for d in self.dims if d not in dims]
+        b_keep = [d for d in other.dims if d not in dims]
+        sub = {d: chr(ord("a") + i)
+               for i, d in enumerate(dict.fromkeys(
+                   tuple(self.dims) + tuple(other.dims)))}
+        spec = (
+            "".join(sub[d] for d in self.dims)
+            + ","
+            + "".join(sub[d] for d in other.dims)
+            + "->"
+            + "".join(sub[d] for d in a_keep + b_keep)
+        )
+        result = np.einsum(
+            spec, np.asarray(self.data), np.asarray(other.data)
+        )
+        new_dims = tuple(a_keep + b_keep)
+        coords = {
+            k: v
+            for k, v in {**other._coords, **self._coords}.items()
+            if set(v.dims) <= set(new_dims)
+        }
+        return DataArray._construct(
+            Variable(new_dims, result), coords, self.name
+        )
+
+    def map_blocks(self, func, args=(), kwargs=None, template=None):
+        """Apply ``func`` to the whole array (no dask: single block)."""
+        return func(self, *args, **(kwargs or {}))
+
+    def stack(self, dimensions=None, **kwargs) -> "DataArray":
+        """Stack multiple dims into one; the original dim coordinates
+        become (stacked,)-shaped coords (xarray semantics, without a
+        pandas MultiIndex)."""
+        dimensions = dict(dimensions or {})
+        dimensions.update(kwargs)
+        out = self
+        for new_dim, dims in dimensions.items():
+            dims = list(dims)
+            base = out.stack_dims(new_dim, dims)
+            # expand the collapsed dims' coords over the product
+            sizes = [out.sizes[d] for d in dims]
+            grids = np.meshgrid(
+                *[
+                    np.asarray(out._coords[d].data)
+                    if d in out._coords
+                    else np.arange(out.sizes[d])
+                    for d in dims
+                ],
+                indexing="ij",
+            )
+            coords = dict(base._coords)
+            for d, g in zip(dims, grids):
+                coords[d] = Variable((new_dim,), g.reshape(-1))
+            out = DataArray._construct(base.variable, coords, out.name)
+            out.encoding["_stacked_" + new_dim] = (tuple(dims), tuple(sizes))
+        return out
+
+    def unstack(self, dim=None, fill_value=np.nan) -> "DataArray":
+        """Invert :meth:`stack` using the recorded stacked-dim layout."""
+        if dim is None:
+            dims = [
+                k[len("_stacked_"):]
+                for k in self.encoding
+                if k.startswith("_stacked_")
+            ]
+        else:
+            dims = [dim] if isinstance(dim, str) else list(dim)
+        out = self
+        for d in dims:
+            key = "_stacked_" + d
+            if key not in out.encoding:
+                raise ValueError(
+                    f"cannot unstack {d!r}: not created by stack()"
+                )
+            orig_dims, orig_sizes = out.encoding[key]
+            axis = out.dims.index(d)
+            data = np.asarray(out.data)
+            new_shape = (
+                data.shape[:axis] + tuple(orig_sizes) + data.shape[axis + 1:]
+            )
+            new_dims = out.dims[:axis] + orig_dims + out.dims[axis + 1:]
+            coords = {}
+            for k, v in out._coords.items():
+                if d in v.dims:
+                    if k in orig_dims:
+                        # recover the 1-D coordinate from the product
+                        flat = np.asarray(v.data).reshape(orig_sizes)
+                        j = orig_dims.index(k)
+                        index = [0] * len(orig_sizes)
+                        index[j] = slice(None)
+                        coords[k] = Variable((k,), flat[tuple(index)])
+                    # other stacked-dim coords are dropped
+                else:
+                    coords[k] = v
+            var = Variable(new_dims, data.reshape(new_shape), out.attrs)
+            enc = dict(out.encoding)
+            enc.pop(key)
+            result = DataArray._construct(var, coords, out.name)
+            result.encoding.update(enc)
+            out = result
+        return out
+
+    def reindex(
+        self,
+        indexers=None,
+        method=None,
+        tolerance=None,
+        fill_value=np.nan,
+        **kwargs,
+    ) -> "DataArray":
+        """Conform to new coordinate labels; unmatched labels take
+        ``fill_value`` (or the nearest/ffill/bfill match)."""
+        indexers = dict(indexers or {})
+        indexers.update(kwargs)
+        out = self
+        for dim, labels in indexers.items():
+            labels = np.asarray(
+                labels.data if isinstance(labels, DataArray) else labels
+            )
+            current = np.asarray(out._coords[dim].data)
+            pos = np.full(len(labels), -1, dtype=np.int64)
+            if method is None:
+                lookup = {v: i for i, v in enumerate(current.tolist())}
+                for i, lab in enumerate(labels.tolist()):
+                    pos[i] = lookup.get(lab, -1)
+            else:
+                order = np.argsort(current, kind="stable")
+                sc = current[order]
+                j = np.searchsorted(sc, labels)
+                if method == "nearest":
+                    j_lo = np.clip(j - 1, 0, len(sc) - 1)
+                    j_hi = np.clip(j, 0, len(sc) - 1)
+                    pick = np.where(
+                        np.abs(labels - sc[j_lo])
+                        <= np.abs(sc[j_hi] - labels),
+                        j_lo,
+                        j_hi,
+                    )
+                elif method in ("ffill", "pad"):
+                    exact = (j < len(sc)) & (
+                        sc[np.clip(j, 0, len(sc) - 1)] == labels
+                    )
+                    pick = np.where(exact, j, j - 1)
+                elif method in ("bfill", "backfill"):
+                    pick = j
+                else:
+                    raise ValueError(f"unknown reindex method: {method}")
+                valid = (pick >= 0) & (pick < len(sc))
+                if tolerance is not None:
+                    safe = np.clip(pick, 0, len(sc) - 1)
+                    valid &= np.abs(sc[safe] - labels) <= tolerance
+                pos = np.where(valid, order[np.clip(pick, 0, len(sc) - 1)], -1)
+            axis = out.dims.index(dim)
+            data = np.asarray(out.data)
+            if data.dtype.kind in "iub" and not (
+                isinstance(fill_value, (int, np.integer))
+            ):
+                data = data.astype(np.float64)
+            gathered = np.take(data, np.clip(pos, 0, len(current) - 1), axis=axis)
+            miss_shape = [1] * gathered.ndim
+            miss_shape[axis] = len(labels)
+            miss = (pos < 0).reshape(miss_shape)
+            gathered = np.where(miss, fill_value, gathered)
+            coords = {}
+            for k, v in out._coords.items():
+                if k == dim:
+                    coords[k] = Variable((dim,), labels)
+                elif dim in v.dims:
+                    continue  # non-index coords over dim are dropped
+                else:
+                    coords[k] = v
+            var = Variable(out.dims, gathered, out.attrs)
+            out = DataArray._construct(var, coords, out.name)
+        return out
+
+    def reindex_like(self, other, method=None, tolerance=None,
+                     fill_value=np.nan) -> "DataArray":
+        indexers = {
+            d: np.asarray(other._coords[d].data)
+            for d in self.dims
+            if d in other._coords and d in self._coords
+        }
+        return self.reindex(
+            indexers, method=method, tolerance=tolerance,
+            fill_value=fill_value,
+        )
+
+    def interp(self, coords=None, method="linear", kwargs=None,
+               **coords_kwargs) -> "DataArray":
+        """Sequential 1-D linear interpolation along each named dim."""
+        if method != "linear":
+            raise NotImplementedError("interp supports method='linear'")
+        targets = dict(coords or {})
+        targets.update(coords_kwargs)
+        out = self
+        for dim, new in targets.items():
+            new = np.asarray(
+                new.data if isinstance(new, DataArray) else new,
+                dtype=np.float64,
+            )
+            scalar = new.ndim == 0
+            new1 = np.atleast_1d(new)
+            old = np.asarray(out._coords[dim].data, dtype=np.float64)
+            axis = out.dims.index(dim)
+            data = np.asarray(out.data, dtype=np.float64)
+            moved = np.moveaxis(data, axis, -1)
+            flat = moved.reshape(-1, moved.shape[-1])
+            order = np.argsort(old, kind="stable")
+            so = old[order]
+            res = np.empty((flat.shape[0], len(new1)), dtype=np.float64)
+            for i in range(flat.shape[0]):
+                res[i] = np.interp(
+                    new1, so, flat[i][order], left=np.nan, right=np.nan
+                )
+            shaped = res.reshape(moved.shape[:-1] + (len(new1),))
+            result = np.moveaxis(shaped, -1, axis)
+            coords2 = {}
+            for k, v in out._coords.items():
+                if k == dim:
+                    coords2[k] = Variable((dim,), new1)
+                elif dim in v.dims:
+                    continue
+                else:
+                    coords2[k] = v
+            var = Variable(out.dims, result, out.attrs)
+            out = DataArray._construct(var, coords2, out.name)
+            if scalar:
+                out = out.isel({dim: 0})
+        return out
+
+    def interp_like(self, other, method="linear") -> "DataArray":
+        targets = {
+            d: np.asarray(other._coords[d].data)
+            for d in self.dims
+            if d in other._coords and d in self._coords
+        }
+        return self.interp(targets, method=method)
+
+    def weighted(self, weights) -> "DataArrayWeighted":
+        from xugrid_tpu.xdata.grouped import DataArrayWeighted
+
+        return DataArrayWeighted(self, weights)
+
+    def groupby(self, group) -> "DataArrayGroupBy":
+        from xugrid_tpu.xdata.grouped import DataArrayGroupBy
+
+        return DataArrayGroupBy(self, group)
+
+    def rolling(self, dim=None, min_periods=None, center=False, **kwargs):
+        from xugrid_tpu.xdata.grouped import DataArrayRolling
+
+        windows = dict(dim or {})
+        windows.update(kwargs)
+        return DataArrayRolling(self, windows, min_periods, center)
+
+    def coarsen(self, dim=None, boundary="exact", **kwargs):
+        from xugrid_tpu.xdata.grouped import DataArrayCoarsen
+
+        windows = dict(dim or {})
+        windows.update(kwargs)
+        return DataArrayCoarsen(self, windows, boundary)
+
+    def resample(self, indexer=None, **kwargs):
+        from xugrid_tpu.xdata.grouped import DataArrayResample
+
+        indexer = dict(indexer or {})
+        indexer.update(kwargs)
+        if len(indexer) != 1:
+            raise ValueError("resample expects exactly one dim=freq pair")
+        (dim, freq), = indexer.items()
+        return DataArrayResample(self, dim, freq)
+
     def interpolate_na(
         self, dim=None, method: str = "linear", fill_value=None, **kwargs
     ):

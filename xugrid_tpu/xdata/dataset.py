@@ -338,6 +338,222 @@ class Dataset:
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
 
+    # -- xarray-parity conveniences -----------------------------------------
+    def _apply_per_var(self, fn, only_dims=None) -> "Dataset":
+        """Apply a DataArray->DataArray transform to every data var
+        (skipping vars without ``only_dims``) and reassemble, carrying
+        over coords whose dims survived unchanged."""
+        out = Dataset(attrs=dict(self.attrs))
+        for name in self.data_vars:
+            da = self[name]
+            if only_dims is not None and not any(
+                d in da.dims for d in only_dims
+            ):
+                out._variables[name] = self._variables[name]
+                continue
+            out._set_variable(name, fn(da))
+        sizes = out.dims_sizes()
+        for k in self._coord_names:
+            if k in out._variables:
+                out._coord_names.add(k)
+                continue
+            var = self._variables[k]
+            if all(sizes.get(d) == s for d, s in var.sizes.items()):
+                out._variables[k] = var
+                out._coord_names.add(k)
+        return out
+
+    def where(self, cond, other=np.nan, drop: bool = False) -> "Dataset":
+        if drop:
+            raise NotImplementedError("Dataset.where(drop=True)")
+        cond_da = cond if isinstance(cond, DataArray) else None
+        return self._apply_per_var(
+            lambda da: da.where(
+                cond_da if cond_da is not None else cond, other
+            )
+        )
+
+    def fillna(self, value) -> "Dataset":
+        return self._apply_per_var(lambda da: da.fillna(value))
+
+    def count(self, dim=None) -> "Dataset":
+        return self._apply_per_var(
+            lambda da: da.count(
+                dim if dim is None or dim in da.dims else None
+            ),
+            only_dims=None if dim is None else [dim],
+        )
+
+    def quantile(self, q, dim=None, skipna=True) -> "Dataset":
+        return self._apply_per_var(
+            lambda da: da.quantile(q, dim=dim, skipna=skipna),
+            only_dims=None if dim is None else [dim],
+        )
+
+    def diff(self, dim, n: int = 1) -> "Dataset":
+        return self._apply_per_var(
+            lambda da: da.diff(dim, n=n), only_dims=[dim]
+        )
+
+    def shift(self, shifts=None, fill_value=np.nan, **kwargs) -> "Dataset":
+        shifts = {**(shifts or {}), **kwargs}
+        return self._apply_per_var(
+            lambda da: da.shift(
+                {d: s for d, s in shifts.items() if d in da.dims},
+                fill_value=fill_value,
+            ),
+            only_dims=list(shifts),
+        )
+
+    def roll(self, shifts=None, roll_coords=False, **kwargs) -> "Dataset":
+        shifts = {**(shifts or {}), **kwargs}
+        return self._apply_per_var(
+            lambda da: da.roll(
+                {d: s for d, s in shifts.items() if d in da.dims},
+                roll_coords=roll_coords,
+            ),
+            only_dims=list(shifts),
+        )
+
+    def sortby(self, variables, ascending: bool = True) -> "Dataset":
+        if isinstance(variables, (str, DataArray)):
+            variables = [variables]
+        out = self
+        for v in variables:
+            key = out[v] if isinstance(v, str) else v
+            dim = key.dims[0]
+            order = np.argsort(np.asarray(key.data), kind="stable")
+            if not ascending:
+                order = order[::-1]
+            out = out.isel({dim: order})
+        return out
+
+    def dropna(self, dim, how: str = "any", subset=None) -> "Dataset":
+        names = subset if subset is not None else [
+            n for n in self.data_vars if dim in self[n].dims
+        ]
+        masks = []
+        for n in names:
+            da = self[n]
+            if dim not in da.dims:
+                continue
+            axis = tuple(i for i, d in enumerate(da.dims) if d != dim)
+            isnan = np.isnan(np.asarray(da.data, dtype=np.float64))
+            masks.append(
+                isnan.any(axis=axis) if how == "any" else isnan.all(axis=axis)
+            )
+        if not masks:
+            return self
+        bad = np.logical_or.reduce(masks) if how == "any" else (
+            np.logical_and.reduce(masks)
+        )
+        return self.isel({dim: np.flatnonzero(~bad)})
+
+    def to_array(self, dim: str = "variable", name=None) -> DataArray:
+        """Stack all data variables into one DataArray along ``dim``."""
+        names = list(self.data_vars)
+        das = [self[n] for n in names]
+        all_dims = []
+        for da in das:
+            for d in da.dims:
+                if d not in all_dims:
+                    all_dims.append(d)
+        sizes = self.dims_sizes()
+        arrays = [
+            np.asarray(
+                da.variable.broadcast_to(all_dims, sizes).data,
+                dtype=np.float64,
+            )
+            for da in das
+        ]
+        data = np.stack(arrays, axis=0)
+        coords = {dim: Variable((dim,), np.array(names, dtype=object))}
+        for k in self._coord_names:
+            var = self._variables[k]
+            if set(var.dims) <= set(all_dims):
+                coords[k] = var
+        return DataArray(
+            data, dims=(dim,) + tuple(all_dims),
+            coords={
+                k: (v.dims, v.data) for k, v in coords.items()
+            },
+            name=name,
+        )
+
+    def stack(self, dimensions=None, **kwargs) -> "Dataset":
+        dimensions = {**(dimensions or {}), **kwargs}
+        out = self
+        for new_dim, dims in dimensions.items():
+            dims = tuple(dims)
+            sizes = out.dims_sizes()
+
+            def _stack_var(da, dims=dims, new_dim=new_dim, sizes=sizes,
+                           source=out):
+                if not any(d in da.dims for d in dims):
+                    return da
+                missing = [d for d in dims if d not in da.dims]
+                if missing:
+                    # xarray broadcasts partial variables over the full
+                    # product before stacking.
+                    full = tuple(da.dims) + tuple(missing)
+                    var = da.variable.broadcast_to(full, sizes)
+                    coords = dict(da._coords)
+                    for d in missing:
+                        if d in source._variables:
+                            coords[d] = source._variables[d]
+                    da = DataArray._construct(var, coords, da.name)
+                return da.stack({new_dim: dims})
+
+            out = out._apply_per_var(_stack_var)
+        return out
+
+    def unstack(self, dim=None) -> "Dataset":
+        return self._apply_per_var(
+            lambda da: da.unstack(dim)
+            if any(k.startswith("_stacked_") for k in da.encoding)
+            else da
+        )
+
+    def reindex(self, indexers=None, method=None, tolerance=None,
+                fill_value=np.nan, **kwargs) -> "Dataset":
+        indexers = {**(indexers or {}), **kwargs}
+        return self._apply_per_var(
+            lambda da: da.reindex(
+                {d: v for d, v in indexers.items() if d in da.dims},
+                method=method, tolerance=tolerance, fill_value=fill_value,
+            )
+            if any(d in da.dims for d in indexers)
+            else da
+        )
+
+    def reindex_like(self, other, method=None, tolerance=None,
+                     fill_value=np.nan) -> "Dataset":
+        indexers = {
+            d: np.asarray(other[d].data)
+            for d in self.dims_sizes()
+            if d in other.coords and d in self.coords
+        }
+        return self.reindex(
+            indexers, method=method, tolerance=tolerance,
+            fill_value=fill_value,
+        )
+
+    def interp(self, coords=None, method="linear", **coords_kwargs):
+        targets = {**(coords or {}), **coords_kwargs}
+        return self._apply_per_var(
+            lambda da: da.interp(
+                {d: v for d, v in targets.items() if d in da.dims},
+                method=method,
+            )
+            if any(d in da.dims for d in targets)
+            else da
+        )
+
+    def groupby(self, group):
+        from xugrid_tpu.xdata.grouped import DatasetGroupBy
+
+        return DatasetGroupBy(self, group)
+
     # -- indexing -----------------------------------------------------------
     def isel(self, indexers=None, drop: bool = False, missing_dims: str = "raise", **kwargs) -> "Dataset":
         indexers = dict(indexers or {})

@@ -1,0 +1,448 @@
+"""
+Grouped / windowed operations for the xdata layer: GroupBy, Rolling,
+Coarsen, Weighted, and Resample objects mirroring the xarray API
+surface the reference's users exercise (reductions, iteration, map).
+Host-side numpy — these are analysis conveniences, not the TPU compute
+path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xugrid_tpu.xdata.variable import Variable
+
+_REDUCERS = ("mean", "sum", "min", "max", "std", "var", "median", "prod")
+
+
+def _data_array():
+    from xugrid_tpu.xdata.dataarray import DataArray
+
+    return DataArray
+
+
+# ---------------------------------------------------------------------------
+# GroupBy
+# ---------------------------------------------------------------------------
+class DataArrayGroupBy:
+    """Group a DataArray by a 1-D coordinate/array over its dimension."""
+
+    def __init__(self, obj, group):
+        DataArray = _data_array()
+        self._obj = obj
+        if isinstance(group, str):
+            self._group_name = group
+            key = obj._coords[group]
+        elif isinstance(group, DataArray):
+            self._group_name = group.name or "group"
+            key = group.variable
+        else:
+            raise TypeError("groupby expects a coordinate name or DataArray")
+        if len(key.dims) != 1:
+            raise ValueError("groupby requires a 1-D group key")
+        self._dim = key.dims[0]
+        values = np.asarray(key.data)
+        self._labels, self._inverse = np.unique(values, return_inverse=True)
+        self._inverse = self._inverse.ravel()
+
+    def __len__(self):
+        return len(self._labels)
+
+    def __iter__(self):
+        for k, label in enumerate(self._labels):
+            yield label, self._obj.isel(
+                {self._dim: np.flatnonzero(self._inverse == k)}
+            )
+
+    def map(self, func, *args, **kwargs):
+        from xugrid_tpu.xdata import concat
+
+        results = [func(sub, *args, **kwargs) for _, sub in self]
+        if all(np.ndim(getattr(r, "data", r)) == 0 for r in results):
+            return self._wrap_scalars(
+                [float(np.asarray(getattr(r, "data", r))) for r in results]
+            )
+        return concat(results, dim=self._dim)
+
+    def _wrap_scalars(self, values):
+        DataArray = _data_array()
+        var = Variable((self._group_name,), np.asarray(values))
+        coords = {self._group_name: Variable((self._group_name,), self._labels)}
+        return DataArray._construct(var, coords, self._obj.name)
+
+    def _reduce(self, func_name, **kwargs):
+        DataArray = _data_array()
+        obj = self._obj
+        axis = obj.dims.index(self._dim)
+        data = np.asarray(obj.data, dtype=np.float64)
+        moved = np.moveaxis(data, axis, 0)
+        pieces = []
+        for k in range(len(self._labels)):
+            sub = moved[self._inverse == k]
+            func = getattr(np, f"nan{func_name}")
+            pieces.append(func(sub, axis=0, **kwargs))
+        stacked = np.stack(pieces, axis=0)
+        result = np.moveaxis(stacked, 0, axis)
+        new_dims = tuple(
+            self._group_name if d == self._dim else d for d in obj.dims
+        )
+        coords = {
+            k: v
+            for k, v in obj._coords.items()
+            if self._dim not in v.dims
+        }
+        coords[self._group_name] = Variable(
+            (self._group_name,), self._labels
+        )
+        var = Variable(new_dims, result, obj.attrs)
+        return DataArray._construct(var, coords, obj.name)
+
+    def count(self):
+        DataArray = _data_array()
+        obj = self._obj
+        axis = obj.dims.index(self._dim)
+        data = np.asarray(obj.data)
+        valid = (
+            ~np.isnan(data)
+            if data.dtype.kind == "f"
+            else np.ones(data.shape, bool)
+        )
+        moved = np.moveaxis(valid, axis, 0)
+        pieces = [
+            moved[self._inverse == k].sum(axis=0)
+            for k in range(len(self._labels))
+        ]
+        stacked = np.moveaxis(np.stack(pieces, axis=0), 0, axis)
+        new_dims = tuple(
+            self._group_name if d == self._dim else d for d in obj.dims
+        )
+        coords = {
+            k: v for k, v in obj._coords.items() if self._dim not in v.dims
+        }
+        coords[self._group_name] = Variable(
+            (self._group_name,), self._labels
+        )
+        return DataArray._construct(
+            Variable(new_dims, stacked.astype(np.int64)), coords, obj.name
+        )
+
+    def first(self):
+        return self.map(lambda sub: sub.isel({self._dim: 0}))
+
+    def last(self):
+        return self.map(lambda sub: sub.isel({self._dim: -1}))
+
+
+for _name in _REDUCERS:
+    def _make(n):
+        def method(self, dim=None, **kwargs):
+            return self._reduce(n, **kwargs)
+
+        method.__name__ = n
+        return method
+
+    setattr(DataArrayGroupBy, _name, _make(_name))
+
+
+class DatasetGroupBy:
+    def __init__(self, ds, group):
+        self._ds = ds
+        self._group = group
+
+    def _apply(self, method_name, *args, **kwargs):
+        from xugrid_tpu.xdata.dataset import Dataset
+
+        out = Dataset(attrs=dict(self._ds.attrs))
+        key = self._ds[self._group] if isinstance(self._group, str) else self._group
+        dim = key.dims[0]
+        for name in self._ds.data_vars:
+            da = self._ds[name]
+            if dim in da.dims:
+                grouped = da.groupby(self._group if isinstance(self._group, str) and self._group in da._coords else key)
+                out[name] = getattr(grouped, method_name)(*args, **kwargs)
+            else:
+                out[name] = da
+        return out
+
+    def __iter__(self):
+        key = self._ds[self._group] if isinstance(self._group, str) else self._group
+        dim = key.dims[0]
+        labels, inverse = np.unique(np.asarray(key.data), return_inverse=True)
+        for k, label in enumerate(labels):
+            yield label, self._ds.isel(
+                {dim: np.flatnonzero(inverse.ravel() == k)}
+            )
+
+
+for _name in _REDUCERS + ("count", "first", "last"):
+    def _make_ds(n):
+        def method(self, *args, **kwargs):
+            return self._apply(n, *args, **kwargs)
+
+        method.__name__ = n
+        return method
+
+    setattr(DatasetGroupBy, _name, _make_ds(_name))
+
+
+# ---------------------------------------------------------------------------
+# Rolling
+# ---------------------------------------------------------------------------
+class DataArrayRolling:
+    def __init__(self, obj, windows, min_periods=None, center=False):
+        if len(windows) != 1:
+            raise ValueError("rolling supports exactly one dimension")
+        self._obj = obj
+        (self._dim, self._window), = windows.items()
+        self._min_periods = (
+            self._window if min_periods is None else min_periods
+        )
+        self._center = center
+
+    def _windows(self):
+        obj = self._obj
+        axis = obj.dims.index(self._dim)
+        data = np.asarray(obj.data, dtype=np.float64)
+        moved = np.moveaxis(data, axis, -1)
+        w = self._window
+        if self._center:
+            pad_l = (w - 1) // 2
+            pad_r = w - 1 - pad_l
+        else:
+            pad_l, pad_r = w - 1, 0
+        padded = np.pad(
+            moved,
+            [(0, 0)] * (moved.ndim - 1) + [(pad_l, pad_r)],
+            constant_values=np.nan,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(padded, w, axis=-1)
+        return win, axis
+
+    def _reduce(self, func_name):
+        DataArray = _data_array()
+        obj = self._obj
+        win, axis = self._windows()
+        func = getattr(np, f"nan{func_name}")
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            result = func(win, axis=-1)
+            counts = np.sum(~np.isnan(win), axis=-1)
+        result = np.where(counts >= self._min_periods, result, np.nan)
+        result = np.moveaxis(result, -1, axis)
+        var = Variable(obj.dims, result, obj.attrs)
+        return DataArray._construct(var, dict(obj._coords), obj.name)
+
+    def count(self):
+        DataArray = _data_array()
+        obj = self._obj
+        win, axis = self._windows()
+        counts = np.sum(~np.isnan(win), axis=-1)
+        result = np.moveaxis(counts, -1, axis)
+        var = Variable(obj.dims, result.astype(np.float64))
+        return DataArray._construct(var, dict(obj._coords), obj.name)
+
+    def construct(self, window_dim):
+        DataArray = _data_array()
+        obj = self._obj
+        win, axis = self._windows()
+        result = np.moveaxis(win, -2, axis)
+        dims = obj.dims + (window_dim,)
+        var = Variable(dims, result)
+        return DataArray._construct(var, dict(obj._coords), obj.name)
+
+
+for _name in _REDUCERS:
+    def _make_roll(n):
+        def method(self, **kwargs):
+            return self._reduce(n)
+
+        method.__name__ = n
+        return method
+
+    setattr(DataArrayRolling, _name, _make_roll(_name))
+
+
+# ---------------------------------------------------------------------------
+# Coarsen
+# ---------------------------------------------------------------------------
+class DataArrayCoarsen:
+    def __init__(self, obj, windows, boundary="exact"):
+        self._obj = obj
+        self._windows = dict(windows)
+        self._boundary = boundary
+
+    def _reduce(self, func_name):
+        DataArray = _data_array()
+        obj = self._obj
+        data = np.asarray(obj.data, dtype=np.float64)
+        coords = dict(obj._coords)
+        for dim, k in self._windows.items():
+            axis = obj.dims.index(dim)
+            n = data.shape[axis]
+            if n % k:
+                if self._boundary == "exact":
+                    raise ValueError(
+                        f"dimension {dim!r} size {n} is not a multiple "
+                        f"of window {k}"
+                    )
+                if self._boundary == "trim":
+                    index = [slice(None)] * data.ndim
+                    index[axis] = slice(0, n - n % k)
+                    data = data[tuple(index)]
+                    n = data.shape[axis]
+                elif self._boundary == "pad":
+                    pad = [(0, 0)] * data.ndim
+                    pad[axis] = (0, k - n % k)
+                    data = np.pad(data, pad, constant_values=np.nan)
+                    n = data.shape[axis]
+            shape = (
+                data.shape[:axis] + (n // k, k) + data.shape[axis + 1:]
+            )
+            func = getattr(np, f"nan{func_name}")
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                data = func(data.reshape(shape), axis=axis + 1)
+            # coarsen the dim coordinate by the same reduction (mean)
+            if dim in coords:
+                cvals = np.asarray(coords[dim].data, dtype=np.float64)
+                cvals = cvals[: n] if len(cvals) >= n else cvals
+                if len(cvals) % k:
+                    cvals = cvals[: len(cvals) - len(cvals) % k]
+                coords[dim] = Variable(
+                    (dim,), cvals.reshape(-1, k).mean(axis=1)
+                )
+        var = Variable(obj.dims, data, obj.attrs)
+        out = _data_array()._construct(var, coords, obj.name)
+        return out
+
+
+for _name in _REDUCERS:
+    def _make_coarse(n):
+        def method(self, **kwargs):
+            return self._reduce(n)
+
+        method.__name__ = n
+        return method
+
+    setattr(DataArrayCoarsen, _name, _make_coarse(_name))
+
+
+# ---------------------------------------------------------------------------
+# Weighted
+# ---------------------------------------------------------------------------
+class DataArrayWeighted:
+    def __init__(self, obj, weights):
+        self._obj = obj
+        self._weights = weights
+
+    def _aligned(self):
+        obj, w = self._obj, self._weights
+        wb = w.broadcast_like(obj)
+        data = np.asarray(obj.data, dtype=np.float64)
+        wd = np.asarray(wb.data, dtype=np.float64)
+        valid = ~np.isnan(data)
+        wd = np.where(valid, wd, 0.0)
+        return data, wd, valid
+
+    def _axes(self, dim):
+        if dim is None:
+            return None
+        dims = [dim] if isinstance(dim, str) else list(dim)
+        return tuple(self._obj.dims.index(d) for d in dims)
+
+    def _wrap(self, result, dim):
+        DataArray = _data_array()
+        obj = self._obj
+        if dim is None:
+            new_dims = ()
+        else:
+            dims = [dim] if isinstance(dim, str) else list(dim)
+            new_dims = tuple(d for d in obj.dims if d not in dims)
+        coords = {
+            k: v
+            for k, v in obj._coords.items()
+            if set(v.dims) <= set(new_dims)
+        }
+        return DataArray._construct(
+            Variable(new_dims, result), coords, obj.name
+        )
+
+    def sum(self, dim=None, skipna=True):
+        data, wd, valid = self._aligned()
+        axes = self._axes(dim)
+        return self._wrap(
+            np.sum(np.where(valid, data, 0.0) * wd, axis=axes), dim
+        )
+
+    def sum_of_weights(self, dim=None):
+        _, wd, _ = self._aligned()
+        return self._wrap(np.sum(wd, axis=self._axes(dim)), dim)
+
+    def mean(self, dim=None, skipna=True):
+        data, wd, valid = self._aligned()
+        axes = self._axes(dim)
+        num = np.sum(np.where(valid, data, 0.0) * wd, axis=axes)
+        den = np.sum(wd, axis=axes)
+        return self._wrap(
+            np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan),
+            dim,
+        )
+
+    def var(self, dim=None, skipna=True):
+        data, wd, valid = self._aligned()
+        axes = self._axes(dim)
+        den = np.sum(wd, axis=axes)
+        mean = np.sum(np.where(valid, data, 0.0) * wd, axis=axes)
+        mean = np.where(den > 0, mean / np.where(den == 0, 1.0, den), np.nan)
+        mean_b = np.expand_dims(mean, axes) if axes else mean
+        dev = np.where(valid, (data - mean_b) ** 2, 0.0)
+        num = np.sum(dev * wd, axis=axes)
+        return self._wrap(
+            np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan),
+            dim,
+        )
+
+    def std(self, dim=None, skipna=True):
+        out = self.var(dim=dim, skipna=skipna)
+        return out._apply_unary(np.sqrt)
+
+
+# ---------------------------------------------------------------------------
+# Resample (time frequencies via pandas)
+# ---------------------------------------------------------------------------
+class DataArrayResample:
+    def __init__(self, obj, dim, freq):
+        import pandas as pd
+
+        self._obj = obj
+        self._dim = dim
+        times = pd.to_datetime(np.asarray(obj._coords[dim].data))
+        self._bins = times.to_period(freq).start_time
+        key_name = f"__resample_{dim}"
+        DataArray = _data_array()
+        self._key = DataArray(
+            np.asarray(self._bins), dims=(dim,), name=dim
+        )
+
+    def _grouped(self):
+        return DataArrayGroupBy(self._obj, self._key)
+
+    def __iter__(self):
+        return iter(self._grouped())
+
+    def __getattr__(self, name):
+        if name in _REDUCERS + ("count", "first", "last", "map"):
+            grouped = self._grouped()
+
+            def method(*args, **kwargs):
+                out = getattr(grouped, name)(*args, **kwargs)
+                return out.rename(
+                    {grouped._group_name: self._dim}
+                ) if grouped._group_name != self._dim else out
+
+            return method
+        raise AttributeError(name)
