@@ -278,3 +278,28 @@ class TestDatasetExtensions:
         np.testing.assert_allclose(
             np.asarray(items["b"]["v"].data), [2.0, 4.0]
         )
+
+    def test_windowed(self):
+        ds = xdata.Dataset()
+        ds["v"] = (("t", "x"), np.arange(12.0).reshape(4, 3))
+        ds["w"] = (("x",), np.array([10.0, 20.0, 30.0]))
+        ds = ds.assign_coords(
+            t=np.array(
+                ["2020-01-01", "2020-01-02", "2020-02-01", "2020-02-02"],
+                dtype="datetime64[ns]",
+            )
+        )
+        rm = ds.rolling(t=2).mean()
+        assert np.isnan(np.asarray(rm["v"].data)[0]).all()
+        np.testing.assert_allclose(
+            np.asarray(rm["w"].data), [10.0, 20.0, 30.0]
+        )
+        cm = ds.coarsen(t=2).mean()
+        assert cm["v"].sizes["t"] == 2
+        rs = ds.resample(t="M").mean()
+        assert rs["v"].sizes["t"] == 2
+        np.testing.assert_allclose(
+            np.asarray(rs["v"].data)[0], [1.5, 2.5, 3.5]
+        )
+        ap = ds.apply(lambda a: a * 0 + 1)
+        np.testing.assert_allclose(np.asarray(ap["v"].data), 1.0)

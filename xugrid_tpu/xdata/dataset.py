@@ -554,6 +554,35 @@ class Dataset:
 
         return DatasetGroupBy(self, group)
 
+    def apply(self, func, *args, **kwargs) -> "Dataset":
+        """Deprecated xarray alias for :meth:`map`."""
+        return self.map(func, *args, **kwargs)
+
+    def rolling(self, dim=None, min_periods=None, center=False, **kwargs):
+        from xugrid_tpu.xdata.grouped import DatasetWindowed
+
+        windows = {**(dim or {}), **kwargs}
+        return DatasetWindowed(
+            self, "rolling", windows,
+            dict(min_periods=min_periods, center=center),
+        )
+
+    def coarsen(self, dim=None, boundary="exact", **kwargs):
+        from xugrid_tpu.xdata.grouped import DatasetWindowed
+
+        windows = {**(dim or {}), **kwargs}
+        return DatasetWindowed(
+            self, "coarsen", windows, dict(boundary=boundary)
+        )
+
+    def resample(self, indexer=None, **kwargs):
+        from xugrid_tpu.xdata.grouped import DatasetWindowed
+
+        indexer = {**(indexer or {}), **kwargs}
+        if len(indexer) != 1:
+            raise ValueError("resample expects exactly one dim=freq pair")
+        return DatasetWindowed(self, "resample", indexer, {})
+
     # -- indexing -----------------------------------------------------------
     def isel(self, indexers=None, drop: bool = False, missing_dims: str = "raise", **kwargs) -> "Dataset":
         indexers = dict(indexers or {})

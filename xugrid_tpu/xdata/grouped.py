@@ -446,3 +446,56 @@ class DataArrayResample:
 
             return method
         raise AttributeError(name)
+
+
+# ---------------------------------------------------------------------------
+# Dataset windowed dispatch (rolling / coarsen / resample per variable)
+# ---------------------------------------------------------------------------
+class DatasetWindowed:
+    """Applies a DataArray windowing op (rolling/coarsen/resample) to
+    every data variable carrying the windowed dimension."""
+
+    def __init__(self, ds, kind, windows, options):
+        self._ds = ds
+        self._kind = kind
+        self._windows = dict(windows)
+        self._options = dict(options)
+
+    def _reduce(self, method_name, *args, **kwargs):
+        from xugrid_tpu.xdata.dataset import Dataset
+
+        dims = list(self._windows)
+        out = Dataset(attrs=dict(self._ds.attrs))
+        for name in self._ds.data_vars:
+            da = self._ds[name]
+            if not any(d in da.dims for d in dims):
+                out._variables[name] = self._ds._variables[name]
+                continue
+            sub_windows = {
+                d: w for d, w in self._windows.items() if d in da.dims
+            }
+            if self._kind == "rolling":
+                obj = da.rolling(sub_windows, **self._options)
+            elif self._kind == "coarsen":
+                obj = da.coarsen(sub_windows, **self._options)
+            else:  # resample
+                obj = da.resample(sub_windows)
+            out._set_variable(name, getattr(obj, method_name)(*args, **kwargs))
+        sizes = out.dims_sizes()
+        for k in self._ds._coord_names:
+            if k in out._variables:
+                out._coord_names.add(k)
+                continue
+            var = self._ds._variables[k]
+            if all(sizes.get(d) == s for d, s in var.sizes.items()):
+                out._variables[k] = var
+                out._coord_names.add(k)
+        return out
+
+    def __getattr__(self, name):
+        if name in _REDUCERS + ("count", "first", "last"):
+            def method(*args, **kwargs):
+                return self._reduce(name, *args, **kwargs)
+
+            return method
+        raise AttributeError(name)
