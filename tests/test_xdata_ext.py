@@ -220,6 +220,63 @@ class TestGrouped:
         np.testing.assert_allclose(np.asarray(rm.data), [2.0, 6.0])
 
 
+class TestPandasOracle:
+    @pytest.mark.parametrize("seed", [91, 92])
+    def test_semantics_match_pandas(self, seed):
+        # pandas implements the same nan-aware semantics xarray uses for
+        # these ops; cross-validate on random NaN-bearing series.
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        for _ in range(8):
+            n = int(rng.integers(5, 40))
+            vals = rng.normal(size=n)
+            vals[rng.random(n) < 0.2] = np.nan
+            s = pd.Series(vals)
+            da = xdata.DataArray(
+                vals, dims=("x",), coords={"x": np.arange(n)}, name="v"
+            )
+            labels = rng.integers(0, 4, n)
+            da2 = xdata.DataArray(
+                vals, dims=("x",),
+                coords={"x": np.arange(n), "g": ("x", labels)}, name="v",
+            )
+            for op in ("mean", "sum", "min", "max"):
+                mine = getattr(da2.groupby("g"), op)()
+                theirs = getattr(s.groupby(labels), op)()
+                np.testing.assert_array_equal(
+                    np.asarray(mine.coords["g"].data),
+                    theirs.index.to_numpy(),
+                )
+                np.testing.assert_allclose(
+                    np.asarray(mine.data), theirs.to_numpy(),
+                    equal_nan=True,
+                )
+            for op in ("ffill", "bfill"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(da, op)("x").data),
+                    getattr(s, op)().to_numpy(),
+                    equal_nan=True,
+                )
+            np.testing.assert_allclose(
+                np.asarray(da.rank("x").data),
+                s.rank(method="average").to_numpy(),
+                equal_nan=True,
+            )
+            k = int(rng.integers(1, 3))
+            np.testing.assert_allclose(
+                np.asarray(da.shift(x=k).data),
+                s.shift(k).to_numpy(),
+                equal_nan=True,
+            )
+            q = float(rng.uniform(0.1, 0.9))
+            mine_q = float(da.quantile(q).data)
+            theirs_q = s.quantile(q)
+            assert np.isnan(mine_q) == bool(np.isnan(theirs_q))
+            if not np.isnan(mine_q):
+                assert abs(mine_q - theirs_q) < 1e-12
+
+
 class TestDatasetExtensions:
     def test_where_fillna(self, ds):
         wh = ds.where(ds["v"] > 2.0)

@@ -77,10 +77,14 @@ class DataArrayGroupBy:
         data = np.asarray(obj.data, dtype=np.float64)
         moved = np.moveaxis(data, axis, 0)
         pieces = []
-        for k in range(len(self._labels)):
-            sub = moved[self._inverse == k]
-            func = getattr(np, f"nan{func_name}")
-            pieces.append(func(sub, axis=0, **kwargs))
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            for k in range(len(self._labels)):
+                sub = moved[self._inverse == k]
+                func = getattr(np, f"nan{func_name}")
+                pieces.append(func(sub, axis=0, **kwargs))
         stacked = np.stack(pieces, axis=0)
         result = np.moveaxis(stacked, 0, axis)
         new_dims = tuple(
