@@ -141,6 +141,32 @@ class TestStackReindexInterp:
         rl = da.reindex_like(other)
         assert list(np.asarray(rl.coords["x"].data)) == [30, 10]
 
+    def test_reindex_datetime(self):
+        times = np.array(
+            ["2020-01-01", "2020-01-05", "2020-01-10"],
+            dtype="datetime64[ns]",
+        )
+        da = xdata.DataArray(
+            np.array([1.0, 2.0, 3.0]), dims=("time",),
+            coords={"time": times}, name="v",
+        )
+        new = np.array(
+            ["2020-01-05", "2020-01-07"], dtype="datetime64[ns]"
+        )
+        v = np.asarray(da.reindex(time=new).data)
+        assert v[0] == 2.0 and np.isnan(v[1])
+        rn = da.reindex(time=new, method="nearest")
+        assert list(np.asarray(rn.data)) == [2.0, 2.0]
+        rt = da.reindex(
+            time=new, method="nearest", tolerance=np.timedelta64(1, "D")
+        )
+        vt = np.asarray(rt.data)
+        assert vt[0] == 2.0 and np.isnan(vt[1])
+        iv = da.interp(
+            time=np.array(["2020-01-03"], dtype="datetime64[ns]")
+        )
+        np.testing.assert_allclose(np.asarray(iv.data), [1.5])
+
     def test_interp(self):
         g = xdata.DataArray(
             np.array([0.0, 10.0, 20.0]), dims=("x",),
