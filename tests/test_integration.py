@@ -364,3 +364,76 @@ class TestErrorSurfaces:
         merged = xu.open_mfdataset([str(pa), str(pb)])
         assert {"fz", "nz"}.issubset(set(merged.data_vars))
         assert merged.grids[0].n_face == rich_uds.grids[0].n_face
+
+
+class TestAnalysisWorkflow:
+    def test_seasonal_regrid_pipeline(self, tmp_path):
+        """A realistic postprocessing chain: time series on a mesh ->
+        calendar resample -> weighted spatial stats -> structured regrid
+        -> file round trip."""
+        import xugrid_tpu.data as data
+
+        base = data.disk()["face_z"]
+        grid = base.ugrid.grid
+        times = np.array(
+            ["2020-01-05", "2020-01-20", "2020-02-05",
+             "2020-02-20", "2020-03-05", "2020-03-20"],
+            dtype="datetime64[ns]",
+        )
+        vals = np.stack(
+            [np.asarray(base.obj.data) * (1 + 0.1 * i) for i in range(6)]
+        )
+        uda = xu.UgridDataArray(
+            DataArray(
+                vals, dims=("time", grid.face_dimension),
+                coords={"time": times}, name="z",
+            ),
+            grid,
+        )
+
+        # monthly means (resample) then a monthly anomaly (groupby-like)
+        monthly = uda.resample(time="M").mean()
+        mobj = monthly.obj if hasattr(monthly, "obj") else monthly
+        assert mobj.sizes["time"] == 3
+        np.testing.assert_allclose(
+            np.asarray(mobj.data)[0], vals[:2].mean(axis=0)
+        )
+
+        # area-weighted spatial mean per month
+        w = xu.UgridDataArray(
+            DataArray(grid.area, dims=(grid.face_dimension,)), grid
+        )
+        sp = mobj if not hasattr(mobj, "weighted") else mobj
+        spatial = xu.UgridDataArray(mobj, grid).weighted(w).mean(
+            grid.face_dimension
+        )
+        sobj = spatial.obj if hasattr(spatial, "obj") else spatial
+        expect0 = np.sum(vals[:2].mean(axis=0) * grid.area) / grid.area.sum()
+        np.testing.assert_allclose(np.asarray(sobj.data)[0], expect0)
+
+        # regrid the first monthly field to a structured grid
+        first = xu.UgridDataArray(
+            mobj.isel(time=0), grid
+        )
+        xs = np.linspace(2.0, 8.0, 9)
+        ys = np.linspace(2.0, 8.0, 8)
+        tgt = DataArray(
+            np.zeros((8, 9)), dims=("y", "x"),
+            coords={"y": ys, "x": xs}, name="t",
+        )
+        rg = xu.OverlapRegridder(first, target=tgt, method="mean")
+        out = rg.regrid(first)
+        assert np.isfinite(np.asarray(out.data)).any()
+
+        # write the monthly series and reopen
+        uds = xu.UgridDataset(grids=[grid])
+        uds["z_monthly"] = mobj
+        p = tmp_path / "monthly.nc"
+        uds.ugrid.to_netcdf(p)
+        back = xu.open_dataset(p)
+        bobj = back["z_monthly"].obj
+        assert bobj.sizes["time"] == 3
+        assert np.asarray(bobj.coords["time"].data).dtype.kind == "M"
+        np.testing.assert_allclose(
+            np.asarray(bobj.data), np.asarray(mobj.data)
+        )
