@@ -310,6 +310,22 @@ class TestDatasetExtensions:
         fn = ds.fillna(0.0)
         assert np.asarray(fn["v"].data)[0, 1] == 0.0
 
+    def test_where_drop(self):
+        ds = xdata.Dataset()
+        ds["v"] = (("t", "x"), np.arange(12.0).reshape(4, 3))
+        ds["w"] = (("x",), np.array([10.0, 20.0, 30.0]))
+        ds = ds.assign_coords(t=[0, 1, 2, 3], x=[100, 200, 300])
+        out = ds.where(ds["v"] > 6.0, drop=True)
+        assert out.sizes["t"] == 2
+        v = np.asarray(out["v"].data)
+        assert np.isnan(v[0, 0]) and v[0, 1] == 7.0
+        assert list(np.asarray(out.coords["t"].data)) == [2, 3]
+        # a var with a subset of cond dims broadcasts against cond
+        # (xarray semantics) and is masked where cond fails
+        w = np.asarray(out["w"].data)
+        assert w.shape == (3, 2)
+        assert np.isnan(w[0, 0]) and w[1, 0] == 20.0
+
     def test_count_quantile(self, ds):
         ct = ds.count("x")
         assert list(np.asarray(ct["v"].data)) == [2, 3]

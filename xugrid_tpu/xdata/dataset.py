@@ -364,9 +364,36 @@ class Dataset:
         return out
 
     def where(self, cond, other=np.nan, drop: bool = False) -> "Dataset":
-        if drop:
-            raise NotImplementedError("Dataset.where(drop=True)")
         cond_da = cond if isinstance(cond, DataArray) else None
+        if drop:
+            if cond_da is None:
+                raise TypeError(
+                    "Dataset.where(drop=True) requires a DataArray cond"
+                )
+            # Trim every cond dim to the positions where cond holds
+            # anywhere (xarray semantics), then mask.
+            mask = np.asarray(cond_da.data)
+            out = self
+            for dim in cond_da.dims:
+                axes = tuple(
+                    i for i, d in enumerate(cond_da.dims) if d != dim
+                )
+                keep = mask.any(axis=axes) if axes else mask
+                out = out.isel({dim: np.flatnonzero(keep)})
+            trimmed_cond = cond_da
+            for dim in cond_da.dims:
+                axes = tuple(
+                    i for i, d in enumerate(cond_da.dims) if d != dim
+                )
+                keep = mask.any(axis=axes) if axes else mask
+                trimmed_cond = trimmed_cond.isel(
+                    {dim: np.flatnonzero(keep)}
+                )
+            return out._apply_per_var(
+                lambda da: da.where(trimmed_cond, other)
+                if any(d in da.dims for d in cond_da.dims)
+                else da
+            )
         return self._apply_per_var(
             lambda da: da.where(
                 cond_da if cond_da is not None else cond, other
