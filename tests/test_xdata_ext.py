@@ -222,6 +222,14 @@ class TestGrouped:
         np.testing.assert_allclose(np.asarray(ct.data), [1.0, 5.0, 9.0])
         with pytest.raises(ValueError, match="not a multiple"):
             xdata.DataArray(np.arange(7.0), dims=("x",)).coarsen(x=2).mean()
+        # pad keeps data and coord sizes consistent
+        cp = xdata.DataArray(
+            np.arange(7.0), dims=("x",), coords={"x": np.arange(7.0)}
+        ).coarsen(x=2, boundary="pad").mean()
+        d = np.asarray(cp.data)
+        c = np.asarray(cp.coords["x"].data)
+        assert len(d) == len(c) == 4
+        assert c[3] == 6.0
 
     def test_weighted(self):
         w = xdata.DataArray(np.array([1.0, 3.0]), dims=("x",))

@@ -310,15 +310,23 @@ class DataArrayCoarsen:
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", RuntimeWarning)
                 data = func(data.reshape(shape), axis=axis + 1)
-            # coarsen the dim coordinate by the same reduction (mean)
+            # coarsen the dim coordinate with a nan-mean so every
+            # boundary mode yields exactly n // k entries
             if dim in coords:
                 cvals = np.asarray(coords[dim].data, dtype=np.float64)
-                cvals = cvals[: n] if len(cvals) >= n else cvals
-                if len(cvals) % k:
-                    cvals = cvals[: len(cvals) - len(cvals) % k]
-                coords[dim] = Variable(
-                    (dim,), cvals.reshape(-1, k).mean(axis=1)
-                )
+                if len(cvals) > n:
+                    cvals = cvals[:n]
+                elif len(cvals) < n:
+                    cvals = np.pad(
+                        cvals, (0, n - len(cvals)), constant_values=np.nan
+                    )
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    coords[dim] = Variable(
+                        (dim,), np.nanmean(cvals.reshape(-1, k), axis=1)
+                    )
         var = Variable(obj.dims, data, obj.attrs)
         out = _data_array()._construct(var, coords, obj.name)
         return out
