@@ -189,3 +189,59 @@ class TestVoronoiInvariants:
         grid = random_tri_grid(rng, 60)
         tg = grid.triangulate()
         np.testing.assert_allclose(tg.area.sum(), grid.area.sum())
+
+
+class TestPolygonMeshInvariants:
+    """Mixed polygon connectivity (voronoi cells, padded rows) through
+    the high-traffic paths — a different input class than triangles."""
+
+    @pytest.mark.parametrize("seed", [131, 132])
+    def test_partition_regrid_locate(self, seed):
+        rng = np.random.default_rng(seed)
+        tri = random_tri_grid(rng, int(rng.integers(40, 100)))
+        grid = tri.tesselate_centroidal_voronoi()
+        assert grid.face_node_connectivity.shape[1] >= 5
+
+        uda = face_uda(grid, rng.normal(size=grid.n_face))
+        parts = uda.ugrid.partition(n_part=3)
+        merged = xu.merge_partitions(parts)
+        mgrid = merged.ugrid.grids[0]
+        assert mgrid.n_face == grid.n_face
+        np.testing.assert_allclose(mgrid.area.sum(), grid.area.sum())
+
+        xs = np.linspace(1, 9, 7)
+        ys = np.linspace(1, 9, 6)
+        tgt = xdata.DataArray(
+            np.zeros((6, 7)), dims=("y", "x"),
+            coords={"y": ys, "x": xs},
+        )
+        const = face_uda(grid, np.full(grid.n_face, 4.5), "c")
+        out = xu.OverlapRegridder(const, target=tgt, method="mean").regrid(
+            const
+        )
+        vals = np.asarray(out.data)
+        m = ~np.isnan(vals)
+        assert m.any()
+        np.testing.assert_allclose(vals[m], 4.5)
+
+        # every located point is inside its claimed polygon
+        qp = rng.uniform(2, 8, (15, 2))
+        loc = grid.locate_points(qp)
+        fnc = grid.face_node_connectivity
+        nc = grid.node_coordinates
+        for i, f in enumerate(loc):
+            if f < 0:
+                continue
+            ring = fnc[f]
+            ring = ring[ring >= 0]
+            poly = nc[ring]
+            inside = False
+            mring = len(poly)
+            px, py = qp[i]
+            for j in range(mring):
+                a, b = poly[j], poly[(j + 1) % mring]
+                if (a[1] > py) != (b[1] > py):
+                    xi = a[0] + (py - a[1]) / (b[1] - a[1]) * (b[0] - a[0])
+                    if px < xi:
+                        inside = not inside
+            assert inside, f"point {i} outside claimed face {f}"
