@@ -61,7 +61,9 @@ class TestZarrOverwrite:
         ds1.to_zarr(p)
         ds2 = Dataset()
         ds2["a"] = DataArray(np.arange(4.0), dims=("x",))
-        ds2.to_zarr(p)
+        with pytest.raises(FileExistsError, match="mode='w'"):
+            ds2.to_zarr(p)
+        ds2.to_zarr(p, mode="w")
         back = xdata.open_zarr(p)
         assert set(back.data_vars) == {"a"}
         assert back["a"].shape == (4,)
@@ -351,3 +353,94 @@ class TestTopologyReviewFindings:
         ).tocsr()
         with pytest.raises(ValueError, match="cycle"):
             contract_vertices(A, np.array([0]))
+
+
+class TestAdvisorRound2Fixes:
+    """Regressions for the round-2 advisor findings (ADVICE.md)."""
+
+    def test_coarsen_adjusts_all_coords_on_dim(self):
+        # A non-index coordinate over the coarsened dim must be pooled
+        # too, or its length silently diverges from the dim size.
+        da = DataArray(
+            np.arange(12.0),
+            dims=("x",),
+            coords={
+                "x": np.arange(12),
+                "lon": ("x", np.linspace(0.0, 11.0, 12)),
+            },
+        )
+        out = da.coarsen(x=3).mean()
+        assert out.sizes["x"] == 4
+        assert out.coords["lon"].shape == (4,)
+        np.testing.assert_allclose(out.coords["lon"].values, [1.0, 4.0, 7.0, 10.0])
+
+    def test_idxmax_all_nan_slice_returns_nan(self):
+        da = DataArray(
+            np.array([[1.0, 3.0, 2.0], [np.nan, np.nan, np.nan]]),
+            dims=("r", "x"),
+            coords={"x": np.array([10.0, 20.0, 30.0])},
+        )
+        out = da.idxmax("x")
+        assert out.values[0] == 20.0
+        assert np.isnan(out.values[1])
+        out = da.idxmin("x")
+        assert out.values[0] == 10.0
+        assert np.isnan(out.values[1])
+
+    def test_groupby_integer_sum_keeps_int_dtype(self):
+        da = DataArray(
+            np.array([1, 2, 3, 4], dtype=np.int64),
+            dims=("x",),
+            coords={"g": ("x", np.array([0, 0, 1, 1]))},
+        )
+        out = da.groupby("g").sum()
+        assert out.dtype.kind == "i"
+        np.testing.assert_array_equal(out.values, [3, 7])
+        out = da.groupby("g").max()
+        assert out.dtype.kind == "i"
+
+    def test_groupby_datetime_min_reduces(self):
+        times = np.array(
+            ["2020-01-02", "2020-01-01", "2020-02-05", "2020-02-01"],
+            dtype="datetime64[ns]",
+        )
+        da = DataArray(
+            times,
+            dims=("x",),
+            coords={"g": ("x", np.array([0, 0, 1, 1]))},
+        )
+        out = da.groupby("g").min()
+        assert out.dtype == times.dtype
+        np.testing.assert_array_equal(
+            out.values,
+            np.array(["2020-01-01", "2020-02-01"], dtype="datetime64[ns]"),
+        )
+
+    def test_coarsen_integer_exact_keeps_int_dtype(self):
+        da = DataArray(
+            np.arange(6, dtype=np.int64),
+            dims=("x",),
+            coords={"x": np.arange(6)},
+        )
+        out = da.coarsen(x=2).sum()
+        assert out.dtype.kind == "i"
+        np.testing.assert_array_equal(out.values, [1, 5, 9])
+
+    def test_reindex_duplicate_labels_raises(self):
+        da = DataArray(
+            np.arange(3.0),
+            dims=("x",),
+            coords={"x": np.array([1, 1, 2])},
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            da.reindex(x=[1, 2])
+
+    def test_reindex_exact_vectorized_matches(self):
+        da = DataArray(
+            np.arange(5.0),
+            dims=("x",),
+            coords={"x": np.array([5, 3, 1, 4, 2])},
+        )
+        out = da.reindex(x=[1, 2, 3, 9])
+        np.testing.assert_array_equal(out.values[:3], [2.0, 4.0, 1.0])
+        assert np.isnan(out.values[3])

@@ -663,8 +663,20 @@ class DataArray:
         else:
             pos = self._reduce(op, dim=dim, skipna=False)
         index = np.asarray(self.get_index(dim))
+        labels = index[np.asarray(pos.data)]
+        if skipna and np.issubdtype(values.dtype, np.floating):
+            # All-NaN slices map to NaN, not index[0] (xarray semantics).
+            axis = self.dims.index(dim)
+            all_nan = np.isnan(values).all(axis=axis)
+            if all_nan.any():
+                if labels.dtype.kind in "mM":
+                    labels = np.where(
+                        all_nan, np.array("NaT", dtype=labels.dtype), labels
+                    )
+                else:
+                    labels = np.where(all_nan, np.nan, labels.astype(np.float64))
         return DataArray._construct(
-            Variable(pos.dims, index[np.asarray(pos.data)]), dict(pos._coords), self.name
+            Variable(pos.dims, labels), dict(pos._coords), self.name
         )
 
     def equals(self, other) -> bool:
@@ -1030,9 +1042,29 @@ class DataArray:
             current = np.asarray(out._coords[dim].data)
             pos = np.full(len(labels), -1, dtype=np.int64)
             if method is None:
-                lookup = {v: i for i, v in enumerate(current.tolist())}
-                for i, lab in enumerate(labels.tolist()):
-                    pos[i] = lookup.get(lab, -1)
+                if current.dtype.kind == "O":
+                    # object labels (mixed types) are not sortable;
+                    # hash lookup, with the same non-unique guard
+                    if len(set(current.tolist())) != len(current):
+                        raise ValueError(
+                            f"cannot reindex dimension {dim!r}: "
+                            "index has duplicate labels"
+                        )
+                    lookup = {v: i for i, v in enumerate(current.tolist())}
+                    for i, lab in enumerate(labels.tolist()):
+                        pos[i] = lookup.get(lab, -1)
+                else:
+                    order = np.argsort(current, kind="stable")
+                    sc = current[order]
+                    if len(sc) > 1 and (sc[1:] == sc[:-1]).any():
+                        raise ValueError(
+                            f"cannot reindex dimension {dim!r}: "
+                            "index has duplicate labels"
+                        )
+                    j = np.searchsorted(sc, labels)
+                    safe = np.clip(j, 0, len(sc) - 1)
+                    exact = (j < len(sc)) & (sc[safe] == labels)
+                    pos = np.where(exact, order[safe], -1)
             else:
                 order = np.argsort(current, kind="stable")
                 sc = current[order]

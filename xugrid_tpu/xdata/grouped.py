@@ -21,6 +21,44 @@ def _data_array():
     return DataArray
 
 
+def _coarsen_coord(cvar, dim, k, n):
+    """Coarsen one coordinate Variable along ``dim`` with window ``k``.
+
+    The data dimension has already been trimmed/padded to ``n`` (a
+    multiple of ``k``); coordinates are nan-mean-pooled to match
+    (xarray's ``coord_func="mean"``), handling datetime64/timedelta64
+    via their int64 representation.
+    """
+    import warnings
+
+    axis = cvar.dims.index(dim)
+    vals = np.asarray(cvar.data)
+    is_time = vals.dtype.kind in "mM"
+    time_dtype = vals.dtype
+    if is_time:
+        fvals = vals.astype("int64").astype(np.float64)
+        fvals[np.isnat(vals)] = np.nan
+    else:
+        fvals = vals.astype(np.float64)
+    cur = fvals.shape[axis]
+    if cur > n:
+        index = [slice(None)] * fvals.ndim
+        index[axis] = slice(0, n)
+        fvals = fvals[tuple(index)]
+    elif cur < n:
+        pad = [(0, 0)] * fvals.ndim
+        pad[axis] = (0, n - cur)
+        fvals = np.pad(fvals, pad, constant_values=np.nan)
+    shape = fvals.shape[:axis] + (n // k, k) + fvals.shape[axis + 1:]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        pooled = np.nanmean(fvals.reshape(shape), axis=axis + 1)
+    if is_time:
+        pooled = np.where(np.isnan(pooled), np.iinfo("int64").min, pooled)
+        pooled = pooled.astype("int64").view(time_dtype).reshape(pooled.shape)
+    return Variable(cvar.dims, pooled, cvar.attrs)
+
+
 # ---------------------------------------------------------------------------
 # GroupBy
 # ---------------------------------------------------------------------------
@@ -74,7 +112,16 @@ class DataArrayGroupBy:
         DataArray = _data_array()
         obj = self._obj
         axis = obj.dims.index(self._dim)
-        data = np.asarray(obj.data, dtype=np.float64)
+        data = np.asarray(obj.data)
+        if data.dtype.kind == "f":
+            # NaN-skipping only matters for inexact input; ints/bools/
+            # datetimes go through the plain reducer so sum/min/max keep
+            # their dtype (xarray behavior) and datetime64 reduces
+            # instead of raising on a float cast.
+            data = data.astype(np.float64)
+            func = getattr(np, f"nan{func_name}")
+        else:
+            func = getattr(np, func_name)
         moved = np.moveaxis(data, axis, 0)
         pieces = []
         import warnings
@@ -83,7 +130,6 @@ class DataArrayGroupBy:
             warnings.simplefilter("ignore", RuntimeWarning)
             for k in range(len(self._labels)):
                 sub = moved[self._inverse == k]
-                func = getattr(np, f"nan{func_name}")
                 pieces.append(func(sub, axis=0, **kwargs))
         stacked = np.stack(pieces, axis=0)
         result = np.moveaxis(stacked, 0, axis)
@@ -280,7 +326,13 @@ class DataArrayCoarsen:
     def _reduce(self, func_name):
         DataArray = _data_array()
         obj = self._obj
-        data = np.asarray(obj.data, dtype=np.float64)
+        data = np.asarray(obj.data)
+        # boundary="pad" introduces NaN fill, which needs float; exact/
+        # trim windows of non-float input reduce in their own dtype so
+        # integer sum/min/max stay integer (xarray behavior).
+        needs_float = data.dtype.kind == "f" or self._boundary == "pad"
+        if needs_float:
+            data = data.astype(np.float64)
         coords = dict(obj._coords)
         for dim, k in self._windows.items():
             axis = obj.dims.index(dim)
@@ -304,29 +356,20 @@ class DataArrayCoarsen:
             shape = (
                 data.shape[:axis] + (n // k, k) + data.shape[axis + 1:]
             )
-            func = getattr(np, f"nan{func_name}")
+            func = getattr(np, f"nan{func_name}" if needs_float else func_name)
             import warnings
 
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", RuntimeWarning)
                 data = func(data.reshape(shape), axis=axis + 1)
-            # coarsen the dim coordinate with a nan-mean so every
-            # boundary mode yields exactly n // k entries
-            if dim in coords:
-                cvals = np.asarray(coords[dim].data, dtype=np.float64)
-                if len(cvals) > n:
-                    cvals = cvals[:n]
-                elif len(cvals) < n:
-                    cvals = np.pad(
-                        cvals, (0, n - len(cvals)), constant_values=np.nan
-                    )
-                import warnings
-
-                with warnings.catch_warnings():
-                    warnings.simplefilter("ignore", RuntimeWarning)
-                    coords[dim] = Variable(
-                        (dim,), np.nanmean(cvals.reshape(-1, k), axis=1)
-                    )
+            # coarsen EVERY coordinate containing this dim (not just the
+            # index coordinate) with a nan-mean so every boundary mode
+            # yields exactly n // k entries along the dim (xarray's
+            # coord_func="mean" behavior)
+            for cname, cvar in list(coords.items()):
+                if dim not in cvar.dims:
+                    continue
+                coords[cname] = _coarsen_coord(cvar, dim, k, n)
         var = Variable(obj.dims, data, obj.attrs)
         out = _data_array()._construct(var, coords, obj.name)
         return out

@@ -26,7 +26,7 @@ def _dtype_str(dtype: np.dtype) -> str:
     return dtype.str
 
 
-def to_zarr(ds: Dataset, store, **kwargs) -> None:
+def to_zarr(ds: Dataset, store, mode: str = "w-", **kwargs) -> None:
     from xugrid_tpu.xdata.io_netcdf import (
         annotate_cf_coordinates,
         encode_cf_time,
@@ -34,10 +34,16 @@ def to_zarr(ds: Dataset, store, **kwargs) -> None:
 
     ds = annotate_cf_coordinates(encode_cf_time(ds))
     root = Path(store)
-    # Writing over an existing store must not leave stale arrays or
-    # chunk files behind (they would reappear on open with conflicting
-    # dimension sizes).
     if (root / ".zgroup").exists():
+        # xarray's default mode "w-" refuses to clobber an existing
+        # store; only an explicit mode="w" removes it (removal must be
+        # complete — stale arrays or chunk files would reappear on open
+        # with conflicting dimension sizes).
+        if mode != "w":
+            raise FileExistsError(
+                f"zarr store already exists at {root}; "
+                "pass mode='w' to overwrite"
+            )
         import shutil
 
         shutil.rmtree(root)
