@@ -169,12 +169,13 @@ static inline int64_t gh_clamp(int64_t v, int64_t hi) {
 int64_t grid_hash_count(const double* boxes, int64_t k, double xmin,
                         double ymin, double dx, double dy, int64_t nx,
                         int64_t ny, int64_t* bin_start) {
+    const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
     for (int64_t i = 0; i < k; ++i) {
         const double* b = boxes + 4 * i;
-        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
-        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
-        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) / dx), nx - 1);
-        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) / dy), ny - 1);
+        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) * inv_dx), nx - 1);
+        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) * inv_dy), ny - 1);
+        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) * inv_dx), nx - 1);
+        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) * inv_dy), ny - 1);
         for (int64_t cy = iy0; cy <= iy1; ++cy)
             for (int64_t cx = ix0; cx <= ix1; ++cx)
                 ++bin_start[cy * nx + cx + 1];
@@ -186,18 +187,20 @@ int64_t grid_hash_count(const double* boxes, int64_t k, double xmin,
 
 // Pass 2: scatter primitive ids into bin_prims (CSR contents), sorted by
 // cell and stable in primitive order.  cursor: scratch copy of
-// bin_start[0..nx*ny), mutated.
+// bin_start[0..nx*ny), mutated.  ids == nullptr means identity (prim i
+// has id i) — skips one indirection on the common no-oversize path.
 void grid_hash_fill(const double* boxes, const int64_t* ids, int64_t k,
                     double xmin, double ymin, double dx, double dy,
                     int64_t nx, int64_t ny, int64_t* cursor,
                     int64_t* bin_prims) {
+    const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
     for (int64_t i = 0; i < k; ++i) {
         const double* b = boxes + 4 * i;
-        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
-        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
-        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) / dx), nx - 1);
-        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) / dy), ny - 1);
-        const int64_t id = ids[i];
+        const int64_t ix0 = gh_clamp((int64_t)((b[0] - xmin) * inv_dx), nx - 1);
+        const int64_t iy0 = gh_clamp((int64_t)((b[1] - ymin) * inv_dy), ny - 1);
+        const int64_t ix1 = gh_clamp((int64_t)((b[2] - xmin) * inv_dx), nx - 1);
+        const int64_t iy1 = gh_clamp((int64_t)((b[3] - ymin) * inv_dy), ny - 1);
+        const int64_t id = ids ? ids[i] : i;
         for (int64_t cy = iy0; cy <= iy1; ++cy)
             for (int64_t cx = ix0; cx <= ix1; ++cx)
                 bin_prims[cursor[cy * nx + cx]++] = id;
@@ -748,6 +751,63 @@ void mean_value_weights(const double* pts, const int64_t* prims, int64_t n,
             for (int64_t v = 0; v < n_vert; ++v) w[v] /= total;
         }
     }
+}
+
+}  // extern "C"
+
+// --- hash-based row deduplication (merge_partitions host kernel) -------
+// Replaces sort-based unique for stacked node coordinates and
+// connectivity rows: one open-addressing pass in first-seen order.
+// rows: n contiguous rows of row_bytes bytes (bytewise equality, like
+// a void-view np.unique).  out_inverse[i] = group id of row i (groups
+// numbered in first-seen order); out_rep[g] = first row index of group
+// g.  Returns the group count.
+extern "C" {
+
+int64_t unique_rows_hash(const char* rows, int64_t n, int64_t row_bytes,
+                         int64_t* out_rep, int64_t* out_inverse) {
+    if (n == 0) return 0;
+    int64_t cap = 1;
+    while (cap < 2 * n) cap <<= 1;
+    const int64_t mask = cap - 1;
+    std::vector<int64_t> table((size_t)cap, -1);  // group id or -1
+
+    const int64_t words = row_bytes / 8;
+    const int64_t tail = row_bytes % 8;
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const char* row = rows + i * row_bytes;
+        // FNV-1a over 8-byte words + byte tail.
+        uint64_t h = 1469598103934665603ull;
+        for (int64_t wd = 0; wd < words; ++wd) {
+            uint64_t v;
+            std::memcpy(&v, row + 8 * wd, 8);
+            h = (h ^ v) * 1099511628211ull;
+            h ^= h >> 29;
+        }
+        for (int64_t b = 8 * words; b < 8 * words + tail; ++b) {
+            h = (h ^ (uint64_t)(unsigned char)row[b]) * 1099511628211ull;
+        }
+        h ^= h >> 32;
+        int64_t slot = (int64_t)(h & (uint64_t)mask);
+        for (;;) {
+            const int64_t g = table[slot];
+            if (g == -1) {
+                table[slot] = count;
+                out_rep[count] = i;
+                out_inverse[i] = count;
+                ++count;
+                break;
+            }
+            if (std::memcmp(rows + out_rep[g] * row_bytes, row,
+                            (size_t)row_bytes) == 0) {
+                out_inverse[i] = g;
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+    }
+    return count;
 }
 
 }  // extern "C"

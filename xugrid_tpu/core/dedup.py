@@ -106,15 +106,34 @@ def unique_rows(rows: np.ndarray):
         except Exception:  # pragma: no cover - device fallback
             use_device = False
     if not use_device:
-        void = (
-            np.ascontiguousarray(rows)
-            .view(np.dtype((np.void, rows.dtype.itemsize * rows.shape[1])))
-            .ravel()
+        # Native hash join (csrc unique_rows_hash): one first-seen-order
+        # open-addressing pass, no sort at all.  rep is already
+        # ascending and inverse already first-seen-numbered.
+        from xugrid_tpu.utils.native import unique_rows_hash_native
+
+        native = unique_rows_hash_native(np.ascontiguousarray(rows))
+        if native is not None:
+            rep, inverse, _count = native
+            return rep, inverse
+        # Stable lexsort over u32 key columns + neighbor grouping: the
+        # same algorithm as the device kernel, in numpy.  This replaces
+        # a bytewise void-view np.unique whose void-comparison sort ran
+        # ~20x slower (126.8 s for the 4-way 10M-node merge in r02).
+        cols = _to_u32_columns(rows)
+        n_cols = cols.shape[1]
+        order = np.lexsort(
+            tuple(cols[:, c] for c in range(n_cols - 1, -1, -1))
         )
-        _, rep, inverse_group = np.unique(
-            void, return_index=True, return_inverse=True
-        )
-        inverse_group = inverse_group.ravel()
+        s = cols[order]
+        is_first = np.empty(n, dtype=bool)
+        is_first[0] = True
+        np.any(s[1:] != s[:-1], axis=1, out=is_first[1:])
+        group = np.cumsum(is_first) - 1
+        inverse_group = np.empty(n, dtype=np.int64)
+        inverse_group[order] = group
+        # lexsort is stable, so each group's first sorted element holds
+        # the minimum original index — np.unique's return_index.
+        rep = order[is_first]
 
     # Renumber groups to first-seen order: groups sorted by their first
     # occurrence position.

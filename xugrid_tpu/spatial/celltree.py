@@ -71,17 +71,24 @@ class CellTree2d:
         self.vertices = vertices
         self.faces = faces
         self.n_face = len(faces)
-        from xugrid_tpu.utils.native import pad_and_bbox_native
-
-        x, y = vertices[:, 0], vertices[:, 1]
-        fused = pad_and_bbox_native(faces, x, y)
-        if fused is not None:
-            self._poly_xy_host, self.bb_coords = fused
-        else:
-            self.bb_coords = face_bounding_boxes(faces, x, y)
-            self._poly_xy_host = pad_polygons(faces, x, y)
+        # Index build touches ONLY bounding boxes; the padded polygon
+        # vertex buffer (needed for exact point/clip tests) is computed
+        # lazily on first query — at 10M faces it is ~256 MB of writes
+        # that have no place in the build phase.
+        self.bb_coords = face_bounding_boxes(
+            faces, vertices[:, 0], vertices[:, 1]
+        )
         self.grid_hash = GridHash(self.bb_coords)
+        self._poly_xy_cache = None
         self._poly_xy_dev = None
+
+    @property
+    def _poly_xy_host(self):
+        if self._poly_xy_cache is None:
+            self._poly_xy_cache = pad_polygons(
+                self.faces, self.vertices[:, 0], self.vertices[:, 1]
+            )
+        return self._poly_xy_cache
 
     @property
     def _poly_xy(self):

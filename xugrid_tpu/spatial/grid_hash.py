@@ -20,6 +20,8 @@ few huge cells).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from xugrid_tpu.constants import IntDType
@@ -35,34 +37,60 @@ class GridHash:
 
     def _build(self, prim_bboxes, target_per_cell):
         boxes = np.asarray(prim_bboxes, dtype=np.float64)
-        finite = np.isfinite(boxes).all(axis=1)
         self.boxes = boxes
         self.n_prim = len(boxes)
 
-        fb = boxes[finite]
-        if len(fb) == 0:
+        # Extents / percentile cell sizing without materializing copies:
+        # nan-reductions over the column views, quantiles on a sample
+        # (the p99 only SIZES cells — sampling error is irrelevant).
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            self.xmin = float(np.nanmin(boxes[:, 0]))
+            self.ymin = float(np.nanmin(boxes[:, 1]))
+            xmax = float(np.nanmax(boxes[:, 2]))
+            ymax = float(np.nanmax(boxes[:, 3]))
+        if not (np.isfinite(self.xmin) and np.isfinite(self.ymin)):
             raise ValueError("no finite bounding boxes")
-        self.xmin = float(fb[:, 0].min())
-        self.ymin = float(fb[:, 1].min())
-        xmax = float(fb[:, 2].max())
-        ymax = float(fb[:, 3].max())
         extent_x = max(xmax - self.xmin, 1e-300)
         extent_y = max(ymax - self.ymin, 1e-300)
 
-        # Oversize primitives: beyond the 99th percentile extent.
-        w = fb[:, 2] - fb[:, 0]
-        h = fb[:, 3] - fb[:, 1]
-        w99 = np.quantile(w, 0.99)
-        h99 = np.quantile(h, 0.99)
-        finite_ids = np.flatnonzero(finite)
-        oversize_mask = (w > 4 * max(w99, 1e-300)) | (h > 4 * max(h99, 1e-300))
-        self.oversize = finite_ids[oversize_mask]
-        regular_ids = finite_ids[~oversize_mask]
-        rb = fb[~oversize_mask]
+        step = max(1, len(boxes) // 65536)
+        sw = boxes[::step, 2] - boxes[::step, 0]
+        sh = boxes[::step, 3] - boxes[::step, 1]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            w99 = float(np.nanquantile(sw, 0.99))
+            h99 = float(np.nanquantile(sh, 0.99))
+        if not np.isfinite(w99):
+            w99 = 0.0
+        if not np.isfinite(h99):
+            h99 = 0.0
+
+        # Oversize primitives: beyond 4x the sampled p99 extent.  On the
+        # common all-finite/no-oversize path nothing is copied and the
+        # native binning runs with identity ids.
+        w = boxes[:, 2] - boxes[:, 0]
+        h = boxes[:, 3] - boxes[:, 1]
+        with np.errstate(invalid="ignore"):
+            oversize_mask = (w > 4 * max(w99, 1e-300)) | (
+                h > 4 * max(h99, 1e-300)
+            )
+            regular_mask = (w >= 0) & ~oversize_mask  # finite & regular
+        self.oversize = np.flatnonzero(oversize_mask)
+        n_finite = int(np.count_nonzero(np.isfinite(w)))
+        if len(self.oversize) == 0 and n_finite == len(boxes):
+            regular_ids = None
+            rb = boxes
+            n_regular = len(boxes)
+        else:
+            regular_ids = np.flatnonzero(regular_mask)
+            rb = boxes[regular_ids]
+            n_regular = len(regular_ids)
+        del w, h
 
         # Cell size: ~target_per_cell prims per cell, at least the p99
         # extent so each prim covers O(1) cells.
-        n_cells_target = max(1, int(len(rb) / target_per_cell))
+        n_cells_target = max(1, int(n_regular / target_per_cell))
         aspect = extent_x / extent_y
         ny = max(1, int(np.sqrt(n_cells_target / aspect)))
         nx = max(1, n_cells_target // ny)
@@ -91,6 +119,8 @@ class GridHash:
         if native is not None:
             self.bin_start, self.bin_prims = native
         else:
+            if regular_ids is None:
+                regular_ids = np.arange(len(boxes))
             ix0, iy0, ix1, iy1 = self._cell_ranges(rb)
             span_x = ix1 - ix0 + 1
             span_y = iy1 - iy0 + 1
@@ -111,12 +141,19 @@ class GridHash:
             bin_counts = np.bincount(cell, minlength=self.nx * self.ny)
             self.bin_start = np.zeros(self.nx * self.ny + 1, dtype=IntDType)
             np.cumsum(bin_counts, out=self.bin_start[1:])
-        # Contiguous per-column copies: 1D fancy gathers are much faster
-        # than 2D row gathers in the query filter.
-        self._bx0 = np.ascontiguousarray(self.boxes[:, 0])
-        self._by0 = np.ascontiguousarray(self.boxes[:, 1])
-        self._bx1 = np.ascontiguousarray(self.boxes[:, 2])
-        self._by1 = np.ascontiguousarray(self.boxes[:, 3])
+        # Column copies for the numpy fallback query filter are LAZY:
+        # the native query kernels read self.boxes directly, so eagerly
+        # copying four columns only taxed build time (seconds at 10M).
+        self._cols = None
+
+    def _box_cols(self):
+        """(bx0, by0, bx1, by1) contiguous 1D views for the fallback
+        filter — 1D fancy gathers beat 2D row gathers there."""
+        if self._cols is None:
+            self._cols = tuple(
+                np.ascontiguousarray(self.boxes[:, j]) for j in range(4)
+            )
+        return self._cols
 
     def _cell_ranges(self, boxes):
         ix0 = np.clip(
@@ -198,11 +235,12 @@ class GridHash:
         qy0 = b[:, 1][pair_q]
         qx1 = b[:, 2][pair_q]
         qy1 = b[:, 3][pair_q]
+        bx0, by0, bx1, by1 = self._box_cols()
         keep = (
-            (self._bx0[pair_p] <= qx1)
-            & (self._bx1[pair_p] >= qx0)
-            & (self._by0[pair_p] <= qy1)
-            & (self._by1[pair_p] >= qy0)
+            (bx0[pair_p] <= qx1)
+            & (bx1[pair_p] >= qx0)
+            & (by0[pair_p] <= qy1)
+            & (by1[pair_p] >= qy0)
         )
         pair_q = pair_q[keep]
         pair_p = pair_p[keep]

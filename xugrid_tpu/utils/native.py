@@ -222,6 +222,14 @@ def get_lib():
         _c_double_p,
     ]
     lib.mean_value_weights.restype = None
+    lib.unique_rows_hash.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+    ]
+    lib.unique_rows_hash.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -310,7 +318,8 @@ def grid_hash_bins_native(
     if lib is None:
         return None
     boxes = np.ascontiguousarray(boxes, dtype=np.float64)
-    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    if ids is not None:
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
     k = len(boxes)
     bin_start = np.zeros(nx * ny + 1, dtype=np.int64)
     _dp = ctypes.POINTER(ctypes.c_double)
@@ -330,7 +339,7 @@ def grid_hash_bins_native(
     cursor = bin_start[:-1].copy()
     lib.grid_hash_fill(
         boxes.ctypes.data_as(_dp),
-        ids.ctypes.data_as(_ip),
+        ids.ctypes.data_as(_ip) if ids is not None else None,
         k,
         xmin,
         ymin,
@@ -596,3 +605,27 @@ def hilbert_distance_native(xy: np.ndarray, order: int = 16):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out
+
+
+def unique_rows_hash_native(rows: np.ndarray):
+    """
+    Hash-based bytewise row dedup in first-seen order: (rep, inverse,
+    count), or None when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows)
+    n = len(rows)
+    row_bytes = rows.dtype.itemsize * int(np.prod(rows.shape[1:]))
+    rep = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    count = lib.unique_rows_hash(
+        rows.ctypes.data_as(ctypes.c_char_p),
+        n,
+        row_bytes,
+        rep.ctypes.data_as(_ip),
+        inverse.ctypes.data_as(_ip),
+    )
+    return rep[:count], inverse, int(count)
