@@ -811,3 +811,123 @@ int64_t unique_rows_hash(const char* rows, int64_t n, int64_t row_bytes,
 }
 
 }  // extern "C"
+
+// --- sequential graph kernels (network/DAG ops) ------------------------
+// Exact ports of the Python reference loops in ugrid/connectivity.py and
+// ugrid/snapping.py (which pin the reference package's numba kernels):
+// same visit order, same emitted order, interpreter overhead removed.
+extern "C" {
+
+// DFS-postorder-reversed topological sort over a CSR adjacency.
+// Returns 0, or -1 when the graph contains a cycle.  out: m vertices in
+// topological order.
+int64_t topo_sort_dfs(const int64_t* indptr, const int64_t* indices,
+                      int64_t m, int64_t* out) {
+    std::vector<uint8_t> color((size_t)m, 0);  // 0 white 1 gray 2 black
+    std::vector<int64_t> stack;
+    std::vector<int64_t> cursor((size_t)m, 0);
+    stack.reserve(64);
+    int64_t n_out = 0;
+    for (int64_t start = 0; start < m; ++start) {
+        if (color[start] != 0) continue;
+        stack.clear();
+        stack.push_back(start);
+        color[start] = 1;
+        cursor[start] = indptr[start];
+        while (!stack.empty()) {
+            const int64_t u = stack.back();
+            bool advanced = false;
+            int64_t k = cursor[u];
+            const int64_t end = indptr[u + 1];
+            for (; k < end; ++k) {
+                const int64_t nb = indices[k];
+                if (color[nb] == 1) return -1;  // cycle
+                if (color[nb] == 0) {
+                    color[nb] = 1;
+                    cursor[nb] = indptr[nb];
+                    cursor[u] = k + 1;
+                    stack.push_back(nb);
+                    advanced = true;
+                    break;
+                }
+            }
+            if (!advanced) {
+                cursor[u] = end;
+                color[u] = 2;
+                out[n_out++] = u;
+                stack.pop_back();
+            }
+        }
+    }
+    // reverse postorder in place
+    for (int64_t i = 0, j = n_out - 1; i < j; ++i, --j) {
+        const int64_t t = out[i];
+        out[i] = out[j];
+        out[j] = t;
+    }
+    return 0;
+}
+
+// Contract a directed graph onto kept vertices: walk downstream from
+// each kept vertex to the next kept vertices, emitting (v, u) pairs in
+// encounter order.  Returns the edge count, -1 on a cycle through v,
+// or -2 when out_edges (capacity cap PAIRS) is too small.
+int64_t contract_vertices_walk(const int64_t* indptr, const int64_t* indices,
+                               int64_t m, const int64_t* keep_idx,
+                               int64_t nk, int64_t* out_edges, int64_t cap) {
+    std::vector<uint8_t> keep((size_t)m, 0);
+    for (int64_t i = 0; i < nk; ++i) keep[keep_idx[i]] = 1;
+    std::vector<int64_t> visited_epoch((size_t)m, -1);
+    std::vector<int64_t> stack;
+    int64_t n_edges = 0;
+    for (int64_t vi = 0; vi < nk; ++vi) {
+        const int64_t v = keep_idx[vi];
+        stack.clear();
+        for (int64_t k = indptr[v]; k < indptr[v + 1]; ++k)
+            stack.push_back(indices[k]);
+        while (!stack.empty()) {
+            const int64_t u = stack.back();
+            stack.pop_back();
+            if (u == v) return -1;  // cycle
+            if (keep[u]) {
+                if (n_edges >= cap) return -2;
+                out_edges[2 * n_edges] = v;
+                out_edges[2 * n_edges + 1] = u;
+                ++n_edges;
+                continue;
+            }
+            if (visited_epoch[u] == vi) continue;
+            visited_epoch[u] = vi;
+            for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k)
+                stack.push_back(indices[k]);
+        }
+    }
+    return n_edges;
+}
+
+// Greedy snap assignment over a CSR distance matrix: candidates in
+// order become targets; non-target neighbors attach to their nearest
+// target.  visited: n int64, UNVISITED=-1 / TARGET=-2 / target id.
+void snap_to_nearest_greedy(const int64_t* indptr, const int64_t* indices,
+                            const double* data, int64_t n,
+                            const int64_t* cand, int64_t nc,
+                            double max_distance, int64_t* visited) {
+    std::vector<double> nearest((size_t)n, max_distance + 1.0);
+    for (int64_t i = 0; i < n; ++i) visited[i] = -1;
+    for (int64_t ci = 0; ci < nc; ++ci) {
+        const int64_t i = cand[ci];
+        if (visited[i] != -1) continue;
+        visited[i] = -2;
+        for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+            const int64_t j = indices[k];
+            const double dist = data[k];
+            if (i == j || visited[j] == -2) continue;
+            if (visited[j] == -1 || dist < nearest[j]) {
+                visited[j] = i;
+                nearest[j] = dist;
+            }
+        }
+    }
+}
+
+}  // extern "C"

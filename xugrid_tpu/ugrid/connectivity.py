@@ -94,9 +94,15 @@ def topological_sort_by_dfs(A: sparse.csr_matrix) -> IntArray:
     Vertices of a DAG in topological order (DFS postorder, reversed).
 
     Raises ValueError when the graph contains a cycle.
-    Reference behavior: connectivity.py:101-175.
+    Reference behavior: connectivity.py:101-175 (numba-JIT there; the
+    native kernel here preserves the exact DFS visit order).
     """
     adj = to_adjacency(A)
+    from xugrid_tpu.utils.native import topo_sort_dfs_native
+
+    native = topo_sort_dfs_native(adj.indptr, adj.indices, adj.m)
+    if native is not None:
+        return native.astype(IntDType)
     WHITE, GRAY, BLACK = 0, 1, 2
     color = np.zeros(adj.m, dtype=np.uint8)
     order: list[int] = []
@@ -130,10 +136,18 @@ def contract_vertices(A: sparse.csr_matrix, indices: IntArray) -> IntArray:
     one edge per such reachable pair.
 
     Returns a new (n_edge, 2) edge_node_connectivity over original vertex
-    ids.  Reference behavior: connectivity.py:178-230.
+    ids.  Reference behavior: connectivity.py:178-230 (numba-JIT there;
+    the native kernel preserves the exact walk/emission order).
     """
     adj = to_adjacency(A)
     indices = np.asarray(indices)
+    from xugrid_tpu.utils.native import contract_vertices_native
+
+    native = contract_vertices_native(
+        adj.indptr, adj.indices, adj.m, indices
+    )
+    if native is not None:
+        return native.astype(IntDType).reshape((-1, 2))
     keep = np.zeros(adj.m, dtype=bool)
     keep[indices] = True
     edges: list[tuple[int, int]] = []

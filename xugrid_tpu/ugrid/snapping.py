@@ -29,6 +29,14 @@ def _snap_to_nearest(distances, snap_candidates: IntArray, max_distance) -> IntA
     UNVISITED = -1
     TARGET = -2
     n = distances.shape[0]
+    from xugrid_tpu.utils.native import snap_to_nearest_native
+
+    native = snap_to_nearest_native(
+        distances.indptr, distances.indices, distances.data,
+        n, np.asarray(snap_candidates), max_distance,
+    )
+    if native is not None:
+        return native
     nearest = np.full(n, max_distance + 1.0)
     visited = np.full(n, UNVISITED)
     indptr = distances.indptr

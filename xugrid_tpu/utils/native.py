@@ -230,6 +230,34 @@ def get_lib():
         _c_int64_p,
     ]
     lib.unique_rows_hash.restype = ctypes.c_int64
+    lib.topo_sort_dfs.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_int64_p,
+    ]
+    lib.topo_sort_dfs.restype = ctypes.c_int64
+    lib.contract_vertices_walk.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_int64_p,
+        ctypes.c_int64,
+    ]
+    lib.contract_vertices_walk.restype = ctypes.c_int64
+    lib.snap_to_nearest_greedy.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        _c_int64_p,
+    ]
+    lib.snap_to_nearest_greedy.restype = None
     _LIB = lib
     return _LIB
 
@@ -629,3 +657,87 @@ def unique_rows_hash_native(rows: np.ndarray):
         inverse.ctypes.data_as(_ip),
     )
     return rep[:count], inverse, int(count)
+
+
+def topo_sort_dfs_native(indptr: np.ndarray, indices: np.ndarray, m: int):
+    """Native DFS topological sort: order array, or None (library
+    unavailable).  Raises ValueError on a cycle."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    out = np.empty(m, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.topo_sort_dfs(
+        indptr.ctypes.data_as(_ip),
+        indices.ctypes.data_as(_ip),
+        m,
+        out.ctypes.data_as(_ip),
+    )
+    if rc == -1:
+        raise ValueError("The graph contains at least one cycle")
+    return out
+
+
+def contract_vertices_native(
+    indptr: np.ndarray, indices: np.ndarray, m: int, keep: np.ndarray
+):
+    """Native downstream-walk contraction: (n_edge, 2) array, or None
+    (library unavailable).  Raises ValueError on a cycle."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    keep = np.ascontiguousarray(keep, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    cap = max(4 * len(indices), 4 * len(keep), 1024)
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        rc = lib.contract_vertices_walk(
+            indptr.ctypes.data_as(_ip),
+            indices.ctypes.data_as(_ip),
+            m,
+            keep.ctypes.data_as(_ip),
+            len(keep),
+            out.ctypes.data_as(_ip),
+            cap,
+        )
+        if rc == -1:
+            raise ValueError("The graph contains at least one cycle")
+        if rc == -2:
+            cap *= 4
+            continue
+        return out[:rc]
+
+
+def snap_to_nearest_native(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    data: np.ndarray,
+    n: int,
+    candidates: np.ndarray,
+    max_distance: float,
+):
+    """Native greedy snap assignment: visited array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    candidates = np.ascontiguousarray(candidates, dtype=np.int64)
+    visited = np.empty(n, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.snap_to_nearest_greedy(
+        indptr.ctypes.data_as(_ip),
+        indices.ctypes.data_as(_ip),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        candidates.ctypes.data_as(_ip),
+        len(candidates),
+        float(max_distance),
+        visited.ctypes.data_as(_ip),
+    )
+    return visited
