@@ -160,7 +160,74 @@ def main():
     checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
     xla_apply_s = (time.perf_counter() - t0) / reps
 
-    # --- Pallas tiled apply (slab DMA + one-hot MXU matmuls) ------------
+    # --- Pallas gather-packet apply (the primary TPU kernel) ------------
+    gather_apply_s = None
+    gather_min_s = None
+    gather_e128_s = None
+    dma_bytes = None
+    try:
+        from xugrid_tpu.regrid.gather_apply import (
+            gather_windowed_apply,
+            pad_sublanes,
+            plan_gather,
+            stage_source,
+        )
+
+        gplan = plan_gather(padded.indices, padded.weights)
+        if gplan is not None and jax.default_backend() == "tpu":
+            # Actual DMA traffic per pass (for the padding-waste factor
+            # next to true_bytes): chunk slabs + packet tables + output.
+            e_sub = pad_sublanes(n_extra)
+            n_blocks = len(gplan.chunk0)
+            dma_bytes = int(
+                n_blocks * gplan.maxc * e_sub * 128 * 4   # chunk slabs
+                + gplan.ptab.size * 4                      # packet lanes
+                + n_blocks * 512 * e_sub * 4               # output
+            )
+
+            def time_gather(src2d, method, n_reps):
+                srcE = stage_source(src2d, gplan)
+
+                @partial(
+                    jax.jit,
+                    static_argnames=("method", "scan_steps", "maxc", "n_reps"),
+                )
+                def reps_fn(srcE, c0, npk, meta, ptab, rw,
+                            method, scan_steps, maxc, n_reps):
+                    def body(i, acc):
+                        out = gather_windowed_apply(
+                            srcE + i.astype(srcE.dtype) * 1e-12,
+                            c0, npk, meta, ptab, rw,
+                            method=method, has_nan=False,
+                            scan_steps=scan_steps, maxc=maxc,
+                        )
+                        return acc + jnp.nansum(out)
+
+                    return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+                dargs = (
+                    jnp.asarray(srcE), jnp.asarray(gplan.chunk0),
+                    jnp.asarray(gplan.npk), jnp.asarray(gplan.meta),
+                    jnp.asarray(gplan.ptab), jnp.asarray(gplan.rwsum),
+                )
+                _ = float(reps_fn(*dargs, method, gplan.scan_steps,
+                                  gplan.maxc, n_reps))
+                t0 = time.perf_counter()
+                _ = float(reps_fn(*dargs, method, gplan.scan_steps,
+                                  gplan.maxc, n_reps))
+                return (time.perf_counter() - t0) / n_reps
+
+            gather_apply_s = time_gather(source, "mean", reps)
+            gather_min_s = time_gather(source, "min", reps)
+            # Lane-packed variant: 128 slices through the SAME weights —
+            # proves whether the kernel is lane-limited or
+            # overhead-limited (per-packet cost is slice-independent).
+            src128 = rng.normal(size=(128, grid.n_face)).astype(np.float32)
+            gather_e128_s = time_gather(src128, "mean", max(2, reps // 2))
+    except Exception as exc:  # pragma: no cover - perf fallback only
+        print(f"gather path unavailable: {exc!r}", file=sys.stderr)
+
+    # --- Pallas one-hot slab apply (secondary kernel) -------------------
     pallas_apply_s = None
     try:
         from xugrid_tpu.regrid.pallas_apply import (
@@ -204,8 +271,9 @@ def main():
         print(f"pallas path unavailable: {exc!r}", file=sys.stderr)
 
     best_apply_s = xla_apply_s
-    if pallas_apply_s is not None and pallas_apply_s < xla_apply_s:
-        best_apply_s = pallas_apply_s
+    for cand in (pallas_apply_s, gather_apply_s):
+        if cand is not None and cand < best_apply_s:
+            best_apply_s = cand
     apply_gbps = true_bytes / best_apply_s / 1e9
 
     # --- celltree locate throughput -------------------------------------
@@ -271,10 +339,32 @@ def main():
             "1-vCPU bench host, a proxy for (not a measurement of) the "
             "reference's multithreaded numba apply on a many-core node"
         ),
-        "hbm_sol_pct": round(100.0 * apply_gbps / HBM_GBPS, 2),
+        # NOTE: a FRACTION expressed in percent (1.0 == 1% of HBM SoL).
+        "pct_of_hbm_sol": round(100.0 * apply_gbps / HBM_GBPS, 2),
         "true_bytes_per_pass": int(true_bytes),
+        "actual_dma_bytes_per_pass": dma_bytes,
+        "dma_waste_factor": (
+            round(dma_bytes / true_bytes, 2) if dma_bytes else None
+        ),
         "apply_s_per_pass": round(best_apply_s, 4),
         "xla_apply_s_per_pass": round(xla_apply_s, 4),
+        "gather_apply_s_per_pass": (
+            round(gather_apply_s, 4) if gather_apply_s is not None else None
+        ),
+        "gather_min_s_per_pass": (
+            round(gather_min_s, 4) if gather_min_s is not None else None
+        ),
+        "gather_e128_s_per_pass": (
+            round(gather_e128_s, 4) if gather_e128_s is not None else None
+        ),
+        "gather_e128_gbps_true": (
+            round(
+                (csr.nnz * 8 + (grid.n_face + target.n_face) * 128 * 4)
+                / gather_e128_s / 1e9, 1,
+            )
+            if gather_e128_s is not None
+            else None
+        ),
         "pallas_apply_s_per_pass": (
             round(pallas_apply_s, 4) if pallas_apply_s is not None else None
         ),

@@ -1,0 +1,134 @@
+"""
+Numerics tests for the gather-packet Pallas apply kernel, run in
+interpret mode on CPU against the reduce-registry oracle (which pins
+the reference's numba kernels — see tests/test_golden.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xugrid_tpu.regrid import reduce as reductions
+from xugrid_tpu.regrid.gather_apply import (
+    GATHER_METHODS,
+    apply_windowed_gather,
+    plan_gather,
+)
+
+ORACLES = {
+    "mean": reductions.mean,
+    "sum": reductions.sum,
+    "first_order_conservative": reductions.first_order_conservative,
+    "conductance": reductions.conductance,
+    "harmonic_mean": reductions.harmonic_mean,
+    "geometric_mean": reductions.geometric_mean,
+    "min": reductions.minimum,
+    "max": reductions.maximum,
+}
+
+
+def make_case(n=700, m=900, w=6, n_extra=5, seed=0, nan_frac=0.0,
+              positive=False):
+    rng = np.random.default_rng(seed)
+    base = (np.arange(n) * m) // n
+    offs = rng.integers(-15, 16, size=(n, w))
+    indices = np.clip(base[:, None] + offs, 0, m - 1).astype(np.int32)
+    # ragged windows: pad a random suffix of each row
+    keep = rng.integers(1, w + 1, size=n)
+    mask = np.arange(w)[None, :] < keep[:, None]
+    indices = np.where(mask, indices, -1)
+    # a few empty rows
+    empty = rng.random(n) < 0.02
+    indices[empty] = -1
+    weights = rng.uniform(0.1, 2.0, size=(n, w)).astype(np.float32)
+    weights[~mask] = 0.0
+    source = rng.normal(size=(n_extra, m)).astype(np.float32)
+    if positive:
+        source = np.abs(source) + 0.1
+    if nan_frac:
+        nan_mask = rng.random(source.shape) < nan_frac
+        source[nan_mask] = np.nan
+    return indices, weights, source
+
+
+def oracle_apply(method, indices, weights, source):
+    n, w = indices.shape
+    pad = indices < 0
+    vals = source[:, np.maximum(indices, 0)]          # (E, n, w)
+    vals = np.where(pad[None], np.nan, vals)
+    out = ORACLES[method](
+        jnp.asarray(np.moveaxis(vals, 0, 1)),          # (n, E, w)
+        jnp.asarray(weights[:, None, :]),
+    )
+    return np.asarray(out)                             # (n, E)
+
+
+@pytest.mark.parametrize("method", GATHER_METHODS)
+@pytest.mark.parametrize("nan_frac", [0.0, 0.15])
+def test_gather_kernel_matches_oracle(method, nan_frac):
+    positive = method in ("harmonic_mean", "geometric_mean")
+    indices, weights, source = make_case(
+        nan_frac=nan_frac, positive=positive, seed=hash(method) % 1000
+    )
+    got = apply_windowed_gather(
+        source, indices, weights, method, interpret=True
+    )
+    assert got is not None, "plan unexpectedly rejected"
+    want = oracle_apply(method, indices, weights, source)
+    np.testing.assert_allclose(got, want.T[: len(got[0])].T, rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_gather_kernel_negative_values_geometric():
+    indices, weights, source = make_case(seed=7)
+    # geometric mean with any negative contribution -> NaN
+    got = apply_windowed_gather(
+        source, indices, weights, "geometric_mean", interpret=True
+    )
+    want = oracle_apply("geometric_mean", indices, weights, source)
+    # NaN patterns must agree exactly
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+
+
+def test_plan_rejects_scattered_indices():
+    rng = np.random.default_rng(3)
+    n, m, w = 2048, 40_000_000, 4
+    indices = rng.integers(0, m, size=(n, w)).astype(np.int32)
+    weights = np.ones((n, w), np.float32)
+    assert plan_gather(indices, weights) is None
+
+
+def test_plan_packet_invariants():
+    indices, weights, _ = make_case(n=600, m=700)
+    plan = plan_gather(indices, weights)
+    assert plan is not None
+    # lane 0 is the dummy: weight 0 and segment -1 everywhere
+    assert (plan.pw[:, 0] == 0.0).all()
+    assert (plan.pseg[:, 0] == -1).all()
+    # every real entry's local index is within its chunk
+    assert plan.pidx[:, 1:].min() >= 0
+    assert plan.pidx[:, 1:].max() < 128
+    # total weight mass is preserved
+    valid = indices >= 0
+    np.testing.assert_allclose(
+        plan.pw[:, 1:].sum(), weights[valid].sum(), rtol=1e-5
+    )
+    # end lanes point at entries of the right segment
+    rows, taus = np.nonzero(plan.pend)
+    lanes = plan.pend[rows, taus]
+    assert (plan.pseg[rows, lanes] == taus).all()
+
+
+def test_empty_and_full_rows():
+    # all-empty target rows yield NaN; full rows exact
+    m = 300
+    indices = np.array([[0, 1, 2], [-1, -1, -1], [10, 11, -1]], np.int32)
+    indices = np.tile(indices, (200, 1))[:520]
+    weights = np.where(indices >= 0, 1.0, 0.0).astype(np.float32)
+    source = np.arange(m, dtype=np.float32)[None] * 0.5
+    got = apply_windowed_gather(
+        source, indices, weights, "mean", interpret=True
+    )
+    want = oracle_apply("mean", indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

@@ -260,3 +260,30 @@ def test_windowed_cg_matches_coo(monkeypatch):
     )
     np.testing.assert_allclose(win, direct, atol=1e-6)
     np.testing.assert_allclose(coo, direct, atol=1e-6)
+
+
+def test_gather_cg_matches_direct(monkeypatch):
+    """The Pallas gather-packet CG (interpret mode on CPU) reproduces
+    the direct solve to f32 accuracy."""
+    import scipy.sparse
+
+    n_side = 24
+    n = n_side * n_side
+    idx = np.arange(n).reshape(n_side, n_side)
+    r = np.concatenate([idx[:, :-1].ravel(), idx[:-1, :].ravel()])
+    c = np.concatenate([idx[:, 1:].ravel(), idx[1:, :].ravel()])
+    rr = np.concatenate([r, c])
+    cc = np.concatenate([c, r])
+    W = scipy.sparse.coo_matrix(
+        (np.ones(len(rr)), (rr, cc)), shape=(n, n)
+    ).tocsr()
+    rng = np.random.default_rng(12)
+    truth = np.cos(np.linspace(0, 7, n)) * 5.0
+    vals = np.where(rng.random(n) < 0.1, truth, np.nan)
+    data = np.stack([vals, vals + 1.0, vals * 2.0])
+
+    direct = interpolate.laplace_interpolate(data, W, direct_solve=True)
+    monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+    monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+    got = interpolate.laplace_interpolate(data, W, maxiter=4000, atol=1e-10)
+    np.testing.assert_allclose(got, direct, atol=5e-5)

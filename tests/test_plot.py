@@ -8,6 +8,8 @@ mpl.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 import xugrid_tpu as xu  # noqa: E402
+import importlib  # noqa: E402
+xplot = importlib.import_module("xugrid_tpu.plot.plot")  # noqa: E402
 from xugrid_tpu.xdata import DataArray  # noqa: E402
 
 
@@ -215,3 +217,86 @@ def test_grid_plot(grid):
 def test_kwargs_passthrough(face_uda):
     artist = face_uda.ugrid.plot(cmap="viridis", vmin=0.0, vmax=4.0)
     assert artist.get_clim() == (0.0, 4.0)
+
+
+class TestCmapDepth:
+    """Discrete levels / extend / figure sizing (reference plot/utils.py
+    _determine_cmap_params + get_axis parity)."""
+
+    def _grid_and_values(self):
+        nx = ny = 3
+        x = np.arange(nx + 1.0)
+        y = np.arange(ny + 1.0)
+        yy, xx = np.meshgrid(y, x, indexing="ij")
+        verts = np.column_stack([xx.ravel(), yy.ravel()])
+        j, i = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        nid = lambda ii, jj: jj * (nx + 1) + ii  # noqa: E731
+        faces = np.stack(
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
+            axis=-1,
+        ).reshape(-1, 4)
+        grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+        values = np.linspace(0.0, 10.0, grid.n_face)
+        return grid, values
+
+    def test_levels_int_builds_boundarynorm(self):
+        import matplotlib.colors as mcolors
+
+        grid, values = self._grid_and_values()
+        artist = xplot.pcolormesh(grid, values, levels=5)
+        assert isinstance(artist.norm, mcolors.BoundaryNorm)
+        assert isinstance(artist.cmap, mcolors.ListedColormap)
+        assert artist.cmap.N == len(artist.norm.boundaries) - 1
+
+    def test_levels_list_and_extend_colors(self):
+        import matplotlib.colors as mcolors
+
+        grid, values = self._grid_and_values()
+        # levels inside the data range -> extend="both" inferred, with
+        # distinct under/over colors carved from the colormap ends
+        artist = xplot.pcolormesh(grid, values, levels=[2.0, 4.0, 6.0])
+        assert isinstance(artist.norm, mcolors.BoundaryNorm)
+        cmap = artist.cmap
+        assert cmap.N == 2
+        under = np.asarray(cmap.get_under())
+        over = np.asarray(cmap.get_over())
+        assert not np.allclose(under, over)
+
+    def test_extend_inference_vminmax(self):
+        grid, values = self._grid_and_values()
+        _, cbar_kw = xplot._cmap_params(values, {"vmin": 2.0, "vmax": 8.0})
+        assert cbar_kw == {"extend": "both"}
+        _, cbar_kw = xplot._cmap_params(values, {"vmin": -1.0})
+        assert cbar_kw == {}
+
+    def test_contourf_levels_passthrough(self):
+        grid, values = self._grid_and_values()
+        node_values = np.linspace(0.0, 1.0, grid.n_node)
+        artist = xplot.contourf(
+            grid, node_values, levels=[0.2, 0.5, 0.8]
+        )
+        np.testing.assert_allclose(artist.levels, [0.2, 0.5, 0.8])
+
+    def test_figsize_and_size_aspect(self):
+        import matplotlib.pyplot as plt
+
+        grid, values = self._grid_and_values()
+        artist = xplot.pcolormesh(grid, values, figsize=(5.0, 3.0))
+        fig = artist.axes.figure
+        np.testing.assert_allclose(fig.get_size_inches(), [5.0, 3.0])
+        plt.close(fig)
+        artist = xplot.pcolormesh(grid, values, size=4.0, aspect=2.0)
+        fig = artist.axes.figure
+        np.testing.assert_allclose(fig.get_size_inches(), [8.0, 4.0])
+        plt.close(fig)
+
+    def test_sizing_conflicts_raise(self):
+        import matplotlib.pyplot as plt
+
+        grid, values = self._grid_and_values()
+        fig, ax = plt.subplots()
+        with pytest.raises(ValueError, match="figsize"):
+            xplot.pcolormesh(grid, values, ax=ax, figsize=(3, 3))
+        with pytest.raises(ValueError, match="aspect"):
+            xplot.pcolormesh(grid, values, aspect=2.0)
+        plt.close(fig)

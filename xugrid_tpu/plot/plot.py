@@ -15,11 +15,35 @@ from xugrid_tpu.constants import FILL_VALUE
 from xugrid_tpu.ugrid.connectivity import close_polygons
 
 
-def _ensure_ax(ax=None, **subplot_kws):
+def _pop_axis_args(kwargs):
+    """Extract figure-sizing kwargs (xarray's figsize/size/aspect)."""
+    return {
+        "figsize": kwargs.pop("figsize", None),
+        "size": kwargs.pop("size", None),
+        "aspect": kwargs.pop("aspect", None),
+    }
+
+
+def _ensure_ax(ax=None, figsize=None, size=None, aspect=None, **subplot_kws):
+    """Create an axis honoring xarray's figsize/size/aspect contract
+    (reference: xugrid/plot/utils.py ``get_axis``)."""
     import matplotlib.pyplot as plt
 
-    if ax is None:
-        _, ax = plt.subplots(**subplot_kws)
+    if ax is not None:
+        if figsize is not None or size is not None or aspect is not None:
+            raise ValueError(
+                "cannot provide figsize/size/aspect together with ax"
+            )
+        return ax
+    if figsize is not None:
+        if size is not None:
+            raise ValueError("cannot provide both `figsize` and `size`")
+    elif size is not None:
+        figsize = (size * (aspect if aspect is not None else 1.0), size)
+    elif aspect is not None:
+        raise ValueError("cannot provide `aspect` without `size`")
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(**subplot_kws)
     return ax
 
 
@@ -33,36 +57,81 @@ def _unpack(grid_or_accessor, darray):
     return grid_or_accessor, values
 
 
-def _add_colorbar(ax, artist, add_colorbar):
+def _add_colorbar(ax, artist, add_colorbar, extend=None):
     if add_colorbar:
-        ax.figure.colorbar(artist, ax=ax)
+        cbar_kw = {} if extend is None else {"extend": extend}
+        ax.figure.colorbar(artist, ax=ax, **cbar_kw)
 
 
-def _cmap_params(values, kwargs):
+def _infer_extend(calc, vmin, vmax):
+    below = bool(calc.size) and float(calc.min()) < vmin
+    above = bool(calc.size) and float(calc.max()) > vmax
+    if below and above:
+        return "both"
+    if below:
+        return "min"
+    if above:
+        return "max"
+    return "neither"
+
+
+def _discrete_cmap(cmap, levels, extend, divergent):
+    """BoundaryNorm + ListedColormap with under/over colors carved from
+    the continuous map's ends (xarray's _build_discrete_cmap)."""
+    import matplotlib.colors as mcolors
+    import matplotlib.pyplot as plt
+
+    if cmap is None:
+        cmap = "RdBu_r" if divergent else "viridis"
+    base = plt.get_cmap(cmap) if isinstance(cmap, str) else cmap
+    extra = {"neither": 0, "min": 1, "max": 1, "both": 2}[extend]
+    n_colors = len(levels) - 1 + extra
+    colors = base(np.linspace(0.0, 1.0, max(n_colors, 1)))
+    under = over = None
+    if extend in ("min", "both"):
+        under, colors = colors[0], colors[1:]
+    if extend in ("max", "both"):
+        over, colors = colors[-1], colors[:-1]
+    new_cmap = mcolors.ListedColormap(colors, name="xugrid_discrete")
+    if under is not None:
+        new_cmap.set_under(under)
+    if over is not None:
+        new_cmap.set_over(over)
+    norm = mcolors.BoundaryNorm(levels, ncolors=new_cmap.N)
+    return new_cmap, norm
+
+
+def _cmap_params(values, kwargs, contour=False):
     """
-    Resolve xarray-style colormap keywords (vmin/vmax/robust/center/norm)
-    into a Normalize + cmap pair that every matplotlib artist accepts
-    (PolyCollection/LineCollection reject raw vmin=/vmax=).
+    Resolve xarray-style colormap keywords (vmin/vmax/robust/center/
+    norm/levels/extend) into a Normalize + cmap pair every matplotlib
+    artist accepts (PolyCollection/LineCollection reject raw vmin=/
+    vmax=).  Returns ``(kwargs, colorbar_kwargs)``.
 
     Mirrors the reference's _process_cmap_cbar_kwargs behavior
-    (xugrid/plot/utils.py): robust uses the 2-98 percentile range, and
-    data straddling zero (or an explicit ``center``) selects symmetric
-    limits with a diverging default colormap.
+    (xugrid/plot/utils.py): robust uses the 2-98 percentile range; data
+    straddling zero (or an explicit ``center``) selects symmetric
+    limits with a diverging default colormap; ``levels`` (an int for
+    MaxNLocator ticks, or explicit boundaries) builds a discrete
+    BoundaryNorm colormap whose under/over colors honor ``extend``
+    (inferred from the data range when not given).
     """
     vmin = kwargs.pop("vmin", None)
     vmax = kwargs.pop("vmax", None)
     robust = kwargs.pop("robust", False)
     center = kwargs.pop("center", None)
     norm = kwargs.pop("norm", None)
+    levels = kwargs.pop("levels", None)
+    extend = kwargs.pop("extend", None)
     if values is None:
-        return kwargs
+        return kwargs, {}
     if norm is not None:
         kwargs["norm"] = norm
-        return kwargs
+        return kwargs, {"extend": extend} if extend else {}
     calc = np.asarray(values, dtype=float).ravel()
     calc = calc[np.isfinite(calc)]
     if calc.size == 0:
-        return kwargs
+        return kwargs, {}
     computed_vmin = vmin is None
     computed_vmax = vmax is None
     if computed_vmin:
@@ -76,11 +145,37 @@ def _cmap_params(values, kwargs):
     if divergent:
         lim = max(abs(vmax - center), abs(vmin - center))
         vmin, vmax = center - lim, center + lim
-        kwargs.setdefault("cmap", "RdBu_r")
+        if levels is None:
+            kwargs.setdefault("cmap", "RdBu_r")
     import matplotlib.colors
 
+    if levels is not None:
+        if isinstance(levels, int):
+            from matplotlib.ticker import MaxNLocator
+
+            levels = MaxNLocator(levels).tick_values(vmin, vmax)
+        levels = np.asarray(levels, dtype=float)
+        if extend is None:
+            extend = _infer_extend(calc, levels.min(), levels.max())
+        if contour:
+            # matplotlib's (tri)contour machinery owns level placement
+            # and extension; hand the resolved boundaries straight over.
+            kwargs["levels"] = levels
+            kwargs["extend"] = extend
+            return kwargs, {}
+        cmap, bnorm = _discrete_cmap(
+            kwargs.pop("cmap", None), levels, extend, divergent
+        )
+        kwargs["cmap"] = cmap
+        kwargs["norm"] = bnorm
+        return kwargs, {"extend": extend}
+    if contour and extend is not None:
+        kwargs["extend"] = extend
+        extend = None
     kwargs["norm"] = matplotlib.colors.Normalize(vmin=vmin, vmax=vmax)
-    return kwargs
+    if extend is None:
+        extend = _infer_extend(calc, vmin, vmax)
+    return kwargs, {"extend": extend} if extend != "neither" else {}
 
 
 def line(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
@@ -89,32 +184,33 @@ def line(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
     from matplotlib.collections import LineCollection
 
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     segments = grid.node_coordinates[grid.edge_node_connectivity]
     kwargs.setdefault("colors", "#000033" if values is None else None)
+    cbar_kw = {}
     if values is not None:
         kwargs.pop("colors")
-        kwargs = _cmap_params(values, kwargs)
+        kwargs, cbar_kw = _cmap_params(values, kwargs)
     collection = LineCollection(segments, **kwargs)
     if values is not None:
         collection.set_array(values)
     ax.add_collection(collection)
     ax.autoscale_view()
     if values is not None:
-        _add_colorbar(ax, collection, add_colorbar)
+        _add_colorbar(ax, collection, add_colorbar, **cbar_kw)
     return collection
 
 
 def scatter(grid, darray=None, dim=None, ax=None, add_colorbar: bool = False, **kwargs):
     """Scatter the coordinates of a facet, colored by its values."""
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     dim = dim or grid.core_dimension
     coords = grid.get_coordinates(dim)
-    kwargs = _cmap_params(values, kwargs)
+    kwargs, cbar_kw = _cmap_params(values, kwargs)
     artist = ax.scatter(coords[:, 0], coords[:, 1], c=values, **kwargs)
     if values is not None:
-        _add_colorbar(ax, artist, add_colorbar)
+        _add_colorbar(ax, artist, add_colorbar, **cbar_kw)
     return artist
 
 
@@ -123,17 +219,17 @@ def pcolormesh(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs)
     from matplotlib.collections import PolyCollection
 
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     closed, _ = close_polygons(grid.face_node_connectivity)
     vertices = grid.node_coordinates[closed]
-    kwargs = _cmap_params(values, kwargs)
+    kwargs, cbar_kw = _cmap_params(values, kwargs)
     collection = PolyCollection(vertices, **kwargs)
     if values is not None:
         collection.set_array(values)
     ax.add_collection(collection)
     ax.autoscale_view()
     if values is not None:
-        _add_colorbar(ax, collection, add_colorbar)
+        _add_colorbar(ax, collection, add_colorbar, **cbar_kw)
     return collection
 
 
@@ -142,12 +238,12 @@ def tripcolor(grid, darray=None, ax=None, add_colorbar: bool = False, **kwargs):
     import matplotlib.tri
 
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     (node_x, node_y, triangles), _ = grid.triangulation
     triangulation = matplotlib.tri.Triangulation(node_x, node_y, triangles)
-    kwargs = _cmap_params(values, kwargs)
+    kwargs, cbar_kw = _cmap_params(values, kwargs)
     artist = ax.tripcolor(triangulation, values, **kwargs)
-    _add_colorbar(ax, artist, add_colorbar)
+    _add_colorbar(ax, artist, add_colorbar, **cbar_kw)
     return artist
 
 
@@ -166,22 +262,22 @@ def _contour_triangulation(grid, values, location):
 def contour(grid, darray=None, ax=None, location="node", add_colorbar=False, **kwargs):
     """Contour lines of node or face data."""
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     triangulation, z = _contour_triangulation(grid, values, location)
-    kwargs = _cmap_params(z, kwargs)
+    kwargs, cbar_kw = _cmap_params(z, kwargs, contour=True)
     artist = ax.tricontour(triangulation, z, **kwargs)
-    _add_colorbar(ax, artist, add_colorbar)
+    _add_colorbar(ax, artist, add_colorbar, **cbar_kw)
     return artist
 
 
 def contourf(grid, darray=None, ax=None, location="node", add_colorbar=False, **kwargs):
     """Filled contours of node or face data."""
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     triangulation, z = _contour_triangulation(grid, values, location)
-    kwargs = _cmap_params(z, kwargs)
+    kwargs, cbar_kw = _cmap_params(z, kwargs, contour=True)
     artist = ax.tricontourf(triangulation, z, **kwargs)
-    _add_colorbar(ax, artist, add_colorbar)
+    _add_colorbar(ax, artist, add_colorbar, **cbar_kw)
     return artist
 
 
@@ -209,7 +305,7 @@ def imshow(
 ):
     """Rasterize face data and draw with imshow (default >= 500 px)."""
     grid, values = _unpack(grid, darray)
-    ax = _ensure_ax(ax)
+    ax = _ensure_ax(ax, **_pop_axis_args(kwargs))
     xmin, ymin, xmax, ymax = grid.bounds
     if resolution is None:
         resolution = max(xmax - xmin, ymax - ymin) / 500
@@ -224,9 +320,9 @@ def imshow(
         (x.min() - 0.5 * d, x.max() + 0.5 * d,
          y.min() - 0.5 * d, y.max() + 0.5 * d),
     )
-    kwargs = _cmap_params(img, kwargs)
+    kwargs, cbar_kw = _cmap_params(img, kwargs)
     artist = ax.imshow(img, **kwargs)
-    _add_colorbar(ax, artist, add_colorbar)
+    _add_colorbar(ax, artist, add_colorbar, **cbar_kw)
     return artist
 
 

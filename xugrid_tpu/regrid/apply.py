@@ -95,6 +95,10 @@ def _pallas_method(reduction, source2d):
         reduce.first_order_conservative: "first_order_conservative",
         reduce.harmonic_mean: "harmonic_mean",
         reduce.geometric_mean: "geometric_mean",
+        # selection pair — covered by the gather-packet kernel only
+        # (apply_windowed_pallas rejects them and falls through to XLA)
+        reduce.minimum: "min",
+        reduce.maximum: "max",
     }
     method = by_reduction.get(reduction)
     if method is None or method not in PALLAS_METHODS:
@@ -146,6 +150,37 @@ def apply_weights(
 
     method, has_nan = _pallas_method(reduction, source2d)
     if method is not None:
+        # Primary TPU path: the gather-packet kernel (covers the linear
+        # family AND min/max).  The one-hot slab kernel remains as the
+        # secondary path, the XLA window gather as the final fallback.
+        from xugrid_tpu.regrid.gather_apply import (
+            GATHER_METHODS,
+            apply_windowed_gather,
+            plan_gather,
+        )
+
+        if method in GATHER_METHODS:
+            gplan = _REJECTED
+            if plan_cache is not None:
+                gplan = plan_cache.get("gather_plan", _REJECTED)
+            if gplan is _REJECTED:
+                gplan = plan_gather(weights.indices, weights.weights)
+                if plan_cache is not None:
+                    plan_cache["gather_plan"] = gplan
+            if gplan is not None:
+                out = apply_windowed_gather(
+                    source2d.astype(np.float32, copy=False),
+                    weights.indices,
+                    weights.weights,
+                    method,
+                    has_nan=has_nan,
+                    plan=gplan,
+                )
+                if out is not None:
+                    return out.T.astype(source2d.dtype).reshape(
+                        leading + (target_size,)
+                    )
+
         from xugrid_tpu.regrid.pallas_apply import (
             apply_windowed_pallas,
             plan_auto,

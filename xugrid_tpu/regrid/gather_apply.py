@@ -1,0 +1,665 @@
+"""
+Gather-packet Pallas TPU kernel for the windowed regrid apply.
+
+This replaces the one-hot scatter-matmul kernel (``pallas_apply.py``)
+as the primary TPU apply path.  That kernel's cost was structural: for
+every (512-target block, 512-row slab, window slot) visit it built a
+dense (512, 512) scatter matrix on the VPU and resolved it on the MXU —
+~250k element-ops per visit for ~9 true nonzeros per target, and the
+slab's 128-lane minor axis forced a 6.4x DMA overfetch at 20 slices.
+
+The TPU's ``tpu.dynamic_gather`` (reached via ``jnp.take_along_axis``
+inside Pallas) is vreg-local: it gathers along 128 lanes, any sublane
+count (measured 0.02-0.08 us per (24, 128) op on v5e; larger lane
+extents do not compile).  The kernel is built around that primitive:
+
+* The source is staged chunk-major ``(C, E, 128)`` — 128 consecutive
+  source rows on lanes, slices on sublanes.  At 20 slices the slab DMA
+  shrinks from 128-lane padding (6.4x waste) to 24-sublane padding
+  (1.2x).
+* The host plan flattens each 512-target block's window entries,
+  sorts them by source index, and splits them into **packets** of 127
+  entries sharing one source chunk and one 128-target group (lane 0 of
+  every packet is a reserved zero-weight dummy).  Sorted entries are
+  dense in source index (~2.4 entries/row at the 1M config), so packets
+  stay lane-efficient regardless of the 3.8 rows/target drift that
+  makes per-slot chunked gathers waste ~80% of their lanes.
+* Per packet the kernel does ONE value gather from the chunk table,
+  forms per-lane quantities, runs a segmented Hillis-Steele scan along
+  lanes (segment ids = target slots; carries flow to higher lanes
+  only), gathers the plan-known segment-end lanes, and accumulates
+  into the packet's 128-target group.  Work per packet is ~E/8 vregs
+  per op — independent of the target-block width.
+* Splitting a target's entries across packets is safe by construction:
+  every chain op (sum, min, max) is associative, and partial segment
+  results accumulate across packets.
+
+Covered methods: the linear family (mean, sum, first_order_conservative,
+conductance, harmonic_mean, geometric_mean) AND the selection pair
+min/max (a max-scan instead of a sum-scan — the structure is shared).
+mode/median/percentiles still ride the XLA window-gather path: they
+need the full window materialized per target, not a streamed scan.
+
+NaN semantics match ``regrid/reduce.py`` (which pins the reference's
+numba kernels, xugrid/regrid/reduce.py:16-272): NaN sources are masked
+out per slice, targets with no valid contribution yield NaN.  The
+apply loop being replaced is the reference's prange-parallel CSR row
+loop (xugrid/regrid/regridder.py:41-69).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: targets per kernel block (4 gather groups of 128).
+BLOCK = 512
+
+#: target lanes per gather group.
+GROUP = 128
+
+#: source rows per chunk (the vreg lane width — fixed by the hardware).
+CHUNK = 128
+
+#: payload entries per packet (lane 0 is the reserved dummy).
+PAYLOAD = 127
+
+#: VMEM budget for the chunk slab (bytes) — bounds MAXC per plan.
+_SLAB_BYTES = 6 * 1024 * 1024
+
+#: reductions this kernel covers.
+GATHER_METHODS = (
+    "mean",
+    "sum",
+    "first_order_conservative",
+    "conductance",
+    "harmonic_mean",
+    "geometric_mean",
+    "min",
+    "max",
+)
+
+
+class GatherPlan(NamedTuple):
+    """Host-side packet plan (all numpy; reusable across applies)."""
+
+    chunk0: np.ndarray     # (n_blocks,) i32 first source chunk per block
+    npk: np.ndarray        # (n_blocks,) i32 packet count per block
+    meta: np.ndarray       # (n_blocks*npk_max,) i32 (c_local << 3) | group
+    #                        — rides SMEM scalar prefetch (cheap per-
+    #                        packet scalar reads inside the loop)
+    ptab: np.ndarray       # (n_blocks*npk_max, 4, 128) i32 packet lanes:
+    #                        row 0 lane-local src idx, row 1 f32 weight
+    #                        bits (0 = pad), row 2 segment-end lane per
+    #                        target slot (0 = absent), row 3 segment ids
+    #                        (-1 dummy/pad) — ONE dynamic load per packet
+    rwsum: np.ndarray      # (n_pad,) f32 total |window| weight per target
+    scan_steps: int        # ceil(log2(max segment run length))
+    maxc: int              # chunks per block slab
+    npk_max: int           # packets per block (padded)
+    n: int                 # true target count
+    block: int
+
+    @property
+    def pidx(self):
+        return self.ptab[:, 0]
+
+    @property
+    def pw(self):
+        return self.ptab[:, 1].view(np.float32)
+
+    @property
+    def pend(self):
+        return self.ptab[:, 2]
+
+    @property
+    def pseg(self):
+        return self.ptab[:, 3]
+
+
+def plan_gather(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = BLOCK,
+    max_plan_bytes: int = 1_500_000_000,
+) -> GatherPlan | None:
+    """
+    Build the packet plan, or None when the window structure defeats it
+    (block source spans exceeding the VMEM slab budget, or packet
+    padding exploding on adversarially scattered indices) — the caller
+    falls back to the XLA gather path.
+    """
+    n, w = indices.shape
+    if n == 0:
+        return None
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+
+    valid = indices >= 0
+    ti, _sl = np.nonzero(valid)
+    if len(ti) == 0:
+        return None
+    src = indices[valid]
+    wts = weights[valid]
+    if n > (1 << 21) * block or src.max() >= (1 << 31):
+        return None  # packed sort key would overflow
+
+    # Sort entries by (block, chunk, group, target-slot): packets become
+    # runs sharing (block, chunk, group), with each target's entries
+    # consecutive inside a packet.  ONE packed 61-bit key replaces the
+    # 4-key lexsort, and every per-entry field afterwards derives from
+    # the sorted key by shifts — no per-field gathers (the planning cost
+    # at the 1M config dropped severalfold).
+    #   bits [40:61) block  [16:40) chunk  [14:16) group
+    #        [7:14) target slot  [0:7) chunk-local source index
+    if block // GROUP > 4:
+        raise ValueError("block must be at most 4 groups of 128 targets")
+    key = (
+        ((ti // block).astype(np.int64) << 40)
+        | ((src >> 7) << 16)
+        | (((ti % block) // GROUP).astype(np.int64) << 14)
+        | ((ti % GROUP).astype(np.int64) << 7)
+        | (src & 127)
+    )
+    del ti, src
+    order = np.argsort(key)
+    key = key[order]
+    ew = wts[order]
+    del order, wts
+    eB = key >> 40
+    ec = (key >> 16) & ((1 << 24) - 1)
+    eg = (key >> 14) & 3
+    et = (key >> 7) & 127
+    nnz = len(key)
+
+    # First chunk per block = chunk of the block's first sorted entry.
+    newB = np.empty(nnz, bool)
+    newB[0] = True
+    np.not_equal(eB[1:], eB[:-1], out=newB[1:])
+    chunk0 = np.zeros(n_blocks, np.int64)
+    chunk0[eB[newB]] = ec[newB]
+    # Chunks ascend within a block (sort order), so the block's last
+    # entry carries its max chunk.
+    block_firsts = np.flatnonzero(newB)
+    block_lasts = np.append(block_firsts[1:] - 1, nnz - 1)
+    maxc = int((ec[block_lasts] - chunk0[eB[block_lasts]] + 1).max())
+
+    # Bucket = (block, chunk, group) = the key above bit 14; packets
+    # split buckets at PAYLOAD.
+    bucket = key >> 14
+    newb = np.empty(nnz, bool)
+    newb[0] = True
+    np.not_equal(bucket[1:], bucket[:-1], out=newb[1:])
+    pos = np.arange(nnz, dtype=np.int64)
+    bucket_start = np.maximum.accumulate(np.where(newb, pos, 0))
+    posb = pos - bucket_start
+    newpkt = newb | (posb % PAYLOAD == 0)
+    pid = np.cumsum(newpkt) - 1
+    lane = (posb % PAYLOAD + 1).astype(np.int64)
+    npk_total = int(pid[-1]) + 1
+
+    firsts = np.flatnonzero(newpkt)
+    pk_B = eB[firsts]
+    pk_c = (ec[firsts] - chunk0[pk_B]).astype(np.int64)
+    pk_g = eg[firsts].astype(np.int64)
+
+    npk = np.bincount(pk_B, minlength=n_blocks).astype(np.int64)
+    npk_max = -(-int(npk.max()) // 8) * 8  # sublane-aligned block rows
+    plan_bytes = n_blocks * npk_max * 128 * 16
+    if plan_bytes > max_plan_bytes:
+        return None
+    e_probe = 32  # sublane estimate for the slab budget gate
+    if maxc * e_probe * CHUNK * 4 > _SLAB_BYTES:
+        return None
+
+    starts = np.zeros(n_blocks + 1, np.int64)
+    np.cumsum(npk, out=starts[1:])
+    pslot = np.arange(npk_total, dtype=np.int64) - starts[pk_B]
+    prow = pk_B * npk_max + pslot          # packed packet row id
+    erow = prow[pid]                        # per entry
+
+    nrows = n_blocks * npk_max
+    ptab = np.zeros((nrows, 4, 128), np.int32)
+    ptab[:, 3, :] = -1
+    meta = np.zeros(nrows, np.int32)
+
+    ptab[erow, 0, lane] = (key & 127).astype(np.int32)
+    ptab[erow, 1, lane] = ew.view(np.int32)
+    ptab[erow, 3, lane] = et.astype(np.int32)
+    meta[prow] = ((pk_c << 3) | pk_g).astype(np.int32)
+
+    # Segment ends: the last lane of each (packet, target) run.
+    is_last = np.empty(nnz, bool)
+    is_last[-1] = True
+    np.logical_or(
+        pid[1:] != pid[:-1], et[1:] != et[:-1], out=is_last[:-1]
+    )
+    ptab[erow[is_last], 2, et[is_last]] = lane[is_last].astype(np.int32)
+
+    # Max run length → static scan step count.
+    run_start = np.empty(nnz, bool)
+    run_start[0] = True
+    np.logical_or(
+        pid[1:] != pid[:-1], et[1:] != et[:-1], out=run_start[1:]
+    )
+    rs_pos = np.maximum.accumulate(np.where(run_start, pos, 0))
+    max_run = int((pos - rs_pos).max()) + 1
+    scan_steps = max(0, int(np.ceil(np.log2(max_run)))) if max_run > 1 else 0
+
+    rwsum = np.zeros(n_pad, np.float32)
+    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+
+    return GatherPlan(
+        chunk0=chunk0.astype(np.int32),
+        npk=npk.astype(np.int32),
+        meta=meta,
+        ptab=ptab,
+        rwsum=rwsum,
+        scan_steps=scan_steps,
+        maxc=maxc,
+        npk_max=npk_max,
+        n=n,
+        block=block,
+    )
+
+
+def _roll_lanes(x, shift, interpret):
+    if interpret:
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift, axis=1)
+
+
+def _chains(method: str, has_nan: bool):
+    """Chain specs: (name, kind) where kind is 'sum', 'max' or 'min'.
+
+    The kernel runs one scan per chain; `_lane_quantities` produces the
+    per-lane inputs and `_finalize` combines accumulated results.
+    """
+    if method in ("mean", "first_order_conservative", "conductance"):
+        return ("num", "sum"), *((("wfin", "sum"),) if has_nan else ())
+    if method == "matvec":
+        # Plain weighted sum, no gating: the SpMV for iterative solvers
+        # (Laplace PCG) — finite data, possibly negative weights.
+        return (("num", "sum"),)
+    if method == "sum":
+        return ("vsum", "sum"), *((("wfin", "sum"),) if has_nan else ())
+    if method == "harmonic_mean":
+        return (("inv", "sum"), ("wuse", "sum"))
+    if method == "geometric_mean":
+        return (("logs", "sum"), ("wuse", "sum"), ("negs", "sum"))
+    if method == "min":
+        return ("val", "min"), *((("fin", "max"),) if has_nan else ())
+    if method == "max":
+        return ("val", "max"), *((("fin", "max"),) if has_nan else ())
+    raise ValueError(method)
+
+
+def _make_kernel(
+    method: str,
+    has_nan: bool,
+    scan_steps: int,
+    maxc: int,
+    npk_max: int,
+    e_sub: int,
+    block: int,
+    interpret: bool,
+):
+    chains = _chains(method, has_nan)
+    n_groups = block // GROUP
+
+    def kernel(
+        chunk0_ref, npk_ref, meta_ref,    # scalar prefetch (SMEM)
+        ptab_ref, rwsum_ref,
+        src_hbm, out_ref,
+        slab, *scratch,
+    ):
+        accs = scratch[:-1]
+        sem = scratch[-1]
+        b = pl.program_id(0)
+        c0 = chunk0_ref[b]
+        npk = npk_ref[b]
+        base = b * npk_max
+
+        dma = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(c0, maxc)], slab, sem
+        )
+        dma.start()
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        dma.wait()
+
+        def packet(p):
+            """One packet's per-chain segment results + its group id.
+
+            Rows beyond npk are all-padding (weight 0, end 0) and
+            produce neutral contributions, so the 2x interleave needs
+            no tail guard.
+            """
+            meta = meta_ref[base + p]
+            c = meta >> 3
+            g = meta & 7
+            row = ptab_ref[pl.ds(p, 1), :, :].reshape(4, 128)
+            idx_row = row[0:1, :]
+            w_row = jax.lax.bitcast_convert_type(row[1:2, :], jnp.float32)
+            end_row = row[2:3, :]
+            seg_row = row[3:4, :]
+
+            table = slab[pl.ds(c, 1), :, :].reshape(e_sub, 128)
+            idx_b = jnp.broadcast_to(idx_row, (e_sub, 128))
+            val = jnp.take_along_axis(table, idx_b, axis=1)
+
+            qs = _lane_quantities(method, has_nan, val, w_row)
+
+            # Segment-match masks per scan step: computed ONCE on the
+            # (1, 128) seg row, shared by every chain.
+            masks = []
+            for j in range(scan_steps):
+                s = 1 << j
+                seg_r = _roll_lanes(seg_row, s, interpret)
+                masks.append(
+                    jnp.logical_and(lanes >= s, seg_r == seg_row)
+                )
+            end_b = jnp.broadcast_to(end_row, (e_sub, 128))
+            present = end_row >= 1                         # (1, 128)
+
+            results = []
+            for ci, (_, kind) in enumerate(chains):
+                x = qs[ci]
+                for j in range(scan_steps):
+                    xr = _roll_lanes(x, 1 << j, interpret)
+                    if kind == "sum":
+                        x = x + jnp.where(masks[j], xr, 0.0)
+                    elif kind == "max":
+                        x = jnp.where(masks[j], jnp.maximum(x, xr), x)
+                    else:
+                        x = jnp.where(masks[j], jnp.minimum(x, xr), x)
+                res = jnp.take_along_axis(x, end_b, axis=1)
+                if kind == "sum":
+                    res = jnp.where(present, res, 0.0)
+                else:
+                    fill = -jnp.inf if kind == "max" else jnp.inf
+                    res = jnp.where(present, res, fill)
+                results.append(res.reshape(1, e_sub, 128))
+            return g, results
+
+        # Two packets per iteration give the VLIW scheduler independent
+        # chains to overlap the gather/load latencies with; accumulators
+        # live in VMEM scratch (register-carried fori state of this size
+        # made the Mosaic compile pathological).
+        for ci, (_, kind) in enumerate(chains):
+            init = 0.0
+            if kind == "min":
+                init = jnp.inf
+            elif kind == "max":
+                init = -jnp.inf
+            accs[ci][...] = jnp.full(
+                (n_groups, e_sub, 128), init, jnp.float32
+            )
+
+        def upd(ci, kind, g, res):
+            if kind == "sum":
+                accs[ci][pl.ds(g, 1)] += res
+            else:
+                cur = accs[ci][pl.ds(g, 1)]
+                accs[ci][pl.ds(g, 1)] = (
+                    jnp.maximum(cur, res)
+                    if kind == "max"
+                    else jnp.minimum(cur, res)
+                )
+
+        def body(q, _):
+            g0, r0 = packet(2 * q)
+            g1, r1 = packet(2 * q + 1)
+            for ci, (_, kind) in enumerate(chains):
+                upd(ci, kind, g0, r0[ci])
+                upd(ci, kind, g1, r1[ci])
+            return 0
+
+        n_pair = (npk + 1) // 2
+        jax.lax.fori_loop(0, n_pair, body, 0)
+
+        for g in range(n_groups):
+            den = rwsum_ref[:, g * GROUP:(g + 1) * GROUP]   # (1, 128)
+            parts = [
+                accs[ci][pl.ds(g, 1)].reshape(e_sub, 128)
+                for ci in range(len(chains))
+            ]
+            out_ref[:, g * GROUP:(g + 1) * GROUP] = _finalize(
+                method, has_nan, parts, den
+            )
+
+    return kernel
+
+
+def _lane_quantities(method, has_nan, val, w_row):
+    """Per-lane chain inputs from gathered values and weights.
+
+    Padding/dummy lanes carry weight 0; ``where(w == 0, neutral, ...)``
+    also kills 0*NaN poisoning from garbage gathers on those lanes.
+    """
+    w = jnp.broadcast_to(w_row, val.shape)
+    if method == "matvec":
+        return (jnp.where(w != 0.0, w * val, 0.0),)
+    if method in ("mean", "first_order_conservative", "conductance"):
+        if has_nan:
+            ok = jnp.logical_and(w != 0.0, ~jnp.isnan(val))
+            return (
+                jnp.where(ok, w * val, 0.0),
+                jnp.where(ok, w, 0.0),
+            )
+        return (jnp.where(w != 0.0, w * val, 0.0),)
+    if method == "sum":
+        # UNWEIGHTED value sum over valid slots (w=0 slots included —
+        # reference semantics); weights only gate NaN/empty targets.
+        # Pad-lane garbage lives in segment -1 and never reaches a
+        # gathered segment end, so no w-mask is needed.
+        if has_nan:
+            ok = ~jnp.isnan(val)
+            return (jnp.where(ok, val, 0.0), jnp.where(ok, w, 0.0))
+        return (val,)
+    if method == "harmonic_mean":
+        # Reference semantics: weights > 0 and values != 0.
+        ok = jnp.logical_and(w > 0.0, val != 0.0)
+        if has_nan:
+            ok = jnp.logical_and(ok, ~jnp.isnan(val))
+        safe = jnp.where(ok, val, 1.0)
+        return (jnp.where(ok, w / safe, 0.0), jnp.where(ok, w, 0.0))
+    if method == "geometric_mean":
+        # Unnormalized weights: exp(Σw·log v / Σw) is invariant to the
+        # reference's row normalization; gates replicate it exactly.
+        okv = w > 0.0
+        neg = val < 0.0  # any valid negative value — irrespective of w
+        if has_nan:
+            fin = ~jnp.isnan(val)
+            okv = jnp.logical_and(okv, fin)
+            neg = jnp.logical_and(neg, fin)
+        use = jnp.logical_and(okv, val > 0.0)
+        safe = jnp.where(use, val, 1.0)
+        return (
+            jnp.where(use, w * jnp.log(safe), 0.0),
+            jnp.where(use, w, 0.0),
+            neg.astype(jnp.float32),
+        )
+    if method in ("min", "max"):
+        # Valid slots participate irrespective of weight (reference);
+        # the per-target gate rides the finalize (rwsum / any-finite).
+        fill = jnp.inf if method == "min" else -jnp.inf
+        if has_nan:
+            fin = ~jnp.isnan(val)
+            return (
+                jnp.where(fin, val, fill),
+                jnp.where(fin, 1.0, 0.0),
+            )
+        return (val,)
+    raise ValueError(method)
+
+
+def _finalize(method, has_nan, parts, den_vec):
+    nan = jnp.float32(jnp.nan)
+    if method == "matvec":
+        return parts[0]
+    if method == "mean":
+        num = parts[0]
+        den = parts[1] if has_nan else den_vec + jnp.zeros_like(num)
+        return jnp.where(
+            den > 0.0, num / jnp.where(den == 0.0, 1.0, den), nan
+        )
+    if method in ("first_order_conservative", "conductance"):
+        num = parts[0]
+        den = parts[1] if has_nan else den_vec + jnp.zeros_like(num)
+        return jnp.where(den != 0.0, num, nan)
+    if method == "sum":
+        vsum = parts[0]
+        den = parts[1] if has_nan else den_vec + jnp.zeros_like(vsum)
+        return jnp.where(den != 0.0, vsum, nan)
+    if method == "harmonic_mean":
+        vagg, wsum = parts
+        ok = jnp.logical_and(vagg != 0.0, wsum != 0.0)
+        return jnp.where(ok, wsum / jnp.where(ok, vagg, 1.0), nan)
+    if method == "geometric_mean":
+        vagg, wsum, negs = parts
+        ok = jnp.logical_and(
+            jnp.logical_and(wsum != 0.0, negs == 0.0), den_vec != 0.0
+        )
+        return jnp.where(
+            ok, jnp.exp(vagg / jnp.where(ok, wsum, 1.0)), nan
+        )
+    if method in ("min", "max"):
+        val = parts[0]
+        ok = jnp.broadcast_to(den_vec > 0.0, val.shape)
+        if has_nan:
+            ok = jnp.logical_and(ok, parts[1] > 0.0)
+        return jnp.where(ok, val, nan)
+    raise ValueError(method)
+
+
+def pad_sublanes(n_extra: int) -> int:
+    """Sublane padding for the staged source (f32 tiles are 8-row)."""
+    return max(8, -(-n_extra // 8) * 8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "has_nan", "scan_steps", "maxc", "block", "interpret"
+    ),
+)
+def gather_windowed_apply(
+    srcE, chunk0, npk, meta, ptab, rwsum,
+    method: str = "mean",
+    has_nan: bool = True,
+    scan_steps: int = 7,
+    maxc: int = 8,
+    block: int = BLOCK,
+    interpret: bool = False,
+):
+    """
+    srcE: (E_sub, m_pad) staged source, m_pad a multiple of 128 with at
+    least (max(chunk0) + maxc) * 128 rows.  Plan arrays as produced by
+    ``plan_gather``.  Returns (E_sub, n_pad) f32.
+    """
+    e_sub, m_pad = srcE.shape
+    ctot = m_pad // CHUNK
+    chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
+    n_blocks = chunk0.shape[0]
+    npk_max = ptab.shape[0] // n_blocks
+    n_pad = n_blocks * block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((npk_max, 4, 128), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, block), lambda b, *_: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((e_sub, block), lambda b, *_: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((maxc, e_sub, CHUNK), jnp.float32),
+        ]
+        + [
+            pltpu.VMEM((block // GROUP, e_sub, 128), jnp.float32)
+            for _ in range(len(_chains(method, has_nan)))
+        ]
+        + [pltpu.SemaphoreType.DMA],
+    )
+
+    kernel = _make_kernel(
+        method, has_nan, scan_steps, maxc,
+        npk_max, e_sub, block, interpret,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chunk0, npk, meta, ptab, rwsum.reshape(1, -1), chunks)
+
+
+def stage_source(source2d: np.ndarray, plan: GatherPlan) -> np.ndarray:
+    """(n_extra, m) → (E_sub, m_pad) staged for the kernel (f32)."""
+    n_extra, m = source2d.shape
+    e_sub = pad_sublanes(n_extra)
+    c_needed = int(plan.chunk0.max()) + plan.maxc if len(plan.chunk0) else 1
+    m_pad = max(-(-m // CHUNK), c_needed) * CHUNK
+    out = np.zeros((e_sub, m_pad), np.float32)
+    out[:n_extra, :m] = source2d
+    return out
+
+
+def apply_windowed_gather(
+    source2d: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    method: str = "mean",
+    has_nan: bool | None = None,
+    block: int = BLOCK,
+    plan: GatherPlan | None = None,
+    interpret: bool = False,
+):
+    """
+    Host wrapper: plans packets, stages the source, runs the kernel.
+    ``source2d`` is (n_extra, m) slice-major.  Returns (n_target,
+    n_extra) f32, or None when planning rejects (caller falls back).
+    """
+    if method not in GATHER_METHODS:
+        return None
+    if plan is None:
+        plan = plan_gather(indices, weights, block)
+    if plan is None:
+        return None
+    if has_nan is None:
+        has_nan = bool(np.isnan(source2d).any())
+    srcE = stage_source(source2d, plan)
+    out = gather_windowed_apply(
+        jnp.asarray(srcE),
+        jnp.asarray(plan.chunk0),
+        jnp.asarray(plan.npk),
+        jnp.asarray(plan.meta),
+        jnp.asarray(plan.ptab),
+        jnp.asarray(plan.rwsum),
+        method=method,
+        has_nan=bool(has_nan),
+        scan_steps=plan.scan_steps,
+        maxc=plan.maxc,
+        block=plan.block,
+        interpret=interpret,
+    )
+    return np.asarray(out)[: source2d.shape[0], : plan.n].T

@@ -115,6 +115,30 @@ class BaseRegridder(abc.ABC):
 
     def _regrid_array(self, source: np.ndarray) -> np.ndarray:
         source_grid = self._source
+        from xugrid_tpu.xdata.lazy import is_lazy
+
+        if is_lazy(source):
+            # Out-of-core: stream row blocks along the leading dim from
+            # the store, regrid each eagerly, concatenate the (much
+            # smaller) results.  The analog of the reference's lazy dask
+            # map_blocks path (xugrid/regrid/regridder.py:167-186).
+            shp = source.shape
+            if len(shp) <= source_grid.ndim:
+                source = np.asarray(source)
+            else:
+                per_row = 4 * (
+                    int(np.prod(shp[1:]))
+                    + int(np.prod(shp[1: len(shp) - source_grid.ndim]))
+                    * self._target.size
+                )
+                rows = max(1, int(_apply_chunk_bytes() // max(per_row, 1)))
+                return np.concatenate(
+                    [
+                        self._regrid_array(np.asarray(source[i : i + rows]))
+                        for i in range(0, shp[0], rows)
+                    ],
+                    axis=0,
+                )
         first_dims_shape = source.shape[: -source_grid.ndim]
         source = source.reshape(first_dims_shape + (-1,))
         if source.shape[-1] != source_grid.size:
@@ -158,7 +182,12 @@ class BaseRegridder(abc.ABC):
     def regrid_dataarray(self, source: xdata.DataArray, source_dims: Tuple[str, ...]):
         extra_dims = tuple(d for d in source.dims if d not in source_dims)
         transposed = source.transpose(*extra_dims, *source_dims)
-        result = self._regrid_array(np.asarray(transposed.data))
+        data = transposed.data
+        from xugrid_tpu.xdata.lazy import is_lazy
+
+        if not is_lazy(data):
+            data = np.asarray(data)
+        result = self._regrid_array(data)
         out = xdata.DataArray(
             result,
             dims=extra_dims + tuple(self._target.dims),

@@ -124,15 +124,22 @@ def _decode_variable(name, dims, data, attrs, decode_cf: bool) -> Variable:
     return Variable(dims, data, attrs, encoding)
 
 
-def open_dataset(path, decode_cf: bool = True, engine=None) -> Dataset:
-    if HAS_NETCDF4 and engine != "scipy":
+_LAZY_OPEN_FILES: list = []
+
+
+def open_dataset(
+    path, decode_cf: bool = True, engine=None, lazy: bool = False
+) -> Dataset:
+    if HAS_NETCDF4 and engine != "scipy" and not lazy:
         return _open_netcdf4(path, decode_cf)
-    return _open_scipy(path, decode_cf)
+    return _open_scipy(path, decode_cf, lazy)
 
 
-def _open_scipy(path, decode_cf: bool) -> Dataset:
+def _open_scipy(path, decode_cf: bool, lazy: bool = False) -> Dataset:
     from scipy.io import netcdf_file
 
+    if lazy:
+        return _open_scipy_lazy(path, decode_cf)
     with netcdf_file(str(path), "r", mmap=False) as f:
         ds = Dataset(attrs={k: _decode_attr(v) for k, v in f._attributes.items()})
         for name, var in f.variables.items():
@@ -148,6 +155,58 @@ def _open_scipy(path, decode_cf: bool) -> Dataset:
                 name, tuple(var.dimensions), data, attrs, decode_cf
             )
         _mark_coords(ds)
+    return ds
+
+
+def _open_scipy_lazy(path, decode_cf: bool) -> Dataset:
+    """Lazy open: large variables become LazyArrays over the scipy
+    memmap; small ones (coords, topology) load eagerly.  The file
+    handle lives inside the loader closures (the OS pages row blocks in
+    on demand — datasets larger than host RAM open fine)."""
+    from scipy.io import netcdf_file
+
+    from xugrid_tpu.xdata.lazy import LAZY_MIN_BYTES, LazyArray, cf_block_decoder
+
+    f = netcdf_file(str(path), "r", mmap=True)
+    # Keep the handle alive for the process lifetime (like xarray's
+    # file cache): scipy cannot cleanly close an mmap-backed file while
+    # lazy views exist, and warns from __del__ otherwise.
+    _LAZY_OPEN_FILES.append(f)
+    ds = Dataset(attrs={k: _decode_attr(v) for k, v in f._attributes.items()})
+    for name, var in f.variables.items():
+        dims = tuple(var.dimensions)
+        attrs = {k: _decode_attr(v) for k, v in var._attributes.items()}
+        raw = var.data
+        plan = (
+            cf_block_decoder(dims, raw.dtype, attrs, decode_cf)
+            if raw.ndim and raw.nbytes >= LAZY_MIN_BYTES
+            else None
+        )
+        if plan is None:
+            data = np.asarray(raw)
+            if data.dtype.byteorder not in ("=", "|"):
+                data = data.astype(data.dtype.newbyteorder("="))
+            else:
+                data = data.copy()
+            ds._variables[name] = _decode_variable(
+                name, dims, data, attrs, decode_cf
+            )
+            continue
+        attrs_out, encoding, transform, out_dtype = plan
+
+        def loader(start, stop, raw=raw, transform=transform, _f=f):
+            block = np.asarray(raw[start:stop])
+            if block.dtype.byteorder not in ("=", "|"):
+                block = block.astype(block.dtype.newbyteorder("="))
+            return np.ascontiguousarray(transform(block))
+
+        ds._variables[name] = Variable(
+            dims,
+            LazyArray(loader, raw.shape, out_dtype),
+            attrs_out,
+            encoding,
+        )
+    _mark_coords(ds)
     return ds
 
 

@@ -103,7 +103,7 @@ def _write_array(path: Path, var: Variable) -> None:
         (path / chunk_key).write_bytes(zlib.compress(data.tobytes(), 4))
 
 
-def open_zarr(store, **kwargs) -> Dataset:
+def open_zarr(store, lazy: bool = False, **kwargs) -> Dataset:
     root = Path(store)
     if not (root / ".zgroup").exists():
         raise FileNotFoundError(f"not a zarr store: {store}")
@@ -124,11 +124,43 @@ def open_zarr(store, **kwargs) -> Dataset:
         shape = tuple(meta["shape"])
         dtype = np.dtype(meta["dtype"])
         chunks = tuple(meta["chunks"])
-        data = _read_chunks(child, shape, chunks, dtype, meta)
         if dims is None:
             dims = tuple(f"{name}_dim_{i}" for i in range(len(shape)))
         from xugrid_tpu.xdata.io_netcdf import _decode_variable
 
+        if lazy and shape:
+            from xugrid_tpu.xdata.lazy import (
+                LAZY_MIN_BYTES,
+                LazyArray,
+                cf_block_decoder,
+            )
+
+            nbytes = int(np.prod(shape)) * dtype.itemsize
+            plan = (
+                cf_block_decoder(tuple(dims), dtype, var_attrs, True)
+                if nbytes >= LAZY_MIN_BYTES
+                else None
+            )
+            if plan is not None:
+                attrs_out, encoding, transform, out_dtype = plan
+
+                def loader(start, stop, child=child, shape=shape,
+                           chunks=chunks, dtype=dtype, meta=meta,
+                           transform=transform):
+                    block = _read_chunks(
+                        child, shape, chunks, dtype, meta,
+                        row_range=(start, stop),
+                    )
+                    return np.ascontiguousarray(transform(block))
+
+                ds._variables[name] = Variable(
+                    tuple(dims),
+                    LazyArray(loader, shape, out_dtype),
+                    attrs_out,
+                    encoding,
+                )
+                continue
+        data = _read_chunks(child, shape, chunks, dtype, meta)
         ds._variables[name] = _decode_variable(
             name, tuple(dims), data, var_attrs, decode_cf=True
         )
@@ -138,7 +170,9 @@ def open_zarr(store, **kwargs) -> Dataset:
     return ds
 
 
-def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
+def _read_chunks(
+    path: Path, shape, chunks, dtype, meta, row_range=None
+) -> np.ndarray:
     compressor = meta.get("compressor")
     if meta.get("order", "C") != "C":
         # Silently reading an F-order store would transpose every chunk.
@@ -153,20 +187,29 @@ def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
     if any(s == 0 for s in shape):
         # Zero-length array: no chunk files exist.
         return np.zeros(shape, dtype=dtype)
+    ranged = row_range is not None and bool(shape)
+    r0, r1 = (row_range if ranged else (0, shape[0] if shape else 1))
+    out_shape = ((r1 - r0),) + tuple(shape[1:]) if ranged else shape
     grid = [
         max(1, -(-s // max(1, c))) for s, c in zip(shape, chunks)
     ] or [1]
+    if ranged:
+        c0 = max(1, chunks[0])
+        dim0_range = range(r0 // c0, min(grid[0], -(-max(r1, r0 + 1) // c0)))
+    else:
+        dim0_range = range(grid[0]) if shape else range(1)
     fill = meta.get("fill_value")
     if fill is None:
-        init = np.zeros(shape if shape else (), dtype=dtype)
+        init = np.zeros(out_shape if shape else (), dtype=dtype)
     else:
         if isinstance(fill, str) and dtype.kind == "f":
             fill = float(fill)  # "NaN" / "Infinity" spec encodings
-        init = np.full(shape if shape else (), fill, dtype=dtype)
+        init = np.full(out_shape if shape else (), fill, dtype=dtype)
     out = init
     import itertools
 
-    for idx in itertools.product(*(range(g) for g in grid)):
+    dim_ranges = [dim0_range] + [range(g) for g in grid[1:]]
+    for idx in itertools.product(*dim_ranges) if shape else [()]:
         key = ".".join(map(str, idx)) if idx else "0"
         chunk_file = path / key
         if not chunk_file.exists():
@@ -184,12 +227,20 @@ def _read_chunks(path: Path, shape, chunks, dtype, meta) -> np.ndarray:
             chunks if shape else ()
         )
         if shape:
-            sel = tuple(slice(0, cs) for cs in chunk_shape)
-            target = tuple(
+            sel = [slice(0, cs) for cs in chunk_shape]
+            target = [
                 slice(i * c, i * c + cs)
                 for i, c, cs in zip(idx, chunks, chunk_shape)
-            )
-            out[target] = full_chunk[sel]
+            ]
+            if ranged:
+                lo = max(idx[0] * chunks[0], r0)
+                hi = min(idx[0] * chunks[0] + chunk_shape[0], r1)
+                if hi <= lo:
+                    continue
+                sel[0] = slice(lo - idx[0] * chunks[0],
+                               hi - idx[0] * chunks[0])
+                target[0] = slice(lo - r0, hi - r0)
+            out[tuple(target)] = full_chunk[tuple(sel)]
         else:
             out = full_chunk
     return out

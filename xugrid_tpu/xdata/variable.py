@@ -38,6 +38,8 @@ def as_compatible_data(data) -> Any:
         return data.data
     if isinstance(data, np.ndarray):
         return data
+    if getattr(data, "is_lazy", False):
+        return data  # LazyArray: materializes on demand, never here
     if hasattr(data, "values") and hasattr(data, "dims"):
         return as_compatible_data(data.values)
     return np.asarray(data)
@@ -181,6 +183,9 @@ class Variable:
             dims = self.dims[::-1]
         if set(dims) != set(self.dims):
             raise ValueError(f"transpose dims {dims} != variable dims {self.dims}")
+        if tuple(dims) == self.dims:
+            # identity: keep the payload untouched (a LazyArray stays lazy)
+            return Variable(self.dims, self.data, self.attrs)
         axes = [self.dims.index(d) for d in dims]
         xp = get_namespace(self.data)
         return Variable(tuple(dims), xp.transpose(self.data, axes), self.attrs)
