@@ -8,6 +8,14 @@ once, and the triangles feed the device kernels (burning, gridding).
 Holes are joined to the outer ring with the classic bridge construction
 (rightmost hole vertex connected to the first visible outer vertex),
 after which plain ear clipping applies.
+
+Algorithmic provenance: this is a from-scratch Python implementation of
+the publicly documented mapbox/earcut algorithm (the bridge-visibility
+and ``locallyInside`` rules follow the published algorithm description),
+with original hardening for weakly simple rings — all-vertex bridge
+blocking, a diagonal-crossing test, and occurrence-choice at
+corner-coincident bridge duplicates (see tests/test_ops.py fuzz suite).
+No code was ported from the C++/JS sources.
 """
 
 from __future__ import annotations

@@ -420,16 +420,17 @@ def _make_kernel(
                     else jnp.minimum(cur, res)
                 )
 
+        unroll = int(os.environ.get("XUGRID_TPU_GATHER_UNROLL", "2"))
+
         def body(q, _):
-            g0, r0 = packet(2 * q)
-            g1, r1 = packet(2 * q + 1)
-            for ci, (_, kind) in enumerate(chains):
-                upd(ci, kind, g0, r0[ci])
-                upd(ci, kind, g1, r1[ci])
+            for u in range(unroll):
+                g_u, r_u = packet(unroll * q + u)
+                for ci, (_, kind) in enumerate(chains):
+                    upd(ci, kind, g_u, r_u[ci])
             return 0
 
-        n_pair = (npk + 1) // 2
-        jax.lax.fori_loop(0, n_pair, body, 0)
+        n_iter = (npk + unroll - 1) // unroll
+        jax.lax.fori_loop(0, n_iter, body, 0)
 
         for g in range(n_groups):
             den = rwsum_ref[:, g * GROUP:(g + 1) * GROUP]   # (1, 128)

@@ -572,24 +572,24 @@ def circumcenters(
 
 # Triangulation
 # -------------
-def _fan_triangulate(i: IntArray, j: IntArray, n_triangle_per_row: IntArray):
-    """Fan triangles from each face's first node, given COO (i, j) entries
-    sorted by i with j in CCW node order."""
-    n_triangle = int(n_triangle_per_row.sum())
-    n_entries = len(i)
-    starts = np.flatnonzero(np.diff(i, prepend=-1) != 0)
-    ends = np.flatnonzero(np.diff(i, append=-1) != 0)
-    is_first = np.zeros(n_entries, dtype=bool)
-    is_first[starts] = True
-    is_second = ~is_first
-    is_second[ends] = False
-    is_third = ~is_first
-    is_third[np.minimum(starts + 1, n_entries - 1)] = False
-    triangles = np.empty((n_triangle, 3), IntDType)
-    triangles[:, 0] = np.repeat(j[is_first], n_triangle_per_row)
-    triangles[:, 1] = j[is_second]
-    triangles[:, 2] = j[is_third]
-    return triangles
+def _fan_gather(node_stream: IntArray, row_starts: IntArray, counts: IntArray):
+    """Fan triangles by direct gathers into the per-row node stream.
+
+    Triangle ``t`` of a row is ``(stream[start], stream[start + t + 1],
+    stream[start + t + 2])`` — one rank vector and three gathers, no
+    per-entry boolean masks.
+    """
+    tri_per_row = np.maximum(counts - 2, 0)
+    face = np.repeat(np.arange(len(counts)), tri_per_row)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(tri_per_row, out=offsets[1:])
+    rank = np.arange(offsets[-1]) - offsets[face]
+    base = row_starts[face]
+    triangles = np.empty((len(face), 3), IntDType)
+    triangles[:, 0] = node_stream[base]
+    triangles[:, 1] = node_stream[base + rank + 1]
+    triangles[:, 2] = node_stream[base + rank + 2]
+    return triangles, face.astype(IntDType)
 
 
 def triangulate_dense(face_node_connectivity: IntArray) -> Tuple[IntArray, IntArray]:
@@ -597,32 +597,29 @@ def triangulate_dense(face_node_connectivity: IntArray) -> Tuple[IntArray, IntAr
     if n_max == 3:
         return face_node_connectivity.copy(), np.arange(n_face)
     valid = face_node_connectivity != FILL_VALUE
-    n_per_row = valid.sum(axis=1)
-    n_triangle_per_row = n_per_row - 2
-    i = np.repeat(np.arange(n_face), n_per_row)
-    j = face_node_connectivity[valid]
-    triangles = _fan_triangulate(i, j, n_triangle_per_row)
-    triangle_face = np.repeat(np.arange(n_face), n_triangle_per_row)
-    return triangles, triangle_face
+    counts = valid.sum(axis=1)
+    starts = np.zeros(n_face + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return _fan_gather(face_node_connectivity[valid], starts[:-1], counts)
 
 
 def triangulate_coo(conn: sparse.coo_matrix) -> Tuple[IntArray, IntArray]:
-    ncol_per_row = conn.getnnz(axis=1)
-    if ncol_per_row.max() == 3:
+    counts = conn.getnnz(axis=1)
+    if counts.max() == 3:
         triangles = conn.row.copy().reshape((-1, 3))
         return triangles, np.arange(len(triangles))
-    n_triangle_per_row = ncol_per_row - 2
-    triangles = _fan_triangulate(conn.row, conn.col, n_triangle_per_row)
-    triangle_face = np.repeat(np.arange(conn.shape[0]), n_triangle_per_row)
-    return triangles, triangle_face
+    starts = np.zeros(conn.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return _fan_gather(conn.col, starts[:-1], counts)
 
 
 def triangulate(face_node_connectivity) -> Tuple[IntArray, IntArray]:
     """
-    Fan-triangulate polygons from the first node of every face.
+    Fan-triangulate polygons from the first node of every face:
+    (first, second, third), (first, third, fourth), ...
 
     Returns (triangles (n_triangle, 3), triangle_face_connectivity).
-    Reference: connectivity.py:766-788.
+    Behavior contract: connectivity.py:766-788 in the reference.
     """
     if isinstance(face_node_connectivity, np.ndarray):
         return triangulate_dense(face_node_connectivity)
@@ -633,14 +630,24 @@ def triangulate(face_node_connectivity) -> Tuple[IntArray, IntArray]:
 
 # Binary morphology on adjacency graphs
 # -------------------------------------
-def _morph_step(
-    output: BoolArray, i: IntArray, j: IntArray, value: bool, mask: Optional[BoolArray]
-) -> None:
-    differs = output[i] != output[j]
-    output[i[differs]] = value
-    output[j[differs]] = value
-    if mask is not None:
-        output[mask] = not value
+# Formulated as structure-only SpMVs (the classic grayscale-free
+# morphology): a dilation step ignites any cell with a hot neighbor,
+# an erosion step extinguishes any cell with a cold neighbor.  This is
+# equivalent to the reference's edge-endpoint mutation on symmetric
+# adjacency (xugrid/ugrid/connectivity.py:791-877) and runs as two
+# boolean matvecs per step instead of per-edge scatter writes.
+def _structure_matrix(connectivity: sparse.csr_matrix) -> sparse.csr_matrix:
+    """Pattern-only symmetric adjacency (data values may be edge ids,
+    including zeros, which must still count as neighbors)."""
+    pattern = sparse.csr_matrix(
+        (
+            np.ones(len(connectivity.indices), dtype=np.int8),
+            connectivity.indices,
+            connectivity.indptr,
+        ),
+        shape=connectivity.shape,
+    )
+    return pattern.maximum(pattern.T).tocsr()
 
 
 def _binary_iterate(
@@ -659,15 +666,18 @@ def _binary_iterate(
             "Binary operations are only supported for a single (face) "
             f"dimension. Found {input.ndim} dimensions."
         )
-    coo = connectivity.tocoo()
-    i, j = coo.row, coo.col
-    output = input.copy()
-    _morph_step(output, i, j, value, mask)
-    if exterior is not None and value == border_value:
-        output[exterior] = value
-    for _ in range(iterations - 1):
-        _morph_step(output, i, j, value, mask)
-    return output
+    A = _structure_matrix(connectivity)
+    out = input.copy()
+    for step in range(max(iterations, 1)):
+        if value:
+            out |= (A @ out.astype(np.int8)).astype(bool)
+        else:
+            out &= ~(A @ (~out).astype(np.int8)).astype(bool)
+        if mask is not None:
+            out[mask] = not value
+        if step == 0 and exterior is not None and value == border_value:
+            out[exterior] = value
+    return out
 
 
 def binary_erosion(

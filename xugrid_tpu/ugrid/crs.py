@@ -1,8 +1,12 @@
 """
-CRS handling: CF grid-mapping attributes ⇄ pyproj.CRS, with a placeholder
-when pyproj is unavailable.  Semantics track the reference
-(xugrid/ugrid/crs.py:1-115): candidates from CF attrs, WKT, and EPSG
-entries, with conflicts resolved via EPSG round-trips.
+CRS handling: CF grid-mapping attributes ⇄ pyproj.CRS.
+
+Behavior contract (xugrid/ugrid/crs.py): candidates are extracted from
+CF grid-mapping attrs, WKT, and EPSG entries; agreement returns the
+first candidate, disagreement is resolved through EPSG round-trips and
+raises on genuine conflicts; a placeholder carries the raw attributes
+when pyproj is unavailable.  The extraction/resolution machinery below
+is a table-driven reimplementation of that contract.
 """
 
 from __future__ import annotations
@@ -26,67 +30,97 @@ class CrsPlaceholder:
         return f"CrsPlaceholder({self._attrs})"
 
 
+def _candidate_cf(attrs, pyproj):
+    """CF grid-mapping attrs (from_cf also consumes any inline WKT)."""
+    if attrs.get("grid_mapping_name") is None:
+        return None
+    try:
+        return pyproj.CRS.from_cf(attrs)
+    except pyproj.exceptions.CRSError:
+        return None
+
+
+def _candidate_wkt(attrs, pyproj):
+    """Bare WKT — only consulted when no CF grid mapping is declared
+    (from_cf would otherwise already have read it)."""
+    if attrs.get("grid_mapping_name") is not None:
+        return None
+    wkt = attrs.get("crs_wkt") or attrs.get("spatial_ref")
+    if wkt is None:
+        return None
+    try:
+        return pyproj.CRS.from_wkt(wkt)
+    except pyproj.exceptions.CRSError:
+        return None
+
+
+def _candidate_epsg(attrs, pyproj):
+    entry = attrs.get("epsg") or attrs.get("epsg_code")
+    if entry is None:
+        return None
+    try:
+        return pyproj.CRS.from_user_input(entry)
+    except (ValueError, pyproj.exceptions.CRSError):
+        return None
+
+
+_EXTRACTORS = (
+    ("grid_mapping", _candidate_cf),
+    ("wkt", _candidate_wkt),
+    ("epsg", _candidate_epsg),
+)
+
+
 def crs_from_attrs(ds_attrs: dict):
     """
     Build a CRS object from grid-mapping attributes.
 
-    Tries, in order: CF grid mapping attributes, WKT (crs_wkt/spatial_ref),
-    and an EPSG identifier.  Prefers a candidate that round-trips to a valid
-    EPSG code; raises ValueError when attributes resolve to conflicting
-    EPSG codes.  Returns CrsPlaceholder when pyproj is missing or nothing
-    resolves.
+    Extracts every available candidate (CF attrs, WKT, EPSG identifier)
+    and reconciles them: unanimous candidates return directly;
+    otherwise the EPSG-round-trippable candidate wins, and candidates
+    resolving to DIFFERENT EPSG codes raise ValueError.  Returns
+    CrsPlaceholder when pyproj is missing or nothing parses.
     """
     try:
         import pyproj
     except ImportError:
         return CrsPlaceholder(ds_attrs)
 
-    attrs = {k.lower(): v for k, v in ds_attrs.items()}
-    candidates: dict = {}
-
-    if attrs.get("grid_mapping_name") is not None:
-        try:
-            candidates["grid_mapping"] = pyproj.CRS.from_cf(attrs)
-        except pyproj.exceptions.CRSError:
-            pass
-    else:
-        wkt = attrs.get("crs_wkt") or attrs.get("spatial_ref")
-        if wkt is not None:
-            try:
-                candidates["wkt"] = pyproj.CRS.from_wkt(wkt)
-            except pyproj.exceptions.CRSError:
-                pass
-
-    epsg_entry = attrs.get("epsg") or attrs.get("epsg_code")
-    if epsg_entry is not None:
-        try:
-            candidates["epsg"] = pyproj.CRS.from_user_input(epsg_entry)
-        except (ValueError, pyproj.exceptions.CRSError):
-            pass
-
+    attrs = {str(k).lower(): v for k, v in ds_attrs.items()}
+    candidates = {
+        label: crs
+        for label, extract in _EXTRACTORS
+        if (crs := extract(attrs, pyproj)) is not None
+    }
     if not candidates:
         return CrsPlaceholder(ds_attrs)
 
-    crses = list(candidates.values())
-    first = crses[0]
-    if all(first.equals(crs) for crs in crses[1:]):
-        return first
+    ordered = list(candidates.values())
+    if all(ordered[0].equals(other) for other in ordered[1:]):
+        return ordered[0]
 
-    epsg_ids = {
-        label: epsg
-        for label, crs in candidates.items()
-        if (epsg := crs.to_epsg()) is not None
+    # Disagreement: arbitrate by EPSG round-trip.
+    with_epsg = {
+        label: (crs, crs.to_epsg()) for label, crs in candidates.items()
     }
-    if len(set(epsg_ids.values())) > 1:
-        msg = "\n".join(f"- {label}: EPSG={epsg}" for label, epsg in epsg_ids.items())
-        raise ValueError(f"Contradictory CRS information in attributes:\n{msg}")
-    for label, crs in candidates.items():
-        if label in epsg_ids:
-            return crs
-    return first
+    resolved = {
+        label: pair for label, pair in with_epsg.items() if pair[1] is not None
+    }
+    if len({code for _, code in resolved.values()}) > 1:
+        lines = "\n".join(
+            f"- {label}: EPSG={code}" for label, (_, code) in resolved.items()
+        )
+        raise ValueError(
+            f"Contradictory CRS information in attributes:\n{lines}"
+        )
+    if resolved:
+        return next(iter(resolved.values()))[0]
+    return ordered[0]
 
 
 def crs_to_attrs(crs) -> dict:
+    """CF attribute encoding of a CRS (incl. GDAL's spatial_ref alias
+    and a round-trippable EPSG entry when one exists)."""
     if isinstance(crs, CrsPlaceholder):
         return crs._attrs
     attrs = crs.to_cf()

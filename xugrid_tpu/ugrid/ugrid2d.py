@@ -944,35 +944,60 @@ class Ugrid2d(AbstractUgrid):
     # -- periodic conversion ----------------------------------------------------------
     def to_periodic(self, obj=None):
         """Make the rightmost nodes coincide with the leftmost (global
-        wrap-around grids)."""
+        wrap-around grids).
+
+        Left/right boundary nodes are paired by their (identical) y
+        coordinates; each pair keeps its first-occurring node.  Unlike a
+        whole-array coordinate dedup, only the boundary is touched —
+        O(boundary log boundary), and interior nodes are never merged.
+        """
         xmin, _, xmax, _ = self.bounds
-        coordinates = self.node_coordinates.copy()
+        coordinates = self.node_coordinates
         is_right = np.isclose(coordinates[:, 0], xmax)
         is_left = np.isclose(coordinates[:, 0], xmin)
         node_y = coordinates[:, 1]
-        if not np.allclose(np.sort(node_y[is_left]), np.sort(node_y[is_right])):
+        left_ids = np.flatnonzero(is_left)
+        right_ids = np.flatnonzero(is_right)
+        left_sorted = left_ids[np.argsort(node_y[left_ids], kind="stable")]
+        right_sorted = right_ids[np.argsort(node_y[right_ids], kind="stable")]
+        if len(left_sorted) != len(right_sorted) or not np.allclose(
+            node_y[left_sorted], node_y[right_sorted]
+        ):
             raise ValueError(
                 "y-coordinates of the left and right boundaries do not match"
             )
-        coordinates[is_right, 0] = xmin
-        _, node_index, inverse = np.unique(
-            coordinates, return_index=True, return_inverse=True, axis=0
-        )
-        inverse = inverse.ravel()
-        new_index = connectivity.renumber(node_index)
-        new_faces = new_index[inverse[self.face_node_connectivity]]
-        new_faces[self.face_node_connectivity == FILL_VALUE] = FILL_VALUE
-        node_index.sort()
-        new_xy = self.node_coordinates[node_index]
+
+        # First occurrence of each pair survives (data alignment picks
+        # the same rows the reference's first-occurrence dedup keeps).
+        survivor = np.minimum(left_sorted, right_sorted)
+        dropped = np.maximum(left_sorted, right_sorted)
+        remap = np.arange(self.n_node)
+        remap[dropped] = survivor
+        keep = np.ones(self.n_node, dtype=bool)
+        keep[dropped] = False
+        node_index = np.flatnonzero(keep)
+        new_of_old = np.full(self.n_node, FILL_VALUE, dtype=IntDType)
+        new_of_old[node_index] = np.arange(len(node_index))
+        full_map = new_of_old[remap]
+
+        fnc = self.face_node_connectivity
+        new_faces = np.where(
+            fnc == FILL_VALUE, FILL_VALUE, full_map[np.maximum(fnc, 0)]
+        ).astype(IntDType)
+        new_xy = coordinates[node_index].copy()
+        # Survivors that sat on the right boundary move to x = xmin.
+        new_xy[np.isclose(new_xy[:, 0], xmax), 0] = xmin
 
         new_edges = None
         edge_index = None
         if self._edge_node_connectivity is not None:
-            mapped = inverse[self.edge_node_connectivity]
-            mapped.sort(axis=1)
-            _, edge_index = np.unique(mapped, axis=0, return_index=True)
+            mapped = np.sort(remap[self.edge_node_connectivity], axis=1)
+            # Dedup the now-coincident boundary edges via packed keys,
+            # keeping first occurrences in original order.
+            key = mapped[:, 0].astype(np.int64) * self.n_node + mapped[:, 1]
+            _, edge_index = np.unique(key, return_index=True)
             edge_index.sort()
-            new_edges = new_index[mapped][edge_index]
+            new_edges = full_map[mapped[edge_index]]
 
         new = Ugrid2d(
             new_xy[:, 0],
