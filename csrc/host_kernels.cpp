@@ -931,3 +931,116 @@ void snap_to_nearest_greedy(const int64_t* indptr, const int64_t* indices,
 }
 
 }  // extern "C"
+
+// --- fused point location (grid-hash candidates + exact test) ----------
+// One pass over queries in home-cell order (counting sort): sequential
+// bin/box/polygon access replaces the candidate-pair materialization
+// (query join + pair buffers + separate point-in-polygon pass).
+// Returns the LOWEST containing face index per point, -1 for misses —
+// the same deterministic tie-break as the pairwise path.
+extern "C" {
+
+void locate_points_hash(const double* pts, int64_t nq, double tol,
+                        double xmin, double ymin, double dx, double dy,
+                        int64_t nx, int64_t ny, const int64_t* bin_start,
+                        const int64_t* bin_prims, const double* boxes,
+                        const double* poly_xy, int64_t nv, int64_t* out) {
+    const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
+    const double tol2 = tol * tol;
+    std::vector<int64_t> cell((size_t)nq);
+    const int64_t n_cells = nx * ny;
+    std::vector<int64_t> cnt((size_t)n_cells + 1, 0);
+    for (int64_t i = 0; i < nq; ++i) {
+        const double px = pts[2 * i], py = pts[2 * i + 1];
+        out[i] = -1;
+        if (!std::isfinite(px) || !std::isfinite(py)) {
+            cell[i] = -1;
+            continue;
+        }
+        const int64_t cx = gh_clamp((int64_t)((px - xmin) * inv_dx), nx - 1);
+        const int64_t cy = gh_clamp((int64_t)((py - ymin) * inv_dy), ny - 1);
+        cell[i] = cy * nx + cx;
+        ++cnt[cell[i] + 1];
+    }
+    for (int64_t c = 0; c < n_cells; ++c) cnt[c + 1] += cnt[c];
+    std::vector<int64_t> order((size_t)nq);
+    int64_t n_valid = 0;
+    {
+        std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+        for (int64_t i = 0; i < nq; ++i) {
+            if (cell[i] >= 0) {
+                order[cursor[cell[i]]++] = i;
+                ++n_valid;
+            }
+        }
+    }
+    for (int64_t k = 0; k < n_valid; ++k) {
+        if (k + 8 < n_valid) {
+            const int64_t ip = order[k + 8];
+            __builtin_prefetch(pts + 2 * ip);
+            __builtin_prefetch(bin_start + cell[ip]);
+            __builtin_prefetch(out + ip, 1);
+        }
+        const int64_t i = order[k];
+        const double px = pts[2 * i], py = pts[2 * i + 1];
+        const int64_t ix0 =
+            gh_clamp((int64_t)((px - tol - xmin) * inv_dx), nx - 1);
+        const int64_t iy0 =
+            gh_clamp((int64_t)((py - tol - ymin) * inv_dy), ny - 1);
+        const int64_t ix1 =
+            gh_clamp((int64_t)((px + tol - xmin) * inv_dx), nx - 1);
+        const int64_t iy1 =
+            gh_clamp((int64_t)((py + tol - ymin) * inv_dy), ny - 1);
+        int64_t best = -1;
+        for (int64_t cy = iy0; cy <= iy1; ++cy) {
+            for (int64_t cx = ix0; cx <= ix1; ++cx) {
+                const int64_t c = cy * nx + cx;
+                for (int64_t s = bin_start[c]; s < bin_start[c + 1]; ++s) {
+                    const int64_t f = bin_prims[s];
+                    if (best >= 0 && f >= best) continue;
+                    const double* b = boxes + 4 * f;
+                    if (px < b[0] - tol || px > b[2] + tol ||
+                        py < b[1] - tol || py > b[3] + tol)
+                        continue;
+                    // Exact test: crossing parity or within tol of an
+                    // edge — identical formulas to points_in_polygons.
+                    const double* poly = poly_xy + 2 * nv * f;
+                    int crossings = 0;
+                    double ax = poly[2 * (nv - 1)], ay = poly[2 * nv - 1];
+                    for (int64_t v = 0; v < nv; ++v) {
+                        const double bx = poly[2 * v], by = poly[2 * v + 1];
+                        if ((ay > py) != (by > py)) {
+                            const double x_at =
+                                ax + (py - ay) * (bx - ax) / (by - ay);
+                            if (px < x_at) ++crossings;
+                        }
+                        ax = bx;
+                        ay = by;
+                    }
+                    bool inside = (crossings & 1) != 0;
+                    if (!inside) {
+                        // boundary tolerance: only parity misses pay
+                        // for the edge-distance scan
+                        double min_d2 = 1e300;
+                        ax = poly[2 * (nv - 1)];
+                        ay = poly[2 * nv - 1];
+                        for (int64_t v = 0; v < nv; ++v) {
+                            const double bx = poly[2 * v];
+                            const double by = poly[2 * v + 1];
+                            const double d2 =
+                                pt_seg_d2(px, py, ax, ay, bx, by);
+                            if (d2 < min_d2) min_d2 = d2;
+                            ax = bx;
+                            ay = by;
+                        }
+                        inside = min_d2 <= tol2;
+                    }
+                    if (inside) best = f;
+                }
+            }
+        }
+        out[i] = best;
+    }
+}
+
+}  // extern "C"

@@ -157,6 +157,15 @@ class CellTree2d:
         points = np.atleast_2d(np.asarray(points, dtype=np.float64))
         n = len(points)
         tol = self._tol(tolerance)
+        # Fused native path: candidate scan + exact test in one
+        # cell-sorted pass (no pair materialization).
+        from xugrid_tpu.utils.native import locate_points_hash_native
+
+        fused = locate_points_hash_native(
+            points, tol, self.grid_hash, self._poly_xy_host
+        )
+        if fused is not None:
+            return fused.astype(np.int32)
         pair_q, pair_p = self._point_candidates(points, tol)
         out = np.full(n, -1, dtype=np.int32)
         if len(pair_q) == 0:

@@ -258,6 +258,24 @@ def get_lib():
         _c_int64_p,
     ]
     lib.snap_to_nearest_greedy.restype = None
+    lib.locate_points_hash.argtypes = [
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_int64_p,
+    ]
+    lib.locate_points_hash.restype = None
     _LIB = lib
     return _LIB
 
@@ -741,3 +759,41 @@ def snap_to_nearest_native(
         visited.ctypes.data_as(_ip),
     )
     return visited
+
+
+def locate_points_hash_native(
+    pts: np.ndarray,
+    tol: float,
+    grid_hash,
+    poly_xy: np.ndarray,
+):
+    """Fused grid-hash + exact point location: lowest containing face
+    per point (-1 miss), or None when the library is unavailable or the
+    hash carries oversize primitives (those bypass the bins)."""
+    lib = get_lib()
+    if lib is None or len(grid_hash.oversize) > 0:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    poly_xy = np.ascontiguousarray(poly_xy, dtype=np.float64)
+    boxes = np.ascontiguousarray(grid_hash.boxes, dtype=np.float64)
+    out = np.empty(len(pts), dtype=np.int64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.locate_points_hash(
+        pts.ctypes.data_as(_dp),
+        len(pts),
+        float(tol),
+        grid_hash.xmin,
+        grid_hash.ymin,
+        grid_hash.dx,
+        grid_hash.dy,
+        grid_hash.nx,
+        grid_hash.ny,
+        np.ascontiguousarray(grid_hash.bin_start, np.int64).ctypes.data_as(_ip),
+        np.ascontiguousarray(grid_hash.bin_prims, np.int64).ctypes.data_as(_ip),
+        boxes.ctypes.data_as(_dp),
+        poly_xy.ctypes.data_as(_dp),
+        poly_xy.shape[1],
+        out.ctypes.data_as(_ip),
+    )
+    return out
