@@ -662,3 +662,63 @@ class TestCFTimeEncoding:
         np.testing.assert_array_equal(
             t, np.array([1, 2], dtype="timedelta64[s]")
         )
+
+
+class TestPolyfitAndFriends:
+    """Former declared non-goals now covered: polyfit/polyval,
+    multi-dim rolling, nearest-method interp."""
+
+    def test_polyfit_polyval_roundtrip(self):
+        x = np.linspace(0.0, 5.0, 40)
+        da = DataArray(
+            np.stack([2 * x**2 + 1, -x**2 + 3 * x]),
+            dims=("r", "t"),
+            coords={"t": x},
+        )
+        fit = da.polyfit("t", 2)
+        coeffs = fit["polyfit_coefficients"]
+        assert coeffs.dims == ("degree", "r")
+        np.testing.assert_allclose(
+            np.asarray(coeffs.data)[:, 0], [2.0, 0.0, 1.0], atol=1e-8
+        )
+        ev = xdata.polyval(
+            DataArray(x, dims=("t",), coords={"t": x}), coeffs
+        )
+        np.testing.assert_allclose(
+            np.asarray(ev.data), np.asarray(da.data).T, atol=1e-7
+        )
+
+    def test_polyfit_skipna(self):
+        x = np.linspace(0.0, 5.0, 25)
+        y = 4.0 * x - 7.0
+        y[3] = np.nan
+        da = DataArray(y, dims=("t",), coords={"t": x})
+        fit = da.polyfit("t", 1)
+        np.testing.assert_allclose(
+            np.asarray(fit["polyfit_coefficients"].data), [4.0, -7.0],
+            atol=1e-8,
+        )
+
+    def test_rolling_multi_dim(self):
+        da = DataArray(np.arange(24.0).reshape(4, 6), dims=("y", "x"))
+        out = da.rolling(y=2, x=3).mean()
+        assert out.shape == (4, 6)
+        assert np.isnan(out.values[0]).all()  # incomplete y windows
+        np.testing.assert_allclose(
+            out.values[1, 2], np.mean([[0, 1, 2], [6, 7, 8]])
+        )
+        partial = da.rolling(y=2, x=3, min_periods=1).mean()
+        # trailing windows: the corner window holds only element (0, 0)
+        np.testing.assert_allclose(partial.values[0, 0], 0.0)
+        np.testing.assert_allclose(partial.values[0, 1], 0.5)
+
+    def test_interp_nearest(self):
+        da = DataArray(
+            np.array([1.0, 2.0, 4.0]), dims=("x",),
+            coords={"x": [0.0, 1.0, 2.0]},
+        )
+        out = da.interp(x=[0.4, 0.6, 1.6], method="nearest")
+        np.testing.assert_allclose(out.values, [1.0, 2.0, 4.0])
+        assert np.isnan(
+            da.interp(x=[2.5], method="nearest").values
+        ).all()

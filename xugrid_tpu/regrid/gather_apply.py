@@ -314,6 +314,7 @@ def _make_kernel(
     npk_max: int,
     e_sub: int,
     block: int,
+    batch: int,
     interpret: bool,
 ):
     chains = _chains(method, has_nan)
@@ -323,7 +324,7 @@ def _make_kernel(
         chunk0_ref, npk_ref, meta_ref,    # scalar prefetch (SMEM)
         ptab_ref, rwsum_ref,
         src_hbm, out_ref,
-        slab, *scratch,
+        slab, stack, *scratch,
     ):
         accs = scratch[:-1]
         sem = scratch[-1]
@@ -341,64 +342,14 @@ def _make_kernel(
 
         dma.wait()
 
-        def packet(p):
-            """One packet's per-chain segment results + its group id.
+        def expand(x):
+            """(batch, 128) -> (batch*e_sub, 128): each row repeated
+            e_sub times consecutively, matching the p-major stacking of
+            the chunk-table scratch."""
+            return jnp.broadcast_to(
+                x[:, None, :], (batch, e_sub, 128)
+            ).reshape(batch * e_sub, 128)
 
-            Rows beyond npk are all-padding (weight 0, end 0) and
-            produce neutral contributions, so the 2x interleave needs
-            no tail guard.
-            """
-            meta = meta_ref[base + p]
-            c = meta >> 3
-            g = meta & 7
-            row = ptab_ref[pl.ds(p, 1), :, :].reshape(4, 128)
-            idx_row = row[0:1, :]
-            w_row = jax.lax.bitcast_convert_type(row[1:2, :], jnp.float32)
-            end_row = row[2:3, :]
-            seg_row = row[3:4, :]
-
-            table = slab[pl.ds(c, 1), :, :].reshape(e_sub, 128)
-            idx_b = jnp.broadcast_to(idx_row, (e_sub, 128))
-            val = jnp.take_along_axis(table, idx_b, axis=1)
-
-            qs = _lane_quantities(method, has_nan, val, w_row)
-
-            # Segment-match masks per scan step: computed ONCE on the
-            # (1, 128) seg row, shared by every chain.
-            masks = []
-            for j in range(scan_steps):
-                s = 1 << j
-                seg_r = _roll_lanes(seg_row, s, interpret)
-                masks.append(
-                    jnp.logical_and(lanes >= s, seg_r == seg_row)
-                )
-            end_b = jnp.broadcast_to(end_row, (e_sub, 128))
-            present = end_row >= 1                         # (1, 128)
-
-            results = []
-            for ci, (_, kind) in enumerate(chains):
-                x = qs[ci]
-                for j in range(scan_steps):
-                    xr = _roll_lanes(x, 1 << j, interpret)
-                    if kind == "sum":
-                        x = x + jnp.where(masks[j], xr, 0.0)
-                    elif kind == "max":
-                        x = jnp.where(masks[j], jnp.maximum(x, xr), x)
-                    else:
-                        x = jnp.where(masks[j], jnp.minimum(x, xr), x)
-                res = jnp.take_along_axis(x, end_b, axis=1)
-                if kind == "sum":
-                    res = jnp.where(present, res, 0.0)
-                else:
-                    fill = -jnp.inf if kind == "max" else jnp.inf
-                    res = jnp.where(present, res, fill)
-                results.append(res.reshape(1, e_sub, 128))
-            return g, results
-
-        # Two packets per iteration give the VLIW scheduler independent
-        # chains to overlap the gather/load latencies with; accumulators
-        # live in VMEM scratch (register-carried fori state of this size
-        # made the Mosaic compile pathological).
         for ci, (_, kind) in enumerate(chains):
             init = 0.0
             if kind == "min":
@@ -420,16 +371,70 @@ def _make_kernel(
                     else jnp.minimum(cur, res)
                 )
 
-        unroll = int(os.environ.get("XUGRID_TPU_GATHER_UNROLL", "2"))
-
+        # `batch` packets per iteration share ONE gather / scan / fma
+        # over (batch*e_sub, 128): the per-packet serialized VMEM round
+        # trips (the latency wall of the packet-at-a-time loop) amortize
+        # across the batch.  Rows beyond npk are all-padding (weight 0,
+        # end 0) and contribute neutrally, so the tail needs no guard.
         def body(q, _):
-            for u in range(unroll):
-                g_u, r_u = packet(unroll * q + u)
-                for ci, (_, kind) in enumerate(chains):
-                    upd(ci, kind, g_u, r_u[ci])
+            q0 = q * batch
+            metas = []
+            rows = []
+            for u in range(batch):
+                metas.append(meta_ref[base + q0 + u])
+                rows.append(ptab_ref[pl.ds(q0 + u, 1), :, :])
+                c_u = metas[u] >> 3
+                stack[u * e_sub:(u + 1) * e_sub, :] = slab[
+                    pl.ds(c_u, 1), :, :
+                ].reshape(e_sub, 128)
+            tab = jnp.concatenate(rows, axis=0)       # (batch, 4, 128)
+            idx_p = tab[:, 0, :]
+            w_p = jax.lax.bitcast_convert_type(tab[:, 1, :], jnp.float32)
+            end_p = tab[:, 2, :]
+            seg_p = tab[:, 3, :]
+
+            table = stack[...]
+            val = jnp.take_along_axis(table, expand(idx_p), axis=1)
+            qs = _lane_quantities(method, has_nan, val, expand(w_p))
+
+            masks = []
+            for j in range(scan_steps):
+                s = 1 << j
+                seg_r = _roll_lanes(seg_p, s, interpret)
+                masks.append(
+                    expand(
+                        jnp.logical_and(lanes >= s, seg_r == seg_p)
+                    )
+                )
+            end_s = expand(end_p)
+            present = expand(end_p >= 1)
+
+            for ci, (_, kind) in enumerate(chains):
+                x = qs[ci]
+                for j in range(scan_steps):
+                    xr = _roll_lanes(x, 1 << j, interpret)
+                    if kind == "sum":
+                        x = x + jnp.where(masks[j], xr, 0.0)
+                    elif kind == "max":
+                        x = jnp.where(masks[j], jnp.maximum(x, xr), x)
+                    else:
+                        x = jnp.where(masks[j], jnp.minimum(x, xr), x)
+                res = jnp.take_along_axis(x, end_s, axis=1)
+                if kind == "sum":
+                    res = jnp.where(present, res, 0.0)
+                else:
+                    fill = -jnp.inf if kind == "max" else jnp.inf
+                    res = jnp.where(present, res, fill)
+                for u in range(batch):
+                    upd(
+                        ci, kind, metas[u] & 7,
+                        res[u * e_sub:(u + 1) * e_sub, :].reshape(
+                            1, e_sub, 128
+                        ),
+                    )
             return 0
 
-        n_iter = (npk + unroll - 1) // unroll
+        n_iter = (npk + batch - 1) // batch
         jax.lax.fori_loop(0, n_iter, body, 0)
 
         for g in range(n_groups):
@@ -579,6 +584,7 @@ def gather_windowed_apply(
     npk_max = ptab.shape[0] // n_blocks
     n_pad = n_blocks * block
 
+    batch = int(os.environ.get("XUGRID_TPU_GATHER_BATCH", "4"))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
@@ -590,6 +596,7 @@ def gather_windowed_apply(
         out_specs=pl.BlockSpec((e_sub, block), lambda b, *_: (0, b)),
         scratch_shapes=[
             pltpu.VMEM((maxc, e_sub, CHUNK), jnp.float32),
+            pltpu.VMEM((batch * e_sub, CHUNK), jnp.float32),
         ]
         + [
             pltpu.VMEM((block // GROUP, e_sub, 128), jnp.float32)
@@ -600,7 +607,7 @@ def gather_windowed_apply(
 
     kernel = _make_kernel(
         method, has_nan, scan_steps, maxc,
-        npk_max, e_sub, block, interpret,
+        npk_max, e_sub, block, batch, interpret,
     )
 
     return pl.pallas_call(

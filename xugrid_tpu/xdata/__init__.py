@@ -40,6 +40,7 @@ __all__ = [
     "align",
     "broadcast",
     "apply_ufunc",
+    "polyval",
 ]
 
 
@@ -287,3 +288,35 @@ class _TestingModule:
 
 
 testing = _TestingModule()
+
+
+def polyval(coord, coeffs, degree_dim: str = "degree"):
+    """Evaluate a polynomial (from :meth:`DataArray.polyfit`) at the
+    given coordinate values: sum over ``degree_dim`` of
+    ``coeff_d * coord**d``."""
+    if isinstance(coeffs, Dataset):
+        out = Dataset(attrs=dict(coeffs.attrs))
+        for name, da in coeffs.data_vars.items():
+            if degree_dim in da.dims:
+                out[name.replace("_polyfit_coefficients", "")] = polyval(
+                    coord, da, degree_dim
+                )
+        return out
+    degrees = np.asarray(coeffs.coords[degree_dim].data)
+    x = coord.data if isinstance(coord, DataArray) else np.asarray(coord)
+    x = np.asarray(x, dtype=np.float64)
+    axis = coeffs.dims.index(degree_dim)
+    cdata = np.moveaxis(np.asarray(coeffs.data, dtype=np.float64), axis, 0)
+    other_dims = tuple(d for d in coeffs.dims if d != degree_dim)
+    # result dims: coord dims + remaining coefficient dims
+    coord_dims = coord.dims if isinstance(coord, DataArray) else ("x",)
+    result = np.zeros(x.shape + cdata.shape[1:])
+    for d, c in zip(degrees, cdata):
+        result += np.multiply.outer(x.astype(np.float64) ** d, c)
+    coords = {}
+    if isinstance(coord, DataArray):
+        coords.update(
+            {k: v for k, v in coord._coords.items()}
+        )
+    var = Variable(tuple(coord_dims) + other_dims, result)
+    return DataArray._construct(var, coords, None)

@@ -835,6 +835,59 @@ class DataArray:
         var = Variable(self.dims, out, self.attrs)
         return DataArray._construct(var, coords, self.name)
 
+    def polyfit(self, dim: str, deg: int, skipna=None):
+        """Least-squares polynomial fit along ``dim``.
+
+        Returns a Dataset with ``polyfit_coefficients`` over a
+        ``degree`` dimension (descending powers, xarray layout).
+        NaN-bearing columns fit over their finite samples when skipna
+        is true (default: skip when NaNs are present).
+        """
+        from xugrid_tpu.xdata.dataset import Dataset
+
+        axis = self.dims.index(dim)
+        x = np.asarray(self.get_index(dim), dtype=np.float64)
+        data = np.asarray(self.data, dtype=np.float64)
+        moved = np.moveaxis(data, axis, 0)
+        flat = moved.reshape(len(x), -1)
+        has_nan = bool(np.isnan(flat).any())
+        if skipna is None:
+            skipna = has_nan
+        vander = np.vander(x, deg + 1)  # descending powers
+        coeffs = np.full((deg + 1, flat.shape[1]), np.nan)
+        if not has_nan:
+            coeffs, *_ = np.linalg.lstsq(vander, flat, rcond=None)
+        elif skipna:
+            finite_cols = ~np.isnan(flat).any(axis=0)
+            if finite_cols.any():
+                coeffs[:, finite_cols], *_ = np.linalg.lstsq(
+                    vander, flat[:, finite_cols], rcond=None
+                )
+            for c in np.flatnonzero(~finite_cols):
+                ok = np.isfinite(flat[:, c])
+                if ok.sum() > deg:
+                    coeffs[:, c], *_ = np.linalg.lstsq(
+                        vander[ok], flat[ok, c], rcond=None
+                    )
+        other_dims = tuple(d for d in self.dims if d != dim)
+        other_shape = tuple(
+            s for d, s in zip(self.dims, self.shape) if d != dim
+        )
+        out = coeffs.reshape((deg + 1,) + other_shape)
+        coords = {
+            k: v
+            for k, v in self._coords.items()
+            if dim not in v.dims
+        }
+        coords["degree"] = Variable(("degree",), np.arange(deg, -1, -1))
+        ds = Dataset()
+        ds._variables.update(coords)
+        ds._coord_names = set(coords)
+        ds["polyfit_coefficients"] = DataArray._construct(
+            Variable(("degree",) + other_dims, out), dict(coords), None
+        )
+        return ds
+
     def sortby(self, variables, ascending: bool = True) -> "DataArray":
         """Sort along the dimension(s) of the given coordinate(s)."""
         if isinstance(variables, (str, DataArray)):
@@ -1129,9 +1182,12 @@ class DataArray:
 
     def interp(self, coords=None, method="linear", kwargs=None,
                **coords_kwargs) -> "DataArray":
-        """Sequential 1-D linear interpolation along each named dim."""
-        if method != "linear":
-            raise NotImplementedError("interp supports method='linear'")
+        """Sequential 1-D interpolation along each named dim
+        (``method``: "linear" or "nearest")."""
+        if method not in ("linear", "nearest"):
+            raise NotImplementedError(
+                "interp supports method='linear' or 'nearest'"
+            )
         targets = dict(coords or {})
         targets.update(coords_kwargs)
         out = self
@@ -1149,11 +1205,25 @@ class DataArray:
             flat = moved.reshape(-1, moved.shape[-1])
             order = np.argsort(old, kind="stable")
             so = old[order]
-            res = np.empty((flat.shape[0], len(new1)), dtype=np.float64)
-            for i in range(flat.shape[0]):
-                res[i] = np.interp(
-                    new1, so, flat[i][order], left=np.nan, right=np.nan
+            if method == "nearest":
+                # midpoint rule, out-of-range -> NaN (xarray semantics)
+                j = np.searchsorted(so, new1)
+                j_lo = np.clip(j - 1, 0, len(so) - 1)
+                j_hi = np.clip(j, 0, len(so) - 1)
+                pick = np.where(
+                    np.abs(new1 - so[j_lo]) <= np.abs(so[j_hi] - new1),
+                    j_lo,
+                    j_hi,
                 )
+                oob = (new1 < so[0]) | (new1 > so[-1])
+                res = flat[:, order][:, pick]
+                res = np.where(oob[None, :], np.nan, res)
+            else:
+                res = np.empty((flat.shape[0], len(new1)), dtype=np.float64)
+                for i in range(flat.shape[0]):
+                    res[i] = np.interp(
+                        new1, so, flat[i][order], left=np.nan, right=np.nan
+                    )
             shaped = res.reshape(moved.shape[:-1] + (len(new1),))
             result = np.moveaxis(shaped, -1, axis)
             coords2 = {}

@@ -576,6 +576,19 @@ class Dataset:
             else da
         )
 
+    def polyfit(self, dim: str, deg: int, skipna=None):
+        """Per-variable polynomial fits along ``dim`` (xarray layout:
+        ``{name}_polyfit_coefficients`` over a ``degree`` dim)."""
+        out = Dataset(attrs=dict(self.attrs))
+        for name, da in self.data_vars.items():
+            if dim not in da.dims:
+                continue
+            fit = da.polyfit(dim, deg, skipna=skipna)
+            out[f"{name}_polyfit_coefficients"] = fit[
+                "polyfit_coefficients"
+            ]
+        return out
+
     def groupby(self, group):
         from xugrid_tpu.xdata.grouped import DatasetGroupBy
 

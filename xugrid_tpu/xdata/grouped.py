@@ -239,67 +239,83 @@ for _name in _REDUCERS + ("count", "first", "last"):
 # Rolling
 # ---------------------------------------------------------------------------
 class DataArrayRolling:
+    """Rolling windows over one or more dimensions (NaN-padded edges;
+    reductions run over the full window product, xarray semantics)."""
+
     def __init__(self, obj, windows, min_periods=None, center=False):
-        if len(windows) != 1:
-            raise ValueError("rolling supports exactly one dimension")
+        if not windows:
+            raise ValueError("rolling requires at least one dimension")
         self._obj = obj
-        (self._dim, self._window), = windows.items()
-        self._min_periods = (
-            self._window if min_periods is None else min_periods
-        )
+        self._windows_map = dict(windows)
+        total = int(np.prod(list(self._windows_map.values())))
+        self._min_periods = total if min_periods is None else min_periods
         self._center = center
 
     def _windows(self):
+        """(windowed array, window-axis count); the trailing axes are
+        the per-dim window axes in insertion order."""
         obj = self._obj
-        axis = obj.dims.index(self._dim)
         data = np.asarray(obj.data, dtype=np.float64)
-        moved = np.moveaxis(data, axis, -1)
-        w = self._window
-        if self._center:
-            pad_l = (w - 1) // 2
-            pad_r = w - 1 - pad_l
-        else:
-            pad_l, pad_r = w - 1, 0
-        padded = np.pad(
-            moved,
-            [(0, 0)] * (moved.ndim - 1) + [(pad_l, pad_r)],
-            constant_values=np.nan,
-        )
-        win = np.lib.stride_tricks.sliding_window_view(padded, w, axis=-1)
-        return win, axis
+        for dim, w in self._windows_map.items():
+            axis = obj.dims.index(dim)
+            if self._center:
+                pad_l = (w - 1) // 2
+                pad_r = w - 1 - pad_l
+            else:
+                pad_l, pad_r = w - 1, 0
+            pad = [(0, 0)] * data.ndim
+            pad[axis] = (pad_l, pad_r)
+            # previously appended window axes ride along untouched
+            pad += [(0, 0)] * (data.ndim - len(pad))
+            data = np.pad(data, pad, constant_values=np.nan)
+            data = np.lib.stride_tricks.sliding_window_view(
+                data, w, axis=axis
+            )
+        return data, len(self._windows_map)
+
+    def _axes(self):
+        return tuple(self._obj.dims.index(d) for d in self._windows_map)
 
     def _reduce(self, func_name):
         DataArray = _data_array()
         obj = self._obj
-        win, axis = self._windows()
+        win, n_win = self._windows()
+        wax = tuple(range(win.ndim - n_win, win.ndim))
         func = getattr(np, f"nan{func_name}")
         import warnings
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
-            result = func(win, axis=-1)
-            counts = np.sum(~np.isnan(win), axis=-1)
+            result = func(win, axis=wax)
+            counts = np.sum(~np.isnan(win), axis=wax)
         result = np.where(counts >= self._min_periods, result, np.nan)
-        result = np.moveaxis(result, -1, axis)
         var = Variable(obj.dims, result, obj.attrs)
         return DataArray._construct(var, dict(obj._coords), obj.name)
 
     def count(self):
         DataArray = _data_array()
         obj = self._obj
-        win, axis = self._windows()
-        counts = np.sum(~np.isnan(win), axis=-1)
-        result = np.moveaxis(counts, -1, axis)
-        var = Variable(obj.dims, result.astype(np.float64))
+        win, n_win = self._windows()
+        wax = tuple(range(win.ndim - n_win, win.ndim))
+        counts = np.sum(~np.isnan(win), axis=wax)
+        var = Variable(obj.dims, counts.astype(np.float64))
         return DataArray._construct(var, dict(obj._coords), obj.name)
 
     def construct(self, window_dim):
         DataArray = _data_array()
         obj = self._obj
-        win, axis = self._windows()
-        result = np.moveaxis(win, -2, axis)
-        dims = obj.dims + (window_dim,)
-        var = Variable(dims, result)
+        if isinstance(window_dim, str):
+            if len(self._windows_map) != 1:
+                raise ValueError(
+                    "construct with multiple rolling dims needs a "
+                    "mapping of dim -> window_dim"
+                )
+            names = [window_dim]
+        else:
+            names = [window_dim[d] for d in self._windows_map]
+        win, _ = self._windows()
+        dims = obj.dims + tuple(names)
+        var = Variable(dims, win)
         return DataArray._construct(var, dict(obj._coords), obj.name)
 
 
