@@ -1044,3 +1044,48 @@ void locate_points_hash(const double* pts, int64_t nq, double tol,
 }
 
 }  // extern "C"
+
+// --- clip areas gathering tree polygons from connectivity --------------
+// Variant of polygon_clip_areas that reads the tree side straight from
+// (face_node_connectivity, x, y): the 10M-face padded vertex buffer
+// (~640 MB of writes + page faults) has no place in the weight build.
+// Padding (-1) repeats the first vertex, matching pad_polygons.
+extern "C" {
+
+void polygon_clip_areas_conn(const int64_t* pair_q, const int64_t* pair_p,
+                             int64_t n_pairs, const double* query_xy,
+                             int64_t mq, const int64_t* tree_faces,
+                             int64_t mt, const double* x, const double* y,
+                             double* areas) {
+    auto process = [&](int64_t lo, int64_t hi) {
+        double poly[64];
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t* f = tree_faces + mt * pair_p[i];
+            const int64_t first = f[0] < 0 ? 0 : f[0];
+            const double fx = x[first], fy = y[first];
+            for (int64_t v = 0; v < mt; ++v) {
+                const int64_t node = f[v];
+                poly[2 * v] = node < 0 ? fx : x[node];
+                poly[2 * v + 1] = node < 0 ? fy : y[node];
+            }
+            areas[i] = sh_clip_area(query_xy + 2 * mq * pair_q[i], mq,
+                                    poly, mt);
+        }
+    };
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (n_pairs > 100000 && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (n_pairs + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per;
+            const int64_t hi = std::min(n_pairs, lo + per);
+            if (lo < hi) threads.emplace_back(process, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    } else {
+        process(0, n_pairs);
+    }
+}
+
+}  // extern "C"

@@ -297,12 +297,24 @@ class CellTree2d:
         # chunked device path costs a tunnel round trip per chunk, which
         # dominates at the 1M-face scale (SURVEY.md §7: C++ where
         # host-side preprocessing demands it).
-        from xugrid_tpu.utils.native import polygon_clip_areas_native
+        from xugrid_tpu.utils.native import (
+            polygon_clip_areas_conn_native,
+            polygon_clip_areas_native,
+        )
 
         with timed("celltree.exact_overlap_areas"):
-            native = polygon_clip_areas_native(
-                query_index, tree_index, query_xy_host, self._poly_xy_host
+            # Gather tree polygons from connectivity directly: avoids
+            # materializing the padded tree vertex buffer (~640 MB of
+            # page-faulting writes at 10M faces).
+            native = polygon_clip_areas_conn_native(
+                query_index, tree_index, query_xy_host,
+                self.faces, self.vertices[:, 0], self.vertices[:, 1],
             )
+            if native is None:
+                native = polygon_clip_areas_native(
+                    query_index, tree_index, query_xy_host,
+                    self._poly_xy_host,
+                )
         if native is not None:
             keep = native > self._pair_area_tolerance(
                 boxes, query_index, tree_index

@@ -276,6 +276,19 @@ def get_lib():
         _c_int64_p,
     ]
     lib.locate_points_hash.restype = None
+    lib.polygon_clip_areas_conn.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        ctypes.c_int64,
+        _c_int64_p,
+        ctypes.c_int64,
+        _c_double_p,
+        _c_double_p,
+        _c_double_p,
+    ]
+    lib.polygon_clip_areas_conn.restype = None
     _LIB = lib
     return _LIB
 
@@ -797,3 +810,40 @@ def locate_points_hash_native(
         out.ctypes.data_as(_ip),
     )
     return out
+
+
+def polygon_clip_areas_conn_native(
+    pair_q: np.ndarray,
+    pair_p: np.ndarray,
+    query_xy: np.ndarray,
+    tree_faces: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+):
+    """Clip areas gathering tree polygons from connectivity (skips the
+    padded tree vertex buffer), or None when unavailable."""
+    lib = get_lib()
+    if lib is None or tree_faces.shape[1] > 32:
+        return None
+    pair_q = np.ascontiguousarray(pair_q, dtype=np.int64)
+    pair_p = np.ascontiguousarray(pair_p, dtype=np.int64)
+    query_xy = np.ascontiguousarray(query_xy, dtype=np.float64)
+    tree_faces = np.ascontiguousarray(tree_faces, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    areas = np.empty(len(pair_q), dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.polygon_clip_areas_conn(
+        pair_q.ctypes.data_as(_ip),
+        pair_p.ctypes.data_as(_ip),
+        len(pair_q),
+        query_xy.ctypes.data_as(_dp),
+        query_xy.shape[1],
+        tree_faces.ctypes.data_as(_ip),
+        tree_faces.shape[1],
+        x.ctypes.data_as(_dp),
+        y.ctypes.data_as(_dp),
+        areas.ctypes.data_as(_dp),
+    )
+    return areas
