@@ -256,6 +256,7 @@ def _make_pcg_windowed():
 _PCG_COO = None
 _PCG_WINDOWED = None
 _PCG_GATHER = None
+_GATHER_PLANS: dict = {}
 
 #: diagnostics of the most recent iterative solve:
 #: {"iterations": int, "n_unknown": int, "degree": int}
@@ -373,7 +374,24 @@ def cg_solve(
     ):
         from xugrid_tpu.regrid.gather_apply import plan_gather
 
-        gather_plan = plan_gather(idx, wvals.astype(np.float32))
+        # Plan once per matrix: planning a 1M-node system costs
+        # seconds, and interpolate_na solves the same Laplacian for
+        # every time slice.  Keyed by a content hash (collisions here
+        # would silently corrupt results, so hash the full bytes).
+        import hashlib
+
+        w32 = wvals.astype(np.float32)
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(idx).tobytes())
+        h.update(np.ascontiguousarray(w32).tobytes())
+        key = (idx.shape, h.hexdigest())
+        if key in _GATHER_PLANS:
+            gather_plan = _GATHER_PLANS[key]
+        else:
+            gather_plan = plan_gather(idx, w32)
+            if len(_GATHER_PLANS) > 4:
+                _GATHER_PLANS.clear()
+            _GATHER_PLANS[key] = gather_plan
     if gather_plan is not None:
         import jax.numpy as jnp
 
