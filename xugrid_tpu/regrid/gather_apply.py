@@ -216,7 +216,10 @@ def plan_gather(
     pk_g = eg[firsts].astype(np.int64)
 
     npk = np.bincount(pk_B, minlength=n_blocks).astype(np.int64)
-    npk_max = -(-int(npk.max()) // 8) * 8  # sublane-aligned block rows
+    # Multiple of 16: the kernel reads packet rows in batches of up to
+    # 16 per iteration; the tail batch must stay within the block's
+    # (neutral-padded) rows.
+    npk_max = -(-int(npk.max()) // 16) * 16
     plan_bytes = n_blocks * npk_max * 128 * 16
     if plan_bytes > max_plan_bytes:
         return None
@@ -584,7 +587,16 @@ def gather_windowed_apply(
     npk_max = ptab.shape[0] // n_blocks
     n_pad = n_blocks * block
 
-    batch = int(os.environ.get("XUGRID_TPU_GATHER_BATCH", "4"))
+    # Packets per loop iteration: batched ops amortize the serialized
+    # VMEM round trips, so thin sublane counts (few RHS/slices) take
+    # bigger batches — (batch * e_sub, 128) stays near vreg-friendly
+    # sizes.  Rounded to a multiple of 4 so the common e_sub buckets
+    # keep stable compile-cache keys.
+    env_batch = os.environ.get("XUGRID_TPU_GATHER_BATCH")
+    if env_batch is not None:
+        batch = min(16, int(env_batch))
+    else:
+        batch = min(16, max(4, (128 // e_sub) // 4 * 4))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
