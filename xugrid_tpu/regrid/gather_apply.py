@@ -93,9 +93,11 @@ class GatherPlan(NamedTuple):
 
     chunk0: np.ndarray     # (n_blocks,) i32 first source chunk per block
     npk: np.ndarray        # (n_blocks,) i32 packet count per block
-    meta: np.ndarray       # (n_blocks*npk_max,) i32 (c_local << 3) | group
-    #                        — rides SMEM scalar prefetch (cheap per-
-    #                        packet scalar reads inside the loop)
+    meta: np.ndarray       # (n_blocks*npk_max//2,) i32: TWO packed
+    #                        15-bit (c_local << 3) | group entries per
+    #                        word (even packet in the low half) — rides
+    #                        SMEM scalar prefetch, whose ~1 MB budget a
+    #                        10M-face plan would otherwise exceed
     ptab: np.ndarray       # (n_blocks*npk_max, 4, 128) i32 packet lanes:
     #                        row 0 lane-local src idx, row 1 f32 weight
     #                        bits (0 = pad), row 2 segment-end lane per
@@ -242,6 +244,11 @@ def plan_gather(
     ptab[erow, 1, lane] = ew.view(np.int32)
     ptab[erow, 3, lane] = et.astype(np.int32)
     meta[prow] = ((pk_c << 3) | pk_g).astype(np.int32)
+    if (pk_c >= (1 << 12)).any():
+        return None  # packed meta would overflow its 15-bit half
+    meta = (meta[0::2] | (meta[1::2] << 16)).astype(np.int32)
+    if len(meta) * 4 + (2 * n_blocks + 2) * 4 > 900_000:
+        return None  # SMEM scalar-prefetch budget (~1 MB per core)
 
     # Segment ends: the last lane of each (packet, target) run.
     is_last = np.empty(nnz, bool)
@@ -383,8 +390,14 @@ def _make_kernel(
             q0 = q * batch
             metas = []
             rows = []
+            half = (base + q0) // 2  # base and q0 are even (x16 / x4)
+            word = None
             for u in range(batch):
-                metas.append(meta_ref[base + q0 + u])
+                if u % 2 == 0:
+                    word = meta_ref[half + u // 2]
+                    metas.append(word & 0x7FFF)
+                else:
+                    metas.append((word >> 16) & 0x7FFF)
                 rows.append(ptab_ref[pl.ds(q0 + u, 1), :, :])
                 c_u = metas[u] >> 3
                 stack[u * e_sub:(u + 1) * e_sub, :] = slab[
@@ -597,6 +610,7 @@ def gather_windowed_apply(
         batch = min(16, int(env_batch))
     else:
         batch = min(16, max(4, (128 // e_sub) // 4 * 4))
+    batch = max(2, batch // 2 * 2)  # even: packed meta pairs per word
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
