@@ -1,0 +1,150 @@
+"""Time the gather-packet kernel vs the old slab kernel on the TPU.
+
+Replicates bench.py's 1M-face overlap config. Run on the real chip.
+  N_EXTRA=128 python scripts/gather_perf.py   for the lane-packed run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import quad_mesh  # noqa: E402
+
+N_EXTRA = int(os.environ.get("N_EXTRA", "20"))
+SIDE = int(os.environ.get("SIDE", "1000"))
+TSIDE = int(os.environ.get("TSIDE", "512"))
+METHOD = os.environ.get("METHOD", "mean")
+
+
+def main():
+    import xugrid_tpu as xu
+    from xugrid_tpu.core.sparse import MatrixCSR, PaddedCSR
+
+    rng = np.random.default_rng(42)
+    verts, faces = quad_mesh(SIDE, SIDE)
+    jitter = rng.uniform(-0.15, 0.15, verts.shape)
+    edge = (
+        (verts[:, 0] == 0) | (verts[:, 1] == 0)
+        | (verts[:, 0] == SIDE) | (verts[:, 1] == SIDE)
+    )
+    jitter[edge] = 0.0
+    verts = verts + jitter
+    grid = xu.Ugrid2d(verts[:, 0], verts[:, 1], -1, faces)
+    dx = SIDE / TSIDE
+    tverts, tfaces = quad_mesh(TSIDE, TSIDE, dx=dx)
+    target = xu.Ugrid2d(tverts[:, 0], tverts[:, 1], -1, tfaces)
+
+    t0 = time.perf_counter()
+    tree = grid.celltree
+    ti, si, areas = tree.intersect_faces(
+        target.node_coordinates, target.face_node_connectivity, -1
+    )
+    print(f"weights built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    csr = MatrixCSR.from_triplet(
+        ti, si, areas, n=target.n_face, m=grid.n_face
+    )
+    padded = PaddedCSR.from_csr(csr, dtype=np.float32)
+    source = rng.normal(size=(N_EXTRA, grid.n_face)).astype(np.float32)
+    true_bytes = (
+        csr.nnz * 8 + grid.n_face * N_EXTRA * 4 + target.n_face * N_EXTRA * 4
+    )
+
+    from xugrid_tpu.regrid.gather_apply import (
+        gather_windowed_apply,
+        plan_gather,
+        stage_source,
+    )
+
+    t0 = time.perf_counter()
+    plan = plan_gather(padded.indices, padded.weights)
+    print(f"plan: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    if plan is None:
+        print("PLAN REJECTED")
+        return
+    print(
+        f"plan: maxc={plan.maxc} npk_max={plan.npk_max} "
+        f"scan_steps={plan.scan_steps} "
+        f"npk_total={int(plan.npk.sum())} "
+        f"nnz={csr.nnz} lane_eff={csr.nnz/ (plan.npk.sum()*127):.2f}",
+        file=sys.stderr,
+    )
+    srcE = stage_source(source, plan)
+
+    reps = 10
+
+    @partial(jax.jit, static_argnames=("method", "scan_steps", "maxc", "n_reps"))
+    def gather_reps(srcE, c0, npk, meta, ptab, rwsum,
+                    method, scan_steps, maxc, n_reps):
+        def body(i, acc):
+            out = gather_windowed_apply(
+                srcE + i.astype(srcE.dtype) * 1e-12,
+                c0, npk, meta, ptab, rwsum,
+                method=method, has_nan=False,
+                scan_steps=scan_steps, maxc=maxc,
+            )
+            return acc + jnp.nansum(out)
+
+        import jax.lax as lax
+        return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+    dargs = (
+        jnp.asarray(srcE), jnp.asarray(plan.chunk0), jnp.asarray(plan.npk),
+        jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
+        jnp.asarray(plan.rwsum),
+    )
+    t0 = time.perf_counter()
+    cs = float(gather_reps(*dargs, METHOD, plan.scan_steps, plan.maxc, reps))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    cs = float(gather_reps(*dargs, METHOD, plan.scan_steps, plan.maxc, reps))
+    dt = (time.perf_counter() - t0) / reps
+    gbps = true_bytes / dt / 1e9
+    print(
+        f"gather kernel [{METHOD} E={N_EXTRA}]: {dt*1e3:.2f} ms/pass  "
+        f"{gbps:.1f} GB/s true  {100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+    )
+
+    # correctness spot-check vs XLA path on device
+    from xugrid_tpu.regrid.gather_apply import apply_windowed_gather
+    got = apply_windowed_gather(
+        source[:, :], padded.indices, padded.weights, METHOD,
+        has_nan=False, plan=plan,
+    )
+    from xugrid_tpu.regrid import reduce as red
+    from xugrid_tpu.regrid.apply import _apply_windowed_T, _pad_minor
+    E = _pad_minor(N_EXTRA)
+    sourceT = np.zeros((grid.n_face, E), np.float32)
+    sourceT[:, :N_EXTRA] = source.T
+    fn = {"mean": red.mean, "min": red.minimum, "max": red.maximum,
+          "sum": red.sum}[METHOD]
+    want = np.asarray(
+        _apply_windowed_T(
+            jnp.asarray(sourceT), jnp.asarray(padded.indices[:4096]),
+            jnp.asarray(padded.weights[:4096]), fn,
+        )
+    )[:, :N_EXTRA]
+    err = np.nanmax(
+        np.abs(got[:4096] - want)
+        / np.maximum(np.abs(want), 1e-3)
+    )
+    print(f"max rel err vs XLA path (first 4096 targets): {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()
