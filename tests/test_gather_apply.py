@@ -132,3 +132,14 @@ def test_empty_and_full_rows():
     )
     want = oracle_apply("mean", indices, weights, source)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_wide_sublane_batch_path():
+    """n_extra large enough to select the small packet batch (the
+    lane-packed bench configuration's code path)."""
+    indices, weights, source = make_case(n=600, m=700, n_extra=40, seed=11)
+    got = apply_windowed_gather(
+        source, indices, weights, "mean", interpret=True
+    )
+    want = oracle_apply("mean", indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
