@@ -182,39 +182,50 @@ def main():
             dma_bytes = int(
                 n_blocks * gplan.maxc * e_sub * 128 * 4   # chunk slabs
                 + gplan.ptab.size * 4                      # packet lanes
+                + gplan.page.size * 4                      # seg pages
                 + n_blocks * 512 * e_sub * 4               # output
             )
 
             def time_gather(src2d, method, n_reps):
+                from xugrid_tpu.regrid.gather_apply import _use_mxu
+
                 srcE = stage_source(src2d, gplan)
+                mxu = _use_mxu(method, False, srcE.shape[0])
 
                 @partial(
                     jax.jit,
-                    static_argnames=("method", "scan_steps", "maxc", "n_reps"),
+                    static_argnames=(
+                        "method", "scan_steps", "maxc", "mxu", "n_reps"
+                    ),
                 )
-                def reps_fn(srcE, c0, npk, meta, ptab, rw,
-                            method, scan_steps, maxc, n_reps):
+                def reps_fn(srcE, c0, npk, meta, ptab, page, rw,
+                            method, scan_steps, maxc, mxu, n_reps):
                     def body(i, acc):
                         out = gather_windowed_apply(
                             srcE + i.astype(srcE.dtype) * 1e-12,
-                            c0, npk, meta, ptab, rw,
+                            c0, npk, meta, ptab, page, rw,
                             method=method, has_nan=False,
-                            scan_steps=scan_steps, maxc=maxc,
+                            scan_steps=scan_steps, maxc=maxc, mxu=mxu,
                         )
                         return acc + jnp.nansum(out)
 
                     return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
+                page = (
+                    gplan.page if mxu else np.zeros((8, 128), np.int32)
+                )
                 dargs = (
                     jnp.asarray(srcE), jnp.asarray(gplan.chunk0),
                     jnp.asarray(gplan.npk), jnp.asarray(gplan.meta),
-                    jnp.asarray(gplan.ptab), jnp.asarray(gplan.rwsum),
+                    jnp.asarray(gplan.ptab), jnp.asarray(page),
+                    jnp.asarray(gplan.rwsum),
                 )
-                _ = float(reps_fn(*dargs, method, gplan.scan_steps,
-                                  gplan.maxc, n_reps))
+                scan_steps = 0 if mxu else gplan.scan_steps
+                _ = float(reps_fn(*dargs, method, scan_steps,
+                                  gplan.maxc, mxu, n_reps))
                 t0 = time.perf_counter()
-                _ = float(reps_fn(*dargs, method, gplan.scan_steps,
-                                  gplan.maxc, n_reps))
+                _ = float(reps_fn(*dargs, method, scan_steps,
+                                  gplan.maxc, mxu, n_reps))
                 return (time.perf_counter() - t0) / n_reps
 
             gather_apply_s = time_gather(source, "mean", reps)
@@ -222,8 +233,19 @@ def main():
             # Lane-packed variant: 128 slices through the SAME weights —
             # proves whether the kernel is lane-limited or
             # overhead-limited (per-packet cost is slice-independent).
-            src128 = rng.normal(size=(128, grid.n_face)).astype(np.float32)
-            gather_e128_s = time_gather(src128, "mean", max(2, reps // 2))
+            # Skipped at the 10M XL scale: the (128, n_face) source plus
+            # the loop's anti-hoisting copy would exceed v5e HBM.
+            if grid.n_face * 128 * 4 * 3 < 8e9:
+                try:
+                    src128 = rng.normal(size=(128, grid.n_face)).astype(
+                        np.float32
+                    )
+                    gather_e128_s = time_gather(
+                        src128, "mean", max(2, reps // 2)
+                    )
+                except Exception as exc:  # pragma: no cover
+                    print(f"e128 variant unavailable: {exc!r}",
+                          file=sys.stderr)
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"gather path unavailable: {exc!r}", file=sys.stderr)
 

@@ -66,6 +66,7 @@ def main():
     )
 
     from xugrid_tpu.regrid.gather_apply import (
+        _use_mxu,
         gather_windowed_apply,
         plan_gather,
         stage_source,
@@ -88,15 +89,21 @@ def main():
 
     reps = 10
 
-    @partial(jax.jit, static_argnames=("method", "scan_steps", "maxc", "n_reps"))
-    def gather_reps(srcE, c0, npk, meta, ptab, rwsum,
-                    method, scan_steps, maxc, n_reps):
+    mxu = _use_mxu(METHOD, False, srcE.shape[0])
+    scan_steps = 0 if mxu else plan.scan_steps
+    page = plan.page if mxu else np.zeros((8, 128), np.int32)
+    print(f"mxu={mxu}", file=sys.stderr)
+
+    @partial(jax.jit, static_argnames=("method", "scan_steps", "maxc",
+                                       "mxu", "n_reps"))
+    def gather_reps(srcE, c0, npk, meta, ptab, page, rwsum,
+                    method, scan_steps, maxc, mxu, n_reps):
         def body(i, acc):
             out = gather_windowed_apply(
                 srcE + i.astype(srcE.dtype) * 1e-12,
-                c0, npk, meta, ptab, rwsum,
+                c0, npk, meta, ptab, page, rwsum,
                 method=method, has_nan=False,
-                scan_steps=scan_steps, maxc=maxc,
+                scan_steps=scan_steps, maxc=maxc, mxu=mxu,
             )
             return acc + jnp.nansum(out)
 
@@ -105,14 +112,14 @@ def main():
 
     dargs = (
         jnp.asarray(srcE), jnp.asarray(plan.chunk0), jnp.asarray(plan.npk),
-        jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
+        jnp.asarray(plan.meta), jnp.asarray(plan.ptab), jnp.asarray(page),
         jnp.asarray(plan.rwsum),
     )
     t0 = time.perf_counter()
-    cs = float(gather_reps(*dargs, METHOD, plan.scan_steps, plan.maxc, reps))
+    cs = float(gather_reps(*dargs, METHOD, scan_steps, plan.maxc, mxu, reps))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    cs = float(gather_reps(*dargs, METHOD, plan.scan_steps, plan.maxc, reps))
+    cs = float(gather_reps(*dargs, METHOD, scan_steps, plan.maxc, mxu, reps))
     dt = (time.perf_counter() - t0) / reps
     gbps = true_bytes / dt / 1e9
     print(

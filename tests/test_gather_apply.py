@@ -64,20 +64,38 @@ def oracle_apply(method, indices, weights, source):
     return np.asarray(out)                             # (n, E)
 
 
+@pytest.mark.parametrize("engine", ["packet", "span"])
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
-def test_gather_kernel_matches_oracle(method, nan_frac):
+def test_gather_kernel_matches_oracle(method, nan_frac, engine):
     positive = method in ("harmonic_mean", "geometric_mean")
     indices, weights, source = make_case(
         nan_frac=nan_frac, positive=positive, seed=hash(method) % 1000
     )
     got = apply_windowed_gather(
-        source, indices, weights, method, interpret=True
+        source, indices, weights, method, interpret=True, engine=engine
     )
     assert got is not None, "plan unexpectedly rejected"
     want = oracle_apply(method, indices, weights, source)
     np.testing.assert_allclose(got, want.T[: len(got[0])].T, rtol=2e-5,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("force", ["0", "1"])
+@pytest.mark.parametrize("method", ["mean", "sum", "geometric_mean"])
+def test_gather_kernel_mxu_vs_scan_paths(monkeypatch, method, force):
+    """Both reduction engines (MXU one-hot matmul / segmented lane
+    scan) must agree with the oracle regardless of the heuristic."""
+    monkeypatch.setenv("XUGRID_TPU_GATHER_MXU", force)
+    positive = method == "geometric_mean"
+    indices, weights, source = make_case(
+        nan_frac=0.1, positive=positive, seed=21, n_extra=3
+    )
+    got = apply_windowed_gather(
+        source, indices, weights, method, interpret=True
+    )
+    want = oracle_apply(method, indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
 def test_gather_kernel_negative_values_geometric():
@@ -118,6 +136,18 @@ def test_plan_packet_invariants():
     rows, taus = np.nonzero(plan.pend)
     lanes = plan.pend[rows, taus]
     assert (plan.pseg[rows, lanes] == taus).all()
+    # the lane-transposed page mirrors pseg: column p of a block's
+    # tile holds packet p's per-lane segment ids (255 on dummy/pad)
+    n_blocks = len(plan.chunk0)
+    ptiles = plan.page.shape[0] // n_blocks // 128
+    pg = plan.page.reshape(n_blocks, ptiles, 128, 128)
+    seg = plan.pseg.reshape(n_blocks, plan.npk_max, 128)
+    for b in range(n_blocks):
+        for u in range(plan.npk_max):
+            want = np.where(seg[b, u] >= 0, seg[b, u], 255)
+            np.testing.assert_array_equal(
+                pg[b, u // 128, :, u % 128], want
+            )
 
 
 def test_empty_and_full_rows():

@@ -156,7 +156,7 @@ def apply_weights(
         from xugrid_tpu.regrid.gather_apply import (
             GATHER_METHODS,
             apply_windowed_gather,
-            plan_gather,
+            plan_default,
         )
 
         if method in GATHER_METHODS:
@@ -164,7 +164,7 @@ def apply_weights(
             if plan_cache is not None:
                 gplan = plan_cache.get("gather_plan", _REJECTED)
             if gplan is _REJECTED:
-                gplan = plan_gather(weights.indices, weights.weights)
+                gplan = plan_default(weights.indices, weights.weights)
                 if plan_cache is not None:
                     plan_cache["gather_plan"] = gplan
             if gplan is not None:

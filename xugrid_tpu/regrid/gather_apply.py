@@ -103,6 +103,14 @@ class GatherPlan(NamedTuple):
     #                        bits (0 = pad), row 2 segment-end lane per
     #                        target slot (0 = absent), row 3 segment ids
     #                        (-1 dummy/pad) — ONE dynamic load per packet
+    page: np.ndarray       # (n_blocks*ptiles*128, 128) i32 lane-
+    #                        TRANSPOSED segment ids for the MXU path:
+    #                        per block, tile t, lane-in-packet l, packet
+    #                        slot p (lanes): the segment id of packet
+    #                        t*128+p at lane l, or 255 on dummy/pad
+    #                        lanes.  One 128-lane gather broadcasts a
+    #                        packet's column; (page == iota) is the
+    #                        one-hot scatter matrix for the matmul.
     rwsum: np.ndarray      # (n_pad,) f32 total |window| weight per target
     scan_steps: int        # ceil(log2(max segment run length))
     maxc: int              # chunks per block slab
@@ -243,6 +251,16 @@ def plan_gather(
     ptab[erow, 0, lane] = (key & 127).astype(np.int32)
     ptab[erow, 1, lane] = ew.view(np.int32)
     ptab[erow, 3, lane] = et.astype(np.int32)
+
+    # Lane-transposed segment page for the MXU path: packet slots on
+    # lanes so the kernel reaches a packet's per-lane segment ids with
+    # one 128-lane broadcast gather (sublane-dynamic tile slices only —
+    # Mosaic has no dynamic lane slicing).
+    ptiles = -(-npk_max // 128)
+    page = np.full((n_blocks * ptiles * 128, 128), 255, np.int32)
+    pb = erow // npk_max
+    pu = erow - pb * npk_max
+    page[(pb * ptiles + pu // 128) * 128 + lane, pu % 128] = et
     meta[prow] = ((pk_c << 3) | pk_g).astype(np.int32)
     if (pk_c >= (1 << 12)).any():
         return None  # packed meta would overflow its 15-bit half
@@ -276,10 +294,217 @@ def plan_gather(
         npk=npk.astype(np.int32),
         meta=meta,
         ptab=ptab,
+        page=page,
         rwsum=rwsum,
         scan_steps=scan_steps,
         maxc=maxc,
         npk_max=npk_max,
+        n=n,
+        block=block,
+    )
+
+
+#: chunks covered by one superpacket loop iteration (span engine).
+SPAN = 4
+
+
+class SpanPlan(NamedTuple):
+    """Superpacket plan (span engine).
+
+    One loop iteration covers SPAN consecutive source chunks: the
+    gather table is a single contiguous slab slice (no per-packet
+    VMEM staging copies), segment ids span the whole 512-target block
+    (4x fuller lane payloads than per-group packets), and each
+    iteration retires up to SPAN*127 entries with ONE table read, ONE
+    gather, ONE scan set and 4 static accumulator updates — the
+    per-packet serialized VMEM round trips that latency-bound the
+    packet engine amortize across the span.
+    """
+
+    chunk0: np.ndarray   # (n_blocks,) i32 span-aligned first chunk
+    nsp: np.ndarray      # (n_blocks,) i32 superpackets per block
+    meta: np.ndarray     # (n_blocks*nsp_max//2,) i32 packed pairs of
+    #                      15-bit slab-local span base chunks
+    ptab: np.ndarray     # (n_blocks*nsp_max*span, 8, 128) i32 rows:
+    #                      0 lane-local src idx, 1 f32 weight bits,
+    #                      2 segment id 0..block-1 (-1 dummy/pad),
+    #                      3+g segment-end lane per group-g target
+    rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
+    scan_steps: int
+    maxc: int            # chunks per block slab
+    nsp_max: int         # superpackets per block (padded, even)
+    span: int
+    n: int
+    block: int
+
+
+def plan_gather_span(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = BLOCK,
+    span: int = SPAN,
+    max_plan_bytes: int = 1_500_000_000,
+) -> SpanPlan | None:
+    """Build the superpacket plan, or None when the window structure
+    defeats it (the caller falls back to the packet engine or the XLA
+    gather path)."""
+    n, _w = indices.shape
+    if n == 0:
+        return None
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+    if block != 4 * GROUP:
+        raise ValueError("span engine assumes 512-target blocks")
+
+    valid = indices >= 0
+    ti, _sl = np.nonzero(valid)
+    if len(ti) == 0:
+        return None
+    src = indices[valid]
+    wts = weights[valid]
+    if n > (1 << 21) * block or src.max() >= (1 << 31):
+        return None
+
+    # Sort by (block, chunk, target slot, lane-local idx): each
+    # chunk's entries are contiguous with per-target runs inside.
+    B = (ti // block).astype(np.int64)
+    tslot = (ti % block).astype(np.int64)
+    key = (((B << 24) | (src >> 7)) << 16) | (tslot << 7) | (src & 127)
+    del ti, tslot
+    order = np.argsort(key)
+    key = key[order]
+    ew = wts[order]
+    del order, wts, src
+    idx7 = (key & 127).astype(np.int32)
+    tslot = (key >> 7) & 511
+    chk = (key >> 16) & ((1 << 24) - 1)
+    B = key >> 40
+    nnz = len(key)
+    pos = np.arange(nnz, dtype=np.int64)
+
+    # Rank within (block, chunk) -> round r and lane.
+    bc = (B << 24) | chk
+    newc = np.empty(nnz, bool)
+    newc[0] = True
+    np.not_equal(bc[1:], bc[:-1], out=newc[1:])
+    cstart = np.maximum.accumulate(np.where(newc, pos, 0))
+    posk = pos - cstart
+    r = posk // PAYLOAD
+    lane = (posk % PAYLOAD + 1).astype(np.int64)
+
+    span_id = chk // span
+    k_e = chk - span_id * span
+
+    # Span-aligned slab base and extent per block.
+    firsts_b = np.flatnonzero(
+        np.concatenate([[True], B[1:] != B[:-1]])
+    )
+    lasts_b = np.append(firsts_b[1:] - 1, nnz - 1)
+    blocks_present = B[firsts_b]
+    chunk0 = np.zeros(n_blocks, np.int64)
+    chunk0[blocks_present] = span_id[firsts_b] * span
+    cmax = np.zeros(n_blocks, np.int64)
+    cmax[blocks_present] = (span_id[lasts_b] + 1) * span
+    maxc = int((cmax - chunk0).max())
+
+    # Buckets = (block, span); superpackets per bucket = the max
+    # round count over the span's chunks.
+    lasts_c = np.flatnonzero(np.append(newc[1:], True))
+    rounds_c = r[lasts_c] + 1
+    bs_c = (B[lasts_c] << 24) | span_id[lasts_c]
+    newb_c = np.empty(len(bs_c), bool)
+    newb_c[0] = True
+    np.not_equal(bs_c[1:], bs_c[:-1], out=newb_c[1:])
+    bid_c = np.cumsum(newb_c) - 1
+    n_buckets = int(bid_c[-1]) + 1
+    Rb = np.zeros(n_buckets, np.int64)
+    np.maximum.at(Rb, bid_c, rounds_c)
+    bucket_B = B[lasts_c][newb_c]
+    bucket_c0 = span_id[lasts_c][newb_c] * span - chunk0[bucket_B]
+
+    nsp_b = np.zeros(n_blocks, np.int64)
+    np.add.at(nsp_b, bucket_B, Rb)
+    nsp_max = max(2, (-(-int(nsp_b.max()) // 2)) * 2)
+    NR = n_blocks * nsp_max * span
+    if NR * 8 * 128 * 4 > max_plan_bytes:
+        return None
+    e_probe = 32
+    if maxc * e_probe * CHUNK * 4 > _SLAB_BYTES:
+        return None
+
+    # Superpacket base per bucket (block-local).
+    csum = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(Rb, out=csum[1:])
+    blk_starts = np.zeros(n_blocks + 1, np.int64)
+    np.cumsum(nsp_b, out=blk_starts[1:])
+    sp_base_local = csum[:-1] - blk_starts[bucket_B]
+
+    # Per-superpacket metadata (slab-local span base chunk).
+    # Within-block superpacket index: buckets are (block, span)-sorted,
+    # so a superpacket's global position minus its block's first
+    # superpacket's global position is its block-local slot.
+    total_sp = int(csum[-1])
+    spb_B = np.repeat(bucket_B, Rb)
+    spb_c0 = np.repeat(bucket_c0, Rb)
+    sp_local_all = np.arange(total_sp, dtype=np.int64) - blk_starts[spb_B]
+    if (spb_c0 >= (1 << 15)).any():
+        return None
+    meta_arr = np.zeros(n_blocks * nsp_max, np.int32)
+    meta_arr[spb_B * nsp_max + sp_local_all] = spb_c0.astype(np.int32)
+    meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
+    if len(meta) * 4 + (2 * n_blocks + 2) * 4 > 900_000:
+        return None  # SMEM scalar-prefetch budget
+
+    # Entry placement.
+    ci_e = np.cumsum(newc) - 1
+    bid_e = bid_c[ci_e]
+    sp_e = sp_base_local[bid_e] + r
+    erow = (B * nsp_max + sp_e) * span + k_e
+
+    ptab = np.zeros((NR, 8, 128), np.int32)
+    ptab[:, 2, :] = -1
+    ptab[erow, 0, lane] = idx7
+    ptab[erow, 1, lane] = ew.view(np.int32)
+    ptab[erow, 2, lane] = tslot.astype(np.int32)
+
+    is_last = np.empty(nnz, bool)
+    is_last[-1] = True
+    np.logical_or(
+        erow[1:] != erow[:-1], tslot[1:] != tslot[:-1],
+        out=is_last[:-1],
+    )
+    g_e = (tslot // GROUP).astype(np.int64)
+    t7 = tslot - g_e * GROUP
+    ptab[erow[is_last], 3 + g_e[is_last], t7[is_last]] = (
+        lane[is_last].astype(np.int32)
+    )
+
+    run_start = np.empty(nnz, bool)
+    run_start[0] = True
+    run_start[1:] = is_last[:-1]
+    rs_pos = np.maximum.accumulate(np.where(run_start, pos, 0))
+    max_run = int((pos - rs_pos).max()) + 1
+    scan_steps = (
+        max(0, int(np.ceil(np.log2(max_run)))) if max_run > 1 else 0
+    )
+
+    rwsum = np.zeros(n_pad, np.float32)
+    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+
+    return SpanPlan(
+        chunk0=chunk0.astype(np.int32),
+        nsp=nsp_b.astype(np.int32),
+        meta=meta,
+        ptab=ptab,
+        rwsum=rwsum,
+        scan_steps=scan_steps,
+        maxc=maxc,
+        nsp_max=nsp_max,
+        span=span,
         n=n,
         block=block,
     )
@@ -325,6 +550,8 @@ def _make_kernel(
     e_sub: int,
     block: int,
     batch: int,
+    mxu: bool,
+    ptiles: int,
     interpret: bool,
 ):
     chains = _chains(method, has_nan)
@@ -332,7 +559,7 @@ def _make_kernel(
 
     def kernel(
         chunk0_ref, npk_ref, meta_ref,    # scalar prefetch (SMEM)
-        ptab_ref, rwsum_ref,
+        ptab_ref, page_ref, rwsum_ref,
         src_hbm, out_ref,
         slab, stack, *scratch,
     ):
@@ -412,6 +639,49 @@ def _make_kernel(
             table = stack[...]
             val = jnp.take_along_axis(table, expand(idx_p), axis=1)
             qs = _lane_quantities(method, has_nan, val, expand(w_p))
+
+            if mxu:
+                # Segment sums on the MXU: broadcast the packet's
+                # lane-transposed segment column (one 128-lane gather),
+                # form the one-hot scatter matrix M = (seg == lane
+                # iota), and resolve every chain's segment sums with a
+                # single (nc*e_sub, 128) @ (128, 128) matmul — exact
+                # (each output is a plain fp sum of its segment's
+                # entries), and it retires the Hillis-Steele scan, the
+                # roll masks, and the segment-end gathers the VPU was
+                # serializing on.  Dummy/pad lanes carry sentinel 255
+                # in the page, so their M rows are all-zero.
+                if ptiles > 1:
+                    tile0 = (q0 // 128) * 128
+                    ptile = page_ref[pl.ds(tile0, 128), :]
+                else:
+                    ptile = page_ref[...]
+                nc = len(chains)
+                for u in range(batch):
+                    pu = q0 + u
+                    if ptiles > 1:
+                        pu = jax.lax.rem(pu, 128)
+                    colidx = jnp.full((128, 128), 0, jnp.int32) + pu
+                    mpre = jnp.take_along_axis(ptile, colidx, axis=1)
+                    m1h = (mpre == lanes).astype(jnp.float32)
+                    qu = jnp.concatenate(
+                        [
+                            qs[ci][u * e_sub:(u + 1) * e_sub]
+                            for ci in range(nc)
+                        ],
+                        axis=0,
+                    )
+                    res = jnp.dot(
+                        qu, m1h, preferred_element_type=jnp.float32
+                    )
+                    for ci in range(nc):
+                        upd(
+                            ci, "sum", metas[u] & 7,
+                            res[ci * e_sub:(ci + 1) * e_sub].reshape(
+                                1, e_sub, 128
+                            ),
+                        )
+                return 0
 
             masks = []
             for j in range(scan_steps):
@@ -518,12 +788,12 @@ def _lane_quantities(method, has_nan, val, w_row):
     if method in ("min", "max"):
         # Valid slots participate irrespective of weight (reference);
         # the per-target gate rides the finalize (rwsum / any-finite).
-        fill = jnp.inf if method == "min" else -jnp.inf
+        fill = jnp.float32(jnp.inf if method == "min" else -jnp.inf)
         if has_nan:
             fin = ~jnp.isnan(val)
             return (
                 jnp.where(fin, val, fill),
-                jnp.where(fin, 1.0, 0.0),
+                fin.astype(jnp.float32),
             )
         return (val,)
     raise ValueError(method)
@@ -573,19 +843,34 @@ def pad_sublanes(n_extra: int) -> int:
     return max(8, -(-n_extra // 8) * 8)
 
 
+def _use_mxu(method: str, has_nan: bool, e_sub: int) -> bool:
+    """MXU segment-sum path: sum-kind chains only, and wide enough
+    sublane stacks that the per-packet one-hot build amortizes (thin
+    single-RHS matvecs stay on the scan path)."""
+    env = os.environ.get("XUGRID_TPU_GATHER_MXU")
+    if env is not None:
+        return env == "1"
+    chains = _chains(method, has_nan)
+    if any(kind != "sum" for _, kind in chains):
+        return False
+    return e_sub * len(chains) >= 16
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "method", "has_nan", "scan_steps", "maxc", "block", "interpret"
+        "method", "has_nan", "scan_steps", "maxc", "block", "mxu",
+        "interpret",
     ),
 )
 def gather_windowed_apply(
-    srcE, chunk0, npk, meta, ptab, rwsum,
+    srcE, chunk0, npk, meta, ptab, page, rwsum,
     method: str = "mean",
     has_nan: bool = True,
     scan_steps: int = 7,
     maxc: int = 8,
     block: int = BLOCK,
+    mxu: bool | None = None,
     interpret: bool = False,
 ):
     """
@@ -599,6 +884,16 @@ def gather_windowed_apply(
     n_blocks = chunk0.shape[0]
     npk_max = ptab.shape[0] // n_blocks
     n_pad = n_blocks * block
+    if mxu is None:
+        mxu = _use_mxu(method, has_nan, e_sub)
+    if mxu:
+        ptiles = page.shape[0] // n_blocks // 128
+        page_spec = pl.BlockSpec((ptiles * 128, 128), lambda b, *_: (b, 0))
+    else:
+        # Scan path never touches the page: park it in HBM (no per-
+        # block DMA) so thin matvecs can pass a dummy.
+        ptiles = 1
+        page_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     # Packets per loop iteration: batched ops amortize the serialized
     # VMEM round trips, so thin sublane counts (few RHS/slices) take
@@ -611,11 +906,13 @@ def gather_windowed_apply(
     else:
         batch = min(16, max(4, (128 // e_sub) // 4 * 4))
     batch = max(2, batch // 2 * 2)  # even: packed meta pairs per word
+    batch = 1 << (batch.bit_length() - 1)  # divide 128: page tiling
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((npk_max, 4, 128), lambda b, *_: (b, 0, 0)),
+            page_spec,
             pl.BlockSpec((1, block), lambda b, *_: (0, b)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -633,7 +930,7 @@ def gather_windowed_apply(
 
     kernel = _make_kernel(
         method, has_nan, scan_steps, maxc,
-        npk_max, e_sub, block, batch, interpret,
+        npk_max, e_sub, block, batch, mxu, ptiles, interpret,
     )
 
     return pl.pallas_call(
@@ -644,7 +941,201 @@ def gather_windowed_apply(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(chunk0, npk, meta, ptab, rwsum.reshape(1, -1), chunks)
+    )(chunk0, npk, meta, ptab, page, rwsum.reshape(1, -1), chunks)
+
+
+def _make_span_kernel(
+    method: str,
+    has_nan: bool,
+    scan_steps: int,
+    maxc: int,
+    nsp_max: int,
+    e_sub: int,
+    block: int,
+    span: int,
+    interpret: bool,
+):
+    chains = _chains(method, has_nan)
+    n_groups = block // GROUP
+
+    def kernel(
+        chunk0_ref, nsp_ref, meta_ref,    # scalar prefetch (SMEM)
+        ptab_ref, rwsum_ref,
+        src_hbm, out_ref,
+        slab, *scratch,
+    ):
+        accs = scratch[:-1]
+        sem = scratch[-1]
+        b = pl.program_id(0)
+        c0 = chunk0_ref[b]
+        nsp = nsp_ref[b]
+        base = b * nsp_max
+
+        dma = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(c0, maxc)], slab, sem
+        )
+        dma.start()
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        dma.wait()
+
+        def expand(x):
+            """(span, 128) -> (span*e_sub, 128): each chunk row
+            repeated e_sub times, matching the slab slice layout."""
+            return jnp.broadcast_to(
+                x[:, None, :], (span, e_sub, 128)
+            ).reshape(span * e_sub, 128)
+
+        for ci, (_, kind) in enumerate(chains):
+            init = 0.0
+            if kind == "min":
+                init = jnp.inf
+            elif kind == "max":
+                init = -jnp.inf
+            accs[ci][...] = jnp.full(
+                (n_groups, e_sub, 128), init, jnp.float32
+            )
+
+        def body(sp, _):
+            row = base + sp
+            word = meta_ref[row >> 1]
+            csp = (word >> ((row & 1) * 16)) & 0x7FFF
+            tab = ptab_ref[pl.ds(sp * span, span)]    # (span, 8, 128)
+            idx_p = tab[:, 0, :]
+            w_p = jax.lax.bitcast_convert_type(tab[:, 1, :], jnp.float32)
+            seg_p = tab[:, 2, :]
+
+            # The gather table IS a contiguous slab slice: superpacket
+            # sub-row k reads chunk csp+k — no per-packet staging copy.
+            table = slab[pl.ds(csp, span)].reshape(span * e_sub, 128)
+            val = jnp.take_along_axis(table, expand(idx_p), axis=1)
+            qs = _lane_quantities(method, has_nan, val, expand(w_p))
+
+            masks = []
+            for j in range(scan_steps):
+                s = 1 << j
+                seg_r = _roll_lanes(seg_p, s, interpret)
+                masks.append(
+                    expand(
+                        jnp.logical_and(lanes >= s, seg_r == seg_p)
+                    )
+                )
+
+            xcs = []
+            for ci, (_, kind) in enumerate(chains):
+                x = qs[ci]
+                for j in range(scan_steps):
+                    xr = _roll_lanes(x, 1 << j, interpret)
+                    if kind == "sum":
+                        x = x + jnp.where(masks[j], xr, 0.0)
+                    elif kind == "max":
+                        x = jnp.where(masks[j], jnp.maximum(x, xr), x)
+                    else:
+                        x = jnp.where(masks[j], jnp.minimum(x, xr), x)
+                xcs.append(x)
+
+            for g in range(n_groups):
+                end_g = tab[:, 3 + g, :]
+                ends = expand(end_g)
+                pres = expand(end_g >= 1)
+                for ci, (_, kind) in enumerate(chains):
+                    res = jnp.take_along_axis(xcs[ci], ends, axis=1)
+                    if kind == "sum":
+                        res = jnp.where(pres, res, 0.0)
+                        red = res.reshape(span, e_sub, 128).sum(axis=0)
+                    elif kind == "max":
+                        res = jnp.where(pres, res, -jnp.inf)
+                        red = res.reshape(span, e_sub, 128).max(axis=0)
+                    else:
+                        res = jnp.where(pres, res, jnp.inf)
+                        red = res.reshape(span, e_sub, 128).min(axis=0)
+                    cur = accs[ci][pl.ds(g, 1)]
+                    red = red.reshape(1, e_sub, 128)
+                    if kind == "sum":
+                        accs[ci][pl.ds(g, 1)] = cur + red
+                    elif kind == "max":
+                        accs[ci][pl.ds(g, 1)] = jnp.maximum(cur, red)
+                    else:
+                        accs[ci][pl.ds(g, 1)] = jnp.minimum(cur, red)
+            return 0
+
+        jax.lax.fori_loop(0, nsp, body, 0)
+
+        for g in range(n_groups):
+            den = rwsum_ref[:, g * GROUP:(g + 1) * GROUP]   # (1, 128)
+            parts = [
+                accs[ci][pl.ds(g, 1)].reshape(e_sub, 128)
+                for ci in range(len(chains))
+            ]
+            out_ref[:, g * GROUP:(g + 1) * GROUP] = _finalize(
+                method, has_nan, parts, den
+            )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "has_nan", "scan_steps", "maxc", "span", "block",
+        "interpret",
+    ),
+)
+def gather_span_apply(
+    srcE, chunk0, nsp, meta, ptab, rwsum,
+    method: str = "mean",
+    has_nan: bool = True,
+    scan_steps: int = 7,
+    maxc: int = 8,
+    span: int = SPAN,
+    block: int = BLOCK,
+    interpret: bool = False,
+):
+    """Superpacket (span-engine) apply: plan arrays from
+    ``plan_gather_span``; srcE staged as for the packet engine."""
+    e_sub, m_pad = srcE.shape
+    ctot = m_pad // CHUNK
+    chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
+    n_blocks = chunk0.shape[0]
+    nsp_max = ptab.shape[0] // n_blocks // span
+    n_pad = n_blocks * block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (nsp_max * span, 8, 128), lambda b, *_: (b, 0, 0)
+            ),
+            pl.BlockSpec((1, block), lambda b, *_: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((e_sub, block), lambda b, *_: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((maxc, e_sub, CHUNK), jnp.float32),
+        ]
+        + [
+            pltpu.VMEM((block // GROUP, e_sub, 128), jnp.float32)
+            for _ in range(len(_chains(method, has_nan)))
+        ]
+        + [pltpu.SemaphoreType.DMA],
+    )
+
+    kernel = _make_span_kernel(
+        method, has_nan, scan_steps, maxc,
+        nsp_max, e_sub, block, span, interpret,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chunk0, nsp, meta, ptab, rwsum.reshape(1, -1), chunks)
 
 
 def stage_source(source2d: np.ndarray, plan: GatherPlan) -> np.ndarray:
@@ -658,6 +1149,23 @@ def stage_source(source2d: np.ndarray, plan: GatherPlan) -> np.ndarray:
     return out
 
 
+def plan_default(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = BLOCK,
+) -> GatherPlan | SpanPlan | None:
+    """Plan with the default engine (XUGRID_TPU_GATHER_ENGINE, falling
+    back to the span engine), with the other engine as a fallback when
+    planning rejects."""
+    engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
+    if engine == "span":
+        plan = plan_gather_span(indices, weights, block)
+        if plan is None:
+            plan = plan_gather(indices, weights, block)
+        return plan
+    return plan_gather(indices, weights, block)
+
+
 def apply_windowed_gather(
     source2d: np.ndarray,
     indices: np.ndarray,
@@ -665,16 +1173,47 @@ def apply_windowed_gather(
     method: str = "mean",
     has_nan: bool | None = None,
     block: int = BLOCK,
-    plan: GatherPlan | None = None,
+    plan: GatherPlan | SpanPlan | None = None,
     interpret: bool = False,
+    engine: str | None = None,
 ):
     """
     Host wrapper: plans packets, stages the source, runs the kernel.
     ``source2d`` is (n_extra, m) slice-major.  Returns (n_target,
     n_extra) f32, or None when planning rejects (caller falls back).
+    ``engine``: "span" (superpackets) or "packet"; default from
+    XUGRID_TPU_GATHER_ENGINE, falling back to "span".
     """
     if method not in GATHER_METHODS:
         return None
+    if plan is not None:
+        engine = "span" if isinstance(plan, SpanPlan) else "packet"
+    elif engine is None:
+        engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
+    if engine == "span":
+        if plan is None:
+            plan = plan_gather_span(indices, weights, block)
+        if plan is None:
+            return None
+        if has_nan is None:
+            has_nan = bool(np.isnan(source2d).any())
+        srcE = stage_source(source2d, plan)
+        out = gather_span_apply(
+            jnp.asarray(srcE),
+            jnp.asarray(plan.chunk0),
+            jnp.asarray(plan.nsp),
+            jnp.asarray(plan.meta),
+            jnp.asarray(plan.ptab),
+            jnp.asarray(plan.rwsum),
+            method=method,
+            has_nan=bool(has_nan),
+            scan_steps=plan.scan_steps,
+            maxc=plan.maxc,
+            span=plan.span,
+            block=plan.block,
+            interpret=interpret,
+        )
+        return np.asarray(out)[: source2d.shape[0], : plan.n].T
     if plan is None:
         plan = plan_gather(indices, weights, block)
     if plan is None:
@@ -682,18 +1221,24 @@ def apply_windowed_gather(
     if has_nan is None:
         has_nan = bool(np.isnan(source2d).any())
     srcE = stage_source(source2d, plan)
+    e_sub = srcE.shape[0]
+    mxu = _use_mxu(method, bool(has_nan), e_sub)
     out = gather_windowed_apply(
         jnp.asarray(srcE),
         jnp.asarray(plan.chunk0),
         jnp.asarray(plan.npk),
         jnp.asarray(plan.meta),
         jnp.asarray(plan.ptab),
+        jnp.asarray(plan.page),
         jnp.asarray(plan.rwsum),
         method=method,
         has_nan=bool(has_nan),
-        scan_steps=plan.scan_steps,
+        # The MXU path ignores scan_steps; pin it so one compile key
+        # serves every plan that lands on this shape bucket.
+        scan_steps=0 if mxu else plan.scan_steps,
         maxc=plan.maxc,
         block=plan.block,
+        mxu=mxu,
         interpret=interpret,
     )
     return np.asarray(out)[: source2d.shape[0], : plan.n].T

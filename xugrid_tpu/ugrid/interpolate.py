@@ -78,11 +78,12 @@ def _make_pcg_gather():
     @partial(
         jax.jit,
         static_argnames=(
-            "maxiter", "degree", "scan_steps", "maxc", "interpret"
+            "maxiter", "degree", "scan_steps", "maxc", "mxu", "interpret"
         ),
     )
-    def solve(chunk0, npk, meta, ptab, minv_row, bE, x0E, rtol, atol,
-              lmax, maxiter, degree, scan_steps, maxc, interpret=False):
+    def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
+              atol, lmax, maxiter, degree, scan_steps, maxc, mxu,
+              interpret=False):
         from xugrid_tpu.regrid.gather_apply import gather_windowed_apply
 
         N = bE.shape[1]
@@ -92,9 +93,10 @@ def _make_pcg_gather():
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
             out = gather_windowed_apply(
-                xE, chunk0, npk, meta, ptab, rw,
+                xE, chunk0, npk, meta, ptab, page, rw,
                 method="matvec", has_nan=False,
-                scan_steps=scan_steps, maxc=maxc, interpret=interpret,
+                scan_steps=scan_steps, maxc=maxc, mxu=mxu,
+                interpret=interpret,
             )
             if n512 < N:
                 out = jnp.pad(out, ((0, 0), (0, N - n512)))
@@ -397,11 +399,17 @@ def cg_solve(
 
         from xugrid_tpu.regrid.gather_apply import pad_sublanes
 
+        from xugrid_tpu.regrid.gather_apply import _use_mxu
+
         global _PCG_GATHER
         if _PCG_GATHER is None:
             _PCG_GATHER = _make_pcg_gather()
         plan = gather_plan
         e_sub = pad_sublanes(E)
+        mxu = _use_mxu("matvec", False, e_sub)
+        # Scan-path matvecs never read the page: ship a dummy instead
+        # of the plan's (it would otherwise ride every block's DMA).
+        page = plan.page if mxu else np.zeros((8, 128), np.int32)
         n512 = len(plan.chunk0) * 512
         c_needed = (int(plan.chunk0.max()) + plan.maxc) * 128
         N = max(n_pad, n512, -(-c_needed // 512) * 512)
@@ -416,10 +424,12 @@ def cg_solve(
         x, k = _PCG_GATHER(
             jnp.asarray(plan.chunk0), jnp.asarray(plan.npk),
             jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
+            jnp.asarray(page),
             jnp.asarray(minv_row), jnp.asarray(bE), jnp.asarray(x0E),
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
-            scan_steps=plan.scan_steps, maxc=plan.maxc,
+            scan_steps=0 if mxu else plan.scan_steps, maxc=plan.maxc,
+            mxu=mxu,
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
