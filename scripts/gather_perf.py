@@ -30,6 +30,7 @@ N_EXTRA = int(os.environ.get("N_EXTRA", "20"))
 SIDE = int(os.environ.get("SIDE", "1000"))
 TSIDE = int(os.environ.get("TSIDE", "512"))
 METHOD = os.environ.get("METHOD", "mean")
+ENGINE = os.environ.get("ENGINE", "span")
 
 
 def main():
@@ -67,25 +68,79 @@ def main():
 
     from xugrid_tpu.regrid.gather_apply import (
         _use_mxu,
+        gather_span_apply,
         gather_windowed_apply,
         plan_gather,
+        plan_gather_span,
         stage_source,
     )
 
     t0 = time.perf_counter()
-    plan = plan_gather(padded.indices, padded.weights)
-    print(f"plan: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    if ENGINE == "span":
+        plan = plan_gather_span(padded.indices, padded.weights)
+    else:
+        plan = plan_gather(padded.indices, padded.weights)
+    print(f"plan[{ENGINE}]: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
     if plan is None:
         print("PLAN REJECTED")
         return
-    print(
-        f"plan: maxc={plan.maxc} npk_max={plan.npk_max} "
-        f"scan_steps={plan.scan_steps} "
-        f"npk_total={int(plan.npk.sum())} "
-        f"nnz={csr.nnz} lane_eff={csr.nnz/ (plan.npk.sum()*127):.2f}",
-        file=sys.stderr,
-    )
+    if ENGINE == "span":
+        print(
+            f"plan: maxc={plan.maxc} nsp_max={plan.nsp_max} "
+            f"span={plan.span} scan_steps={plan.scan_steps} "
+            f"nsp_total={int(plan.nsp.sum())} nnz={csr.nnz} "
+            f"lane_eff={csr.nnz/(plan.nsp.sum()*plan.span*127):.2f}",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"plan: maxc={plan.maxc} npk_max={plan.npk_max} "
+            f"scan_steps={plan.scan_steps} "
+            f"npk_total={int(plan.npk.sum())} "
+            f"nnz={csr.nnz} lane_eff={csr.nnz/ (plan.npk.sum()*127):.2f}",
+            file=sys.stderr,
+        )
     srcE = stage_source(source, plan)
+
+    if ENGINE == "span":
+        @partial(jax.jit, static_argnames=("method", "scan_steps", "maxc",
+                                           "span", "n_reps"))
+        def span_reps(srcE, c0, nsp, meta, ptab, rwsum,
+                      method, scan_steps, maxc, span, n_reps):
+            def body(i, acc):
+                out = gather_span_apply(
+                    srcE + i.astype(srcE.dtype) * 1e-12,
+                    c0, nsp, meta, ptab, rwsum,
+                    method=method, has_nan=False,
+                    scan_steps=scan_steps, maxc=maxc, span=span,
+                )
+                return acc + jnp.nansum(out)
+
+            import jax.lax as lax
+            return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+        reps = 10
+        dargs = (
+            jnp.asarray(srcE), jnp.asarray(plan.chunk0),
+            jnp.asarray(plan.nsp), jnp.asarray(plan.meta),
+            jnp.asarray(plan.ptab), jnp.asarray(plan.rwsum),
+        )
+        t0 = time.perf_counter()
+        cs = float(span_reps(*dargs, METHOD, plan.scan_steps, plan.maxc,
+                             plan.span, reps))
+        print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        cs = float(span_reps(*dargs, METHOD, plan.scan_steps, plan.maxc,
+                             plan.span, reps))
+        dt = (time.perf_counter() - t0) / reps
+        gbps = true_bytes / dt / 1e9
+        print(
+            f"span kernel [{METHOD} E={N_EXTRA} span={plan.span}]: "
+            f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
+            f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+        )
+        check_against_xla(source, padded, plan, grid)
+        return
 
     reps = 10
 
@@ -127,6 +182,10 @@ def main():
         f"{gbps:.1f} GB/s true  {100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )
 
+    check_against_xla(source, padded, plan, grid)
+
+
+def check_against_xla(source, padded, plan, grid):
     # correctness spot-check vs XLA path on device
     from xugrid_tpu.regrid.gather_apply import apply_windowed_gather
     got = apply_windowed_gather(

@@ -78,13 +78,17 @@ def _make_pcg_gather():
     @partial(
         jax.jit,
         static_argnames=(
-            "maxiter", "degree", "scan_steps", "maxc", "mxu", "interpret"
+            "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
+            "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
-              atol, lmax, maxiter, degree, scan_steps, maxc, mxu,
+              atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
               interpret=False):
-        from xugrid_tpu.regrid.gather_apply import gather_windowed_apply
+        from xugrid_tpu.regrid.gather_apply import (
+            gather_span_apply,
+            gather_windowed_apply,
+        )
 
         N = bE.shape[1]
         n_blocks = chunk0.shape[0]
@@ -92,12 +96,20 @@ def _make_pcg_gather():
         rw = jnp.zeros(n512, jnp.float32)  # unused by method="matvec"
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
-            out = gather_windowed_apply(
-                xE, chunk0, npk, meta, ptab, page, rw,
-                method="matvec", has_nan=False,
-                scan_steps=scan_steps, maxc=maxc, mxu=mxu,
-                interpret=interpret,
-            )
+            if span:
+                out = gather_span_apply(
+                    xE, chunk0, npk, meta, ptab, rw,
+                    method="matvec", has_nan=False,
+                    scan_steps=scan_steps, maxc=maxc, span=span,
+                    interpret=interpret,
+                )
+            else:
+                out = gather_windowed_apply(
+                    xE, chunk0, npk, meta, ptab, page, rw,
+                    method="matvec", has_nan=False,
+                    scan_steps=scan_steps, maxc=maxc, mxu=mxu,
+                    interpret=interpret,
+                )
             if n512 < N:
                 out = jnp.pad(out, ((0, 0), (0, N - n512)))
             return out
@@ -374,7 +386,7 @@ def cg_solve(
     if gather_mode == "force" or (
         gather_mode == "auto" and jax.default_backend() == "tpu"
     ):
-        from xugrid_tpu.regrid.gather_apply import plan_gather
+        from xugrid_tpu.regrid.gather_apply import plan_default
 
         # Plan once per matrix: planning a 1M-node system costs
         # seconds, and interpolate_na solves the same Laplacian for
@@ -386,30 +398,47 @@ def cg_solve(
         h = hashlib.blake2b(digest_size=16)
         h.update(np.ascontiguousarray(idx).tobytes())
         h.update(np.ascontiguousarray(w32).tobytes())
-        key = (idx.shape, h.hexdigest())
+        key = (
+            idx.shape, h.hexdigest(),
+            os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span"),
+        )
         if key in _GATHER_PLANS:
             gather_plan = _GATHER_PLANS[key]
         else:
-            gather_plan = plan_gather(idx, w32)
+            gather_plan = plan_default(idx, w32)
             if len(_GATHER_PLANS) > 4:
                 _GATHER_PLANS.clear()
             _GATHER_PLANS[key] = gather_plan
     if gather_plan is not None:
         import jax.numpy as jnp
 
-        from xugrid_tpu.regrid.gather_apply import pad_sublanes
-
-        from xugrid_tpu.regrid.gather_apply import _use_mxu
+        from xugrid_tpu.regrid.gather_apply import (
+            SpanPlan,
+            _use_mxu,
+            pad_sublanes,
+        )
 
         global _PCG_GATHER
         if _PCG_GATHER is None:
             _PCG_GATHER = _make_pcg_gather()
         plan = gather_plan
         e_sub = pad_sublanes(E)
-        mxu = _use_mxu("matvec", False, e_sub)
-        # Scan-path matvecs never read the page: ship a dummy instead
-        # of the plan's (it would otherwise ride every block's DMA).
-        page = plan.page if mxu else np.zeros((8, 128), np.int32)
+        is_span = isinstance(plan, SpanPlan)
+        if is_span:
+            mxu = False
+            count = plan.nsp
+            span = plan.span
+            page = np.zeros((8, 128), np.int32)  # unused by span engine
+            scan_steps = plan.scan_steps
+        else:
+            mxu = _use_mxu("matvec", False, e_sub)
+            count = plan.npk
+            span = 0
+            # Scan-path matvecs never read the page: ship a dummy
+            # instead of the plan's (it would otherwise ride every
+            # block's DMA).
+            page = plan.page if mxu else np.zeros((8, 128), np.int32)
+            scan_steps = 0 if mxu else plan.scan_steps
         n512 = len(plan.chunk0) * 512
         c_needed = (int(plan.chunk0.max()) + plan.maxc) * 128
         N = max(n_pad, n512, -(-c_needed // 512) * 512)
@@ -422,14 +451,14 @@ def cg_solve(
             diag_pad != 0.0, 1.0 / np.where(diag_pad == 0.0, 1.0, diag_pad), 1.0
         )
         x, k = _PCG_GATHER(
-            jnp.asarray(plan.chunk0), jnp.asarray(plan.npk),
+            jnp.asarray(plan.chunk0), jnp.asarray(count),
             jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
             jnp.asarray(page),
             jnp.asarray(minv_row), jnp.asarray(bE), jnp.asarray(x0E),
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
-            scan_steps=0 if mxu else plan.scan_steps, maxc=plan.maxc,
-            mxu=mxu,
+            scan_steps=scan_steps, maxc=plan.maxc,
+            span=span, mxu=mxu,
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
