@@ -68,15 +68,22 @@ def main():
 
     from xugrid_tpu.regrid.gather_apply import (
         _use_mxu,
+        gather_pdot_apply,
         gather_span_apply,
         gather_windowed_apply,
         plan_gather,
+        plan_gather_pdot,
         plan_gather_span,
         stage_source,
     )
 
     t0 = time.perf_counter()
-    if ENGINE == "span":
+    if ENGINE == "pdot":
+        plan = plan_gather_pdot(
+            padded.indices, padded.weights,
+            span=int(os.environ.get("PD_SPAN", "1")),
+        )
+    elif ENGINE == "span":
         plan = plan_gather_span(padded.indices, padded.weights)
     else:
         plan = plan_gather(padded.indices, padded.weights)
@@ -84,7 +91,15 @@ def main():
     if plan is None:
         print("PLAN REJECTED")
         return
-    if ENGINE == "span":
+    if ENGINE == "pdot":
+        rows = int(plan.nsp.sum()) * plan.span
+        print(
+            f"plan: maxc={plan.maxc} nsp_max={plan.nsp_max} "
+            f"span={plan.span} nsp_total={int(plan.nsp.sum())} "
+            f"nnz={csr.nnz} lane_eff={csr.nnz/(rows*128):.2f}",
+            file=sys.stderr,
+        )
+    elif ENGINE == "span":
         print(
             f"plan: maxc={plan.maxc} nsp_max={plan.nsp_max} "
             f"span={plan.span} scan_steps={plan.scan_steps} "
@@ -101,6 +116,45 @@ def main():
             file=sys.stderr,
         )
     srcE = stage_source(source, plan)
+
+    if ENGINE == "pdot":
+        @partial(jax.jit, static_argnames=("method", "maxc", "span",
+                                           "n_reps"))
+        def pdot_reps(srcE, c0, nsp, meta, ptab, rwsum,
+                      method, maxc, span, n_reps):
+            def body(i, acc):
+                out = gather_pdot_apply(
+                    srcE + i.astype(srcE.dtype) * 1e-12,
+                    c0, nsp, meta, ptab, rwsum,
+                    method=method, has_nan=False,
+                    maxc=maxc, span=span,
+                )
+                return acc + jnp.nansum(out)
+
+            import jax.lax as lax
+            return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+        reps = 10
+        dargs = (
+            jnp.asarray(srcE), jnp.asarray(plan.chunk0),
+            jnp.asarray(plan.nsp), jnp.asarray(plan.meta),
+            jnp.asarray(plan.ptab), jnp.asarray(plan.rwsum),
+        )
+        t0 = time.perf_counter()
+        cs = float(pdot_reps(*dargs, METHOD, plan.maxc, plan.span, reps))
+        print(f"compile+first: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        cs = float(pdot_reps(*dargs, METHOD, plan.maxc, plan.span, reps))
+        dt = (time.perf_counter() - t0) / reps
+        gbps = true_bytes / dt / 1e9
+        print(
+            f"pdot kernel [{METHOD} E={N_EXTRA} span={plan.span}]: "
+            f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
+            f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+        )
+        check_against_xla(source, padded, plan, grid)
+        return
 
     if ENGINE == "span":
         @partial(jax.jit, static_argnames=("method", "scan_steps", "maxc",

@@ -64,7 +64,7 @@ def oracle_apply(method, indices, weights, source):
     return np.asarray(out)                             # (n, E)
 
 
-@pytest.mark.parametrize("engine", ["packet", "span"])
+@pytest.mark.parametrize("engine", ["packet", "span", "pdot"])
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
 def test_gather_kernel_matches_oracle(method, nan_frac, engine):

@@ -160,13 +160,20 @@ def apply_weights(
         )
 
         if method in GATHER_METHODS:
+            # min/max need a scan-capable plan (the pdot engine covers
+            # sum-kind chains only) — cache the two plan classes apart.
+            for_minmax = method in ("min", "max")
+            cache_key = "gather_plan_mm" if for_minmax else "gather_plan"
             gplan = _REJECTED
             if plan_cache is not None:
-                gplan = plan_cache.get("gather_plan", _REJECTED)
+                gplan = plan_cache.get(cache_key, _REJECTED)
             if gplan is _REJECTED:
-                gplan = plan_default(weights.indices, weights.weights)
+                gplan = plan_default(
+                    weights.indices, weights.weights,
+                    for_minmax=for_minmax,
+                )
                 if plan_cache is not None:
-                    plan_cache["gather_plan"] = gplan
+                    plan_cache[cache_key] = gplan
             if gplan is not None:
                 out = apply_windowed_gather(
                     source2d.astype(np.float32, copy=False),

@@ -510,6 +510,329 @@ def plan_gather_span(
     )
 
 
+class PdotPlan(NamedTuple):
+    """One-hot-matmul plan (pdot engine).
+
+    Blocks are 128 targets (one gather group): segment ids ARE target
+    lanes 0..127, so the per-k-row segment combine is a single MXU
+    matmul against the one-hot matrix ``P_T[t, l] = (seg[l] == t)``
+    built in-register from the lane-major segment row — no segmented
+    scan, no masks, no per-group segment-end gathers (those were ~60%
+    of the span kernel's per-iteration cost).  Sum-kind chains only
+    (the linear reduce family + matvec); min/max ride the span engine.
+    """
+
+    chunk0: np.ndarray   # (n_blocks,) i32 span-aligned first chunk
+    nsp: np.ndarray      # (n_blocks,) i32 superpackets per block
+    meta: np.ndarray     # (n_blocks*nsp_max//2,) i32 packed pairs of
+    #                      15-bit slab-local span base chunks
+    ptab: np.ndarray     # (n_blocks*nsp_max*span, 3, 128) i32 rows:
+    #                      0 lane-local src idx, 1 f32 weight bits,
+    #                      2 target lane 0..127 (-1 pad)
+    rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
+    maxc: int            # chunks per block slab
+    nsp_max: int         # superpackets per block (padded, even)
+    span: int
+    n: int
+    block: int           # 128
+
+
+def plan_gather_pdot(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    span: int = SPAN,
+    max_plan_bytes: int = 1_500_000_000,
+) -> PdotPlan | None:
+    """Build the pdot plan (128-target blocks, full 128-lane payloads
+    — no dummy lane: pad lanes carry segment -1, whose one-hot row is
+    all-zero), or None when the window structure defeats it."""
+    block = GROUP
+    n, _w = indices.shape
+    if n == 0:
+        return None
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+
+    valid = indices >= 0
+    ti, _sl = np.nonzero(valid)
+    if len(ti) == 0:
+        return None
+    src = indices[valid]
+    wts = weights[valid]
+    if src.max() >= (1 << 25):  # chunk id must fit 18 bits
+        return None
+
+    # Sort by (block, chunk, target lane, lane-local idx).
+    B = (ti // block).astype(np.int64)
+    t7 = (ti % block).astype(np.int64)
+    key = (((B << 18) | (src >> 7)) << 14) | (t7 << 7) | (src & 127)
+    del ti, t7
+    order = np.argsort(key)
+    key = key[order]
+    ew = wts[order]
+    del order, wts, src
+    idx7 = (key & 127).astype(np.int32)
+    t7 = (key >> 7) & 127
+    chk = (key >> 14) & ((1 << 18) - 1)
+    B = key >> 32
+    nnz = len(key)
+    pos = np.arange(nnz, dtype=np.int64)
+
+    # Rank within (block, chunk) -> round r and lane (all 128 lanes
+    # are payload).
+    bc = (B << 18) | chk
+    newc = np.empty(nnz, bool)
+    newc[0] = True
+    np.not_equal(bc[1:], bc[:-1], out=newc[1:])
+    cstart = np.maximum.accumulate(np.where(newc, pos, 0))
+    posk = pos - cstart
+    r = posk // 128
+    lane = posk % 128
+
+    span_id = chk // span
+    k_e = chk - span_id * span
+
+    # Span-aligned slab base and extent per block.
+    firsts_b = np.flatnonzero(np.concatenate([[True], B[1:] != B[:-1]]))
+    lasts_b = np.append(firsts_b[1:] - 1, nnz - 1)
+    blocks_present = B[firsts_b]
+    chunk0 = np.zeros(n_blocks, np.int64)
+    chunk0[blocks_present] = span_id[firsts_b] * span
+    cmax = np.zeros(n_blocks, np.int64)
+    cmax[blocks_present] = (span_id[lasts_b] + 1) * span
+    maxc = int((cmax - chunk0).max())
+
+    # Buckets = (block, span); superpackets per bucket = the max
+    # round count over the span's chunks.
+    lasts_c = np.flatnonzero(np.append(newc[1:], True))
+    rounds_c = r[lasts_c] + 1
+    bs_c = (B[lasts_c] << 18) | span_id[lasts_c]
+    newb_c = np.empty(len(bs_c), bool)
+    newb_c[0] = True
+    np.not_equal(bs_c[1:], bs_c[:-1], out=newb_c[1:])
+    bid_c = np.cumsum(newb_c) - 1
+    n_buckets = int(bid_c[-1]) + 1
+    Rb = np.zeros(n_buckets, np.int64)
+    np.maximum.at(Rb, bid_c, rounds_c)
+    bucket_B = B[lasts_c][newb_c]
+    bucket_c0 = span_id[lasts_c][newb_c] * span - chunk0[bucket_B]
+
+    nsp_b = np.zeros(n_blocks, np.int64)
+    np.add.at(nsp_b, bucket_B, Rb)
+    nsp_max = max(2, (-(-int(nsp_b.max()) // 2)) * 2)
+    NR = n_blocks * nsp_max * span
+    if NR * 3 * 128 * 4 > max_plan_bytes:
+        return None
+    e_probe = 32
+    if maxc * e_probe * CHUNK * 4 > _SLAB_BYTES:
+        return None
+
+    csum = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(Rb, out=csum[1:])
+    blk_starts = np.zeros(n_blocks + 1, np.int64)
+    np.cumsum(nsp_b, out=blk_starts[1:])
+    sp_base_local = csum[:-1] - blk_starts[bucket_B]
+
+    total_sp = int(csum[-1])
+    spb_B = np.repeat(bucket_B, Rb)
+    spb_c0 = np.repeat(bucket_c0, Rb)
+    sp_local_all = np.arange(total_sp, dtype=np.int64) - blk_starts[spb_B]
+    if (spb_c0 >= (1 << 15)).any():
+        return None
+    meta_arr = np.zeros(n_blocks * nsp_max, np.int32)
+    meta_arr[spb_B * nsp_max + sp_local_all] = spb_c0.astype(np.int32)
+    meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
+    if len(meta) * 4 + (2 * n_blocks + 2) * 4 > 900_000:
+        return None  # SMEM scalar-prefetch budget
+
+    ci_e = np.cumsum(newc) - 1
+    bid_e = bid_c[ci_e]
+    sp_e = sp_base_local[bid_e] + r
+    erow = (B * nsp_max + sp_e) * span + k_e
+
+    ptab = np.zeros((NR, 3, 128), np.int32)
+    ptab[:, 2, :] = -1
+    ptab[erow, 0, lane] = idx7
+    ptab[erow, 1, lane] = ew.view(np.int32)
+    ptab[erow, 2, lane] = t7.astype(np.int32)
+
+    rwsum = np.zeros(n_pad, np.float32)
+    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+
+    return PdotPlan(
+        chunk0=chunk0.astype(np.int32),
+        nsp=nsp_b.astype(np.int32),
+        meta=meta,
+        ptab=ptab,
+        rwsum=rwsum,
+        maxc=maxc,
+        nsp_max=nsp_max,
+        span=span,
+        n=n,
+        block=block,
+    )
+
+
+def _pdot_supported(method: str, has_nan: bool) -> bool:
+    return all(kind == "sum" for _, kind in _chains(method, has_nan))
+
+
+def _make_pdot_kernel(
+    method: str,
+    has_nan: bool,
+    maxc: int,
+    nsp_max: int,
+    e_sub: int,
+    span: int,
+    interpret: bool,
+):
+    chains = _chains(method, has_nan)
+    nc = len(chains)
+    assert all(kind == "sum" for _, kind in chains)
+
+    def kernel(
+        chunk0_ref, nsp_ref, meta_ref,    # scalar prefetch (SMEM)
+        ptab_ref, rwsum_ref,
+        src_hbm, out_ref,
+        slab, acc, sem,
+    ):
+        b = pl.program_id(0)
+        c0 = chunk0_ref[b]
+        nsp = nsp_ref[b]
+        base = b * nsp_max
+
+        dma = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(c0, maxc)], slab, sem
+        )
+        dma.start()
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        acc[...] = jnp.zeros((nc * e_sub, 128), jnp.float32)
+
+        dma.wait()
+
+        def expand(x):
+            return jnp.broadcast_to(
+                x[:, None, :], (span, e_sub, 128)
+            ).reshape(span * e_sub, 128)
+
+        def body(sp, _):
+            row = base + sp
+            word = meta_ref[row >> 1]
+            csp = (word >> ((row & 1) * 16)) & 0x7FFF
+            tab = ptab_ref[pl.ds(sp * span, span)]    # (span, 3, 128)
+            idx_p = tab[:, 0, :]
+            w_p = jax.lax.bitcast_convert_type(tab[:, 1, :], jnp.float32)
+            seg_p = tab[:, 2, :]
+
+            table = slab[pl.ds(csp, span)].reshape(span * e_sub, 128)
+            val = jnp.take_along_axis(table, expand(idx_p), axis=1)
+            qs = _lane_quantities(method, has_nan, val, expand(w_p))
+            if method == "sum" and not has_nan:
+                # The unweighted value sum has no w-gate: zero the pad
+                # lanes explicitly so a non-finite garbage gather can't
+                # poison the matmul (0 * inf = nan spreads row-wide).
+                qs = (jnp.where(expand(seg_p) >= 0, qs[0], 0.0),)
+
+            for k in range(span):
+                # One-hot P_T[t, l] = (seg[l] == t): lane-major seg
+                # broadcast down sublanes vs a sublane iota.  Pad
+                # lanes (seg -1) match no target row.  The NT matmul
+                # res[e, t] = sum_l q[e, l] * P_T[t, l] IS the
+                # segmented sum — exact (products are q * 1.0).
+                pt = (
+                    jnp.broadcast_to(seg_p[k:k + 1, :], (128, 128))
+                    == sub_iota
+                ).astype(jnp.float32)
+                if nc > 1:
+                    qk = jnp.concatenate(
+                        [
+                            qs[ci][k * e_sub:(k + 1) * e_sub]
+                            for ci in range(nc)
+                        ],
+                        axis=0,
+                    )
+                else:
+                    qk = qs[0][k * e_sub:(k + 1) * e_sub]
+                res = jax.lax.dot_general(
+                    qk, pt, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                acc[...] += res
+            return 0
+
+        jax.lax.fori_loop(0, nsp, body, 0)
+
+        den = rwsum_ref[...]                           # (1, 128)
+        parts = [
+            acc[ci * e_sub:(ci + 1) * e_sub] for ci in range(nc)
+        ]
+        out_ref[...] = _finalize(method, has_nan, parts, den)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "has_nan", "maxc", "span", "interpret"),
+)
+def gather_pdot_apply(
+    srcE, chunk0, nsp, meta, ptab, rwsum,
+    method: str = "mean",
+    has_nan: bool = True,
+    maxc: int = 8,
+    span: int = SPAN,
+    interpret: bool = False,
+):
+    """One-hot-matmul apply: plan arrays from ``plan_gather_pdot``;
+    srcE staged as for the other engines."""
+    e_sub, m_pad = srcE.shape
+    ctot = m_pad // CHUNK
+    chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
+    n_blocks = chunk0.shape[0]
+    nsp_max = ptab.shape[0] // n_blocks // span
+    block = GROUP
+    n_pad = n_blocks * block
+    nc = len(_chains(method, has_nan))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (nsp_max * span, 3, 128), lambda b, *_: (b, 0, 0)
+            ),
+            pl.BlockSpec((1, block), lambda b, *_: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((e_sub, block), lambda b, *_: (0, b)),
+        scratch_shapes=[
+            pltpu.VMEM((maxc, e_sub, CHUNK), jnp.float32),
+            pltpu.VMEM((nc * e_sub, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = _make_pdot_kernel(
+        method, has_nan, maxc, nsp_max, e_sub, span, interpret,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chunk0, nsp, meta, ptab, rwsum.reshape(1, -1), chunks)
+
+
 def _roll_lanes(x, shift, interpret):
     if interpret:
         return jnp.roll(x, shift, axis=1)
@@ -1153,12 +1476,20 @@ def plan_default(
     indices: np.ndarray,
     weights: np.ndarray | None = None,
     block: int = BLOCK,
-) -> GatherPlan | SpanPlan | None:
+    for_minmax: bool = False,
+) -> GatherPlan | SpanPlan | PdotPlan | None:
     """Plan with the default engine (XUGRID_TPU_GATHER_ENGINE, falling
-    back to the span engine), with the other engine as a fallback when
-    planning rejects."""
+    back to the span engine; "pdot" is opt-in — measured slower on the
+    1M config: 11.7 vs 7.4 ms/pass at E=20), with the scan engines as
+    fallbacks when planning rejects.  ``for_minmax`` requests a
+    scan-capable plan (the pdot engine covers sum-kind chains only)."""
     engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
-    if engine == "span":
+    if engine == "pdot" and not for_minmax:
+        plan = plan_gather_pdot(indices, weights)
+        if plan is not None:
+            return plan
+        engine = "span"
+    if engine in ("span", "pdot"):
         plan = plan_gather_span(indices, weights, block)
         if plan is None:
             plan = plan_gather(indices, weights, block)
@@ -1187,9 +1518,41 @@ def apply_windowed_gather(
     if method not in GATHER_METHODS:
         return None
     if plan is not None:
-        engine = "span" if isinstance(plan, SpanPlan) else "packet"
+        if isinstance(plan, PdotPlan):
+            engine = "pdot"
+        elif isinstance(plan, SpanPlan):
+            engine = "span"
+        else:
+            engine = "packet"
     elif engine is None:
         engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
+    if has_nan is None:
+        has_nan = bool(np.isnan(source2d).any())
+    if engine == "pdot" and not _pdot_supported(method, bool(has_nan)):
+        # min/max chains need the scan engines; replan there.
+        engine = "span"
+        plan = None
+    if engine == "pdot":
+        if plan is None:
+            plan = plan_gather_pdot(indices, weights)
+        if plan is None:
+            engine = "span"
+        else:
+            srcE = stage_source(source2d, plan)
+            out = gather_pdot_apply(
+                jnp.asarray(srcE),
+                jnp.asarray(plan.chunk0),
+                jnp.asarray(plan.nsp),
+                jnp.asarray(plan.meta),
+                jnp.asarray(plan.ptab),
+                jnp.asarray(plan.rwsum),
+                method=method,
+                has_nan=bool(has_nan),
+                maxc=plan.maxc,
+                span=plan.span,
+                interpret=interpret,
+            )
+            return np.asarray(out)[: source2d.shape[0], : plan.n].T
     if engine == "span":
         if plan is None:
             plan = plan_gather_span(indices, weights, block)

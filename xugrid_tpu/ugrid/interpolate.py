@@ -79,24 +79,31 @@ def _make_pcg_gather():
         jax.jit,
         static_argnames=(
             "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
-            "interpret",
+            "engine", "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
               atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
-              interpret=False):
+              engine, interpret=False):
         from xugrid_tpu.regrid.gather_apply import (
+            gather_pdot_apply,
             gather_span_apply,
             gather_windowed_apply,
         )
 
         N = bE.shape[1]
         n_blocks = chunk0.shape[0]
-        n512 = n_blocks * 512
+        n512 = n_blocks * (128 if engine == "pdot" else 512)
         rw = jnp.zeros(n512, jnp.float32)  # unused by method="matvec"
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
-            if span:
+            if engine == "pdot":
+                out = gather_pdot_apply(
+                    xE, chunk0, npk, meta, ptab, rw,
+                    method="matvec", has_nan=False,
+                    maxc=maxc, span=span, interpret=interpret,
+                )
+            elif engine == "span":
                 out = gather_span_apply(
                     xE, chunk0, npk, meta, ptab, rw,
                     method="matvec", has_nan=False,
@@ -413,6 +420,7 @@ def cg_solve(
         import jax.numpy as jnp
 
         from xugrid_tpu.regrid.gather_apply import (
+            PdotPlan,
             SpanPlan,
             _use_mxu,
             pad_sublanes,
@@ -423,14 +431,22 @@ def cg_solve(
             _PCG_GATHER = _make_pcg_gather()
         plan = gather_plan
         e_sub = pad_sublanes(E)
-        is_span = isinstance(plan, SpanPlan)
-        if is_span:
+        if isinstance(plan, PdotPlan):
+            engine = "pdot"
+            mxu = False
+            count = plan.nsp
+            span = plan.span
+            page = np.zeros((8, 128), np.int32)  # unused by pdot engine
+            scan_steps = 0
+        elif isinstance(plan, SpanPlan):
+            engine = "span"
             mxu = False
             count = plan.nsp
             span = plan.span
             page = np.zeros((8, 128), np.int32)  # unused by span engine
             scan_steps = plan.scan_steps
         else:
+            engine = "packet"
             mxu = _use_mxu("matvec", False, e_sub)
             count = plan.npk
             span = 0
@@ -439,7 +455,7 @@ def cg_solve(
             # block's DMA).
             page = plan.page if mxu else np.zeros((8, 128), np.int32)
             scan_steps = 0 if mxu else plan.scan_steps
-        n512 = len(plan.chunk0) * 512
+        n512 = len(plan.chunk0) * plan.block
         c_needed = (int(plan.chunk0.max()) + plan.maxc) * 128
         N = max(n_pad, n512, -(-c_needed // 512) * 512)
         bE = np.zeros((e_sub, N), np.float32)
@@ -458,7 +474,7 @@ def cg_solve(
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
             scan_steps=scan_steps, maxc=plan.maxc,
-            span=span, mxu=mxu,
+            span=span, mxu=mxu, engine=engine,
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
