@@ -39,6 +39,22 @@ jax.config.update(
 )
 
 SMALL = os.environ.get("BENCH_SMALL") == "1"
+XL = os.environ.get("BENCH_XL") == "1"
+
+
+def best_of(fn, n=2):
+    """Run ``fn`` ``n`` times, return (best_seconds, last_result).
+
+    The bench host has 1 vCPU with heavy steal-time noise (2-4x swings);
+    the min over a couple of runs is the stable measure of host phases.
+    """
+    best = np.inf
+    out = None
+    for _ in range(1 if SMALL else n):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 #: HBM bandwidth of one v5e chip (speed-of-light reference).
 HBM_GBPS = 819.0
@@ -65,7 +81,7 @@ def main():
 
     if SMALL:
         n_side, t_side, n_extra, n_points = 100, 64, 4, 4096
-    elif os.environ.get("BENCH_XL") == "1":
+    elif XL:
         # BASELINE.json north star: 10M-face mesh, national-scale raster.
         n_side, t_side, n_extra, n_points = 3163, 1024, 20, 1_000_000
     else:
@@ -91,15 +107,17 @@ def main():
     tverts, tfaces = quad_mesh(t_side, t_side, dx=dx)
     target = xu.Ugrid2d(tverts[:, 0], tverts[:, 1], -1, tfaces)
 
-    t0 = time.perf_counter()
-    tree = grid.celltree  # BVH build
-    bvh_build_s = time.perf_counter() - t0
+    def build_tree():
+        grid._celltree = None
+        return grid.celltree
 
-    t0 = time.perf_counter()
-    ti, si, areas = tree.intersect_faces(
-        target.node_coordinates, target.face_node_connectivity, -1
+    bvh_build_s, tree = best_of(build_tree)
+
+    weight_build_s, (ti, si, areas) = best_of(
+        lambda: tree.intersect_faces(
+            target.node_coordinates, target.face_node_connectivity, -1
+        )
     )
-    weight_build_s = time.perf_counter() - t0
     csr = MatrixCSR.from_triplet(ti, si, areas, n=target.n_face, m=grid.n_face)
     padded = PaddedCSR.from_csr(csr, dtype=np.float32)
 
@@ -135,25 +153,30 @@ def main():
 
     # Loop the passes inside one jit call: the remote-relay round trip
     # (~100ms) would otherwise dominate per-pass timing.
-    reps = 5 if SMALL else 10
+    reps = 5 if SMALL else (10 if XL else 20)
     from functools import partial
 
     @partial(jax.jit, static_argnums=(3, 4))
     def apply_reps(srcT, idx, w, reduction, n_reps):
-        def body(i, acc):
-            # Perturb the input per iteration to defeat loop-invariant
-            # hoisting of the apply.
-            perturbed = srcT + i.astype(srcT.dtype) * 1e-12
+        def body(i, carry):
+            src, acc = carry
 
             def chunk_body(c, acc2):
-                out = _apply_windowed_T(
-                    perturbed, idx[c], w[c], reduction
-                )
+                out = _apply_windowed_T(src, idx[c], w[c], reduction)
                 return acc2 + jnp.nansum(out)
 
-            return jax.lax.fori_loop(0, idx.shape[0], chunk_body, acc)
+            acc = jax.lax.fori_loop(0, idx.shape[0], chunk_body, acc)
+            # Carry the source and touch ONE element per rep: defeats
+            # loop-invariant hoisting of the apply without re-streaming
+            # the whole array (the old +i*1e-12 full-array perturbation
+            # added a spurious HBM read+write per rep).
+            src = src.at[0, 0].add(jnp.float32(1e-12))
+            return (src, acc)
 
-        return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+        _, acc = jax.lax.fori_loop(
+            0, n_reps, body, (srcT, jnp.float32(0.0))
+        )
+        return acc
 
     checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
     t0 = time.perf_counter()
@@ -200,16 +223,21 @@ def main():
                 )
                 def reps_fn(srcE, c0, npk, meta, ptab, page, rw,
                             method, scan_steps, maxc, mxu, n_reps):
-                    def body(i, acc):
+                    def body(i, carry):
+                        src, acc = carry
                         out = gather_windowed_apply(
-                            srcE + i.astype(srcE.dtype) * 1e-12,
-                            c0, npk, meta, ptab, page, rw,
+                            src, c0, npk, meta, ptab, page, rw,
                             method=method, has_nan=False,
                             scan_steps=scan_steps, maxc=maxc, mxu=mxu,
                         )
-                        return acc + jnp.nansum(out)
+                        acc = acc + jnp.nansum(out)
+                        src = src.at[0, 0].add(src.dtype.type(1e-12))
+                        return (src, acc)
 
-                    return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+                    _, acc = jax.lax.fori_loop(
+                        0, n_reps, body, (srcE, jnp.float32(0.0))
+                    )
+                    return acc
 
                 page = (
                     gplan.page if mxu else np.zeros((8, 128), np.int32)
@@ -267,14 +295,19 @@ def main():
 
             @partial(jax.jit, static_argnums=(7, 8, 9))
             def pallas_reps(srcT, idx, w, st, ns, jl, jh, blk, meth, n_reps):
-                def body(i, acc):
+                def body(i, carry):
+                    src, acc = carry
                     out = pallas_windowed_apply(
-                        srcT + i.astype(srcT.dtype) * 1e-12,
-                        idx, w, st, ns, jl, jh, blk, meth, False,
+                        src, idx, w, st, ns, jl, jh, blk, meth, False,
                     )
-                    return acc + jnp.nansum(out)
+                    acc = acc + jnp.nansum(out)
+                    src = src.at[0, 0].add(jnp.float32(1e-12))
+                    return (src, acc)
 
-                return jax.lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+                _, acc = jax.lax.fori_loop(
+                    0, n_reps, body, (srcT, jnp.float32(0.0))
+                )
+                return acc
 
             dargs = (
                 jnp.asarray(srcT_p),
@@ -330,9 +363,9 @@ def main():
         grid.topology_subset(index)
         for index in labels_to_indices(labels)
     ]
-    t0 = time.perf_counter()
-    merged_grid, _ = parts[0].merge_partitions(parts)
-    merge_s = time.perf_counter() - t0
+    merge_s, (merged_grid, _) = best_of(
+        lambda: parts[0].merge_partitions(parts)
+    )
     assert merged_grid.n_face == grid.n_face
 
     # --- host CPU baseline: scipy CSR matvec (the C-speed equivalent of
