@@ -17,6 +17,7 @@ from xugrid_tpu.regrid.gather_apply import (
 )
 
 ORACLES = {
+    "max_overlap": reductions.max_overlap,
     "mean": reductions.mean,
     "sum": reductions.sum,
     "first_order_conservative": reductions.first_order_conservative,
@@ -172,4 +173,24 @@ def test_wide_sublane_batch_path():
         source, indices, weights, "mean", interpret=True
     )
     want = oracle_apply("mean", indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_max_overlap_filter_rides_max_chain():
+    """max_overlap = plan-side filter to max-weight entries + the max
+    chain (regrid/apply.py _max_overlap_filter); must match the
+    max_overlap oracle exactly on NaN-free data, including weight ties
+    (larger value wins) and all-zero-weight targets (NaN)."""
+    from xugrid_tpu.regrid.apply import _max_overlap_filter
+
+    indices, weights, source = make_case(seed=33)
+    # force some exact weight ties and an all-zero-weight target
+    weights[5, :] = np.where(indices[5] >= 0, 0.5, 0.0)
+    weights[9, :] = 0.0
+    fidx, fw = _max_overlap_filter(indices, weights)
+    got = apply_windowed_gather(
+        source, fidx, fw, "max", has_nan=False, interpret=True
+    )
+    assert got is not None
+    want = oracle_apply("max_overlap", indices, weights, source)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)

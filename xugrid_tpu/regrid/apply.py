@@ -99,9 +99,14 @@ def _pallas_method(reduction, source2d):
         # (apply_windowed_pallas rejects them and falls through to XLA)
         reduce.minimum: "min",
         reduce.maximum: "max",
+        # rides the gather kernel's max chain over a plan-side filtered
+        # window (max-weight entries only) — NaN-free sources only
+        reduce.max_overlap: "max_overlap",
     }
     method = by_reduction.get(reduction)
-    if method is None or method not in PALLAS_METHODS:
+    if method is None or (
+        method != "max_overlap" and method not in PALLAS_METHODS
+    ):
         return None, None
     if jax.default_backend() != "tpu":
         return None, None
@@ -120,6 +125,20 @@ def _pallas_method(reduction, source2d):
     ):
         return None, None
     return method, has_nan
+
+
+def _max_overlap_filter(indices, weights):
+    """Keep only each target's max-weight entries (ties kept: the max
+    chain resolves them to the larger value, matching the reference
+    tie-break).  Targets whose best weight is 0 keep weight-0 entries,
+    so their rwsum stays 0 and the finalize gate yields NaN."""
+    valid = indices >= 0
+    w = np.where(valid, weights, -np.inf)
+    wmax = w.max(axis=1, keepdims=True) if w.size else w
+    keep = valid & (w == wmax)
+    fidx = np.where(keep, indices, -1).astype(indices.dtype)
+    fw = np.where(keep, weights, 0.0).astype(weights.dtype)
+    return fidx, fw
 
 
 def apply_weights(
@@ -158,6 +177,37 @@ def apply_weights(
             apply_windowed_gather,
             plan_default,
         )
+
+        if method == "max_overlap" and not has_nan:
+            # max_overlap = value of the max-weight source, ties -> the
+            # larger value (reference reduce.py max_overlap).  The
+            # max-weight slots are plan-static: filter the window to
+            # them on the host and run the kernel's plain max chain.
+            # NaN sources fall through to XLA (a NaN at the best-weight
+            # slot must defer to the next-best weight — not static).
+            gplan = _REJECTED
+            if plan_cache is not None:
+                gplan = plan_cache.get("gather_plan_mo", _REJECTED)
+            if gplan is _REJECTED:
+                fidx, fw = _max_overlap_filter(
+                    weights.indices, weights.weights
+                )
+                gplan = plan_default(fidx, fw, for_minmax=True)
+                if plan_cache is not None:
+                    plan_cache["gather_plan_mo"] = gplan
+            if gplan is not None:
+                out = apply_windowed_gather(
+                    source2d.astype(np.float32, copy=False),
+                    weights.indices,
+                    weights.weights,
+                    "max",
+                    has_nan=False,
+                    plan=gplan,
+                )
+                if out is not None:
+                    return out.T.astype(source2d.dtype).reshape(
+                        leading + (target_size,)
+                    )
 
         if method in GATHER_METHODS:
             # min/max need a scan-capable plan (the pdot engine covers
