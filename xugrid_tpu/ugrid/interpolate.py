@@ -274,9 +274,165 @@ def _make_pcg_windowed():
     return solve
 
 
+def _make_pcg_dia():
+    """Stencil (DIA-format) PCG: when the unknown-unknown graph lives
+    on a small set of constant index offsets (meshes derived from
+    structured grids — the common hydrological case), the SpMV is a sum
+    of shifted elementwise streams, no gather at all:
+
+        (A x)[r] = diag[r]·x[r] + Σ_k dia[k, r]·x[r + off_k]
+
+    Each term is a static slice of a padded 1-D iterate — pure VPU
+    streaming at HBM bandwidth, ~100x less work than the gather-packet
+    SpMV at 1M nodes.  Replaces the reference's scipy/numba spsolve+CG
+    path (xugrid/ugrid/interpolate.py:308-317) with the idiomatic TPU
+    formulation.  The system stays FULL-SIZE (no compaction to the
+    unknown set, which would smear the diagonals): known nodes carry
+    identity rows, A = P(D-W)P + (I-P) stays symmetric positive
+    definite, and known entries are exact from the initial guess."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(
+        jax.jit, static_argnames=("offsets", "m_pad", "maxiter", "degree")
+    )
+    def solve(dia, diag, b, x0, rtol, atol, lmax, offsets, m_pad,
+              maxiter, degree):
+        n = b.shape[-1]
+
+        def matvec(x):  # (n,) -> (n,)
+            xp = jnp.pad(x, (m_pad, m_pad))
+            out = diag * x
+            for k, d in enumerate(offsets):
+                shifted = jax.lax.slice(xp, (m_pad + d,), (m_pad + d + n,))
+                out = out + dia[k] * shifted
+            return out
+
+        minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+        precond = _make_chebyshev_precond(matvec, minv, lmax, degree)
+
+        def one(b1, x1):
+            r = b1 - matvec(x1)
+            z = precond(r)
+            p = z
+            rz = jnp.vdot(r, z)
+            tol = jnp.maximum(atol, rtol * jnp.linalg.norm(b1))
+
+            def cond(state):
+                x, r, z, p, rz, k = state
+                return (jnp.linalg.norm(r) > tol) & (k < maxiter)
+
+            def body(state):
+                x, r, z, p, rz, k = state
+                Ap = matvec(p)
+                pAp = jnp.vdot(p, Ap)
+                alpha = jnp.where(
+                    pAp != 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp), 0.0
+                )
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = precond(r)
+                rz_new = jnp.vdot(r, z)
+                beta = jnp.where(
+                    rz != 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0
+                )
+                p = z + beta * p
+                return x, r, z, p, rz_new, k + 1
+
+            x, r, _, _, _, k = jax.lax.while_loop(
+                cond, body, (x1, r, z, p, rz, jnp.int32(0))
+            )
+            return x, k
+
+        if b.ndim == 1:
+            return one(b, x0)
+        return jax.vmap(one)(b, x0)
+
+    return solve
+
+
+#: max distinct unknown-unknown index offsets for the DIA solver.
+_DIA_MAX_K = 64
+
+
+def _try_dia_solve(
+    W, solve_mask, notnull, matrix2d, rtol, atol, maxiter, degree
+):
+    """Attempt the DIA stencil solve on the full-size system; returns
+    (solutions (E, n_unknown), iters) or None when the graph is not
+    banded (more than _DIA_MAX_K distinct unknown-unknown offsets)."""
+    mode = os.environ.get("XUGRID_TPU_CG_DIA", "auto")
+    if mode == "0":
+        return None
+    import jax
+
+    n = W.shape[0]
+    coo = W.tocoo()
+    r, c, v = coo.row, coo.col, coo.data
+    d = c.astype(np.int64) - r.astype(np.int64)
+    uu = solve_mask[r] & solve_mask[c] & (d != 0)
+    offsets = np.unique(d[uu])
+    if len(offsets) == 0 or len(offsets) > _DIA_MAX_K:
+        return None
+
+    n_pad = _next_pow2(n)
+    # Full diagonal: row sums over ALL neighbors for unknowns (the
+    # Laplacian D), identity elsewhere; self-loops fold in (D - W).
+    diag_full = np.ones(n_pad)
+    rowsum = np.asarray(W.sum(axis=1)).ravel()
+    unk = np.flatnonzero(solve_mask)
+    diag_full[unk] = rowsum[unk]
+    sl = (d == 0) & solve_mask[r]
+    if sl.any():
+        np.subtract.at(diag_full, r[sl], v[sl])
+    dia = np.zeros((len(offsets), n_pad))
+    kslot = np.searchsorted(offsets, d[uu])
+    dia[kslot, r[uu]] = -v[uu]
+
+    # Gershgorin bound on the Jacobi-scaled spectrum (unknown rows).
+    offabs = np.zeros(n_pad)
+    np.add.at(offabs, r[uu], np.abs(v[uu]))
+    safe = np.where(diag_full != 0.0, diag_full, 1.0)
+    lmax = float(np.max(1.0 + offabs / np.abs(safe), initial=1.0))
+
+    # RHS: known-neighbor mass for unknown rows; identity for knowns.
+    ukn = solve_mask[r] & notnull[c]
+    E = matrix2d.shape[0]
+    b = np.zeros((E, n_pad))
+    x0 = np.zeros((E, n_pad))
+    means = np.nanmean(matrix2d, axis=1)
+    for k in range(E):
+        bk = np.zeros(n)
+        np.add.at(bk, r[ukn], v[ukn] * matrix2d[k, c[ukn]])
+        bk[notnull] = matrix2d[k, notnull]
+        b[k, :n] = bk
+        # Unknowns start at the known mean; identity rows (known and
+        # kept-NaN nodes) start exactly at their RHS -> zero residual.
+        x0[k, :n] = np.where(solve_mask, means[k], bk)
+
+    global _PCG_DIA
+    if _PCG_DIA is None:
+        _PCG_DIA = _make_pcg_dia()
+    import jax.numpy as jnp
+
+    m_pad = int(np.abs(offsets).max())
+    squeeze = E == 1
+    bj = jnp.asarray(b[0] if squeeze else b)
+    x0j = jnp.asarray(x0[0] if squeeze else x0)
+    x, k = _PCG_DIA(
+        jnp.asarray(dia), jnp.asarray(diag_full), bj, x0j,
+        float(rtol), float(atol), float(lmax),
+        offsets=tuple(int(o) for o in offsets), m_pad=m_pad,
+        maxiter=int(maxiter), degree=int(degree),
+    )
+    x = np.atleast_2d(np.asarray(x))
+    return x[:, unk], np.atleast_1d(np.asarray(k))
+
+
 _PCG_COO = None
 _PCG_WINDOWED = None
 _PCG_GATHER = None
+_PCG_DIA = None
 _GATHER_PLANS: dict = {}
 
 #: diagnostics of the most recent iterative solve:
@@ -557,6 +713,26 @@ def laplace_interpolate(
     if not use_weights:
         W = W.copy()
         W.data = np.ones_like(W.data)
+
+    if not direct_solve:
+        # Banded graphs (structured-derived meshes) take the DIA
+        # stencil solver: shifted elementwise streams instead of
+        # gathered SpMV — orders of magnitude faster on TPU.
+        dia_result = _try_dia_solve(
+            W, solve_mask, notnull, matrix2d, rtol, atol, maxiter,
+            precondition_degree,
+        )
+        if dia_result is not None:
+            solutions, iters = dia_result
+            last_solve_info.update(
+                iterations=int(np.max(iters)),
+                n_unknown=len(unknown),
+                degree=precondition_degree,
+                mode="dia",
+            )
+            out = matrix2d.copy()
+            out[:, unknown] = solutions
+            return out[0] if squeeze else out
     # Global index -> position in the unknown set (-1 for known).
     position = np.full(n, -1, dtype=np.int64)
     position[unknown] = np.arange(len(unknown))
@@ -604,6 +780,7 @@ def laplace_interpolate(
             iterations=int(np.max(iters)),
             n_unknown=len(unknown),
             degree=precondition_degree,
+            mode="cg",
         )
 
     out = matrix2d.copy()
