@@ -70,10 +70,12 @@ def main():
         _use_mxu,
         gather_pdot_apply,
         gather_span_apply,
+        gather_stream_apply,
         gather_windowed_apply,
         plan_gather,
         plan_gather_pdot,
         plan_gather_span,
+        plan_gather_stream,
         stage_source,
     )
 
@@ -83,6 +85,8 @@ def main():
             padded.indices, padded.weights,
             span=int(os.environ.get("PD_SPAN", "1")),
         )
+    elif ENGINE == "stream":
+        plan = plan_gather_stream(padded.indices, padded.weights)
     elif ENGINE == "span":
         plan = plan_gather_span(padded.indices, padded.weights)
     else:
@@ -97,6 +101,16 @@ def main():
             f"plan: maxc={plan.maxc} nsp_max={plan.nsp_max} "
             f"span={plan.span} nsp_total={int(plan.nsp.sum())} "
             f"nnz={csr.nnz} lane_eff={csr.nnz/(rows*128):.2f}",
+            file=sys.stderr,
+        )
+    elif ENGINE == "stream":
+        nsteps = len(plan.blkid)
+        print(
+            f"plan: nsteps={nsteps} span={plan.span} "
+            f"scan_steps={plan.scan_steps} nnz={csr.nnz} "
+            f"lane_eff={csr.nnz/(nsteps*plan.span*127):.2f} "
+            f"uniq_spanblk_runs="
+            f"{int((np.diff(plan.spanblk) != 0).sum()) + 1}",
             file=sys.stderr,
         )
     elif ENGINE == "span":
@@ -150,6 +164,50 @@ def main():
         gbps = true_bytes / dt / 1e9
         print(
             f"pdot kernel [{METHOD} E={N_EXTRA} span={plan.span}]: "
+            f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
+            f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+        )
+        check_against_xla(source, padded, plan, grid)
+        return
+
+    if ENGINE == "stream":
+        n_blocks = len(plan.rwsum) // plan.block
+
+        @partial(jax.jit, static_argnames=("method", "scan_steps",
+                                           "span", "n_blocks", "n_reps"))
+        def stream_reps(srcE, blkid, spanblk, ptab, rwsum,
+                        method, scan_steps, span, n_blocks, n_reps):
+            def body(i, acc):
+                out = gather_stream_apply(
+                    srcE + i.astype(srcE.dtype) * 1e-12,
+                    blkid, spanblk, ptab, rwsum,
+                    method=method, has_nan=False,
+                    scan_steps=scan_steps, span=span,
+                    n_blocks=n_blocks,
+                )
+                return acc + jnp.nansum(out)
+
+            import jax.lax as lax
+            return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+        reps = 10
+        dargs = (
+            jnp.asarray(srcE), jnp.asarray(plan.blkid),
+            jnp.asarray(plan.spanblk), jnp.asarray(plan.ptab),
+            jnp.asarray(plan.rwsum),
+        )
+        t0 = time.perf_counter()
+        cs = float(stream_reps(*dargs, METHOD, plan.scan_steps,
+                               plan.span, n_blocks, reps))
+        print(f"compile+first: {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        cs = float(stream_reps(*dargs, METHOD, plan.scan_steps,
+                               plan.span, n_blocks, reps))
+        dt = (time.perf_counter() - t0) / reps
+        gbps = true_bytes / dt / 1e9
+        print(
+            f"stream kernel [{METHOD} E={N_EXTRA} span={plan.span}]: "
             f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
             f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
         )

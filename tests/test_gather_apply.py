@@ -65,7 +65,7 @@ def oracle_apply(method, indices, weights, source):
     return np.asarray(out)                             # (n, E)
 
 
-@pytest.mark.parametrize("engine", ["packet", "span", "pdot"])
+@pytest.mark.parametrize("engine", ["packet", "span", "pdot", "stream"])
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
 def test_gather_kernel_matches_oracle(method, nan_frac, engine):
@@ -80,6 +80,31 @@ def test_gather_kernel_matches_oracle(method, nan_frac, engine):
     want = oracle_apply(method, indices, weights, source)
     np.testing.assert_allclose(got, want.T[: len(got[0])].T, rtol=2e-5,
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["mean", "min"])
+def test_stream_engine_empty_blocks(method):
+    """Whole 512-target blocks without any window entry ride dummy
+    superpackets (grid steps appended after the real blocks) and must
+    come out NaN, without disturbing neighbouring blocks."""
+    rng = np.random.default_rng(3)
+    n, m, w = 2100, 1500, 5
+    base = (np.arange(n) * m) // n
+    indices = np.clip(
+        base[:, None] + rng.integers(-9, 10, size=(n, w)), 0, m - 1
+    ).astype(np.int32)
+    weights = rng.uniform(0.1, 2.0, size=(n, w)).astype(np.float32)
+    # Empty out blocks 1 and 2 entirely (targets 512..1535).
+    indices[512:1536] = -1
+    weights[512:1536] = 0.0
+    source = rng.normal(size=(3, m)).astype(np.float32)
+    got = apply_windowed_gather(
+        source, indices, weights, method, interpret=True, engine="stream"
+    )
+    assert got is not None
+    assert np.isnan(got[512:1536]).all()
+    want = oracle_apply(method, indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("force", ["0", "1"])

@@ -304,8 +304,12 @@ def plan_gather(
     )
 
 
-#: chunks covered by one superpacket loop iteration (span engine).
-SPAN = 4
+#: chunks covered by one superpacket loop iteration (span engine) or
+#: grid step (stream engine).  Larger spans cut per-iteration fixed
+#: cost (~0.4 us per stream grid step) at the price of round-padding
+#: across the span's chunks (1M config: eff 0.66 @4, 0.58 @8, 0.50
+#: @16; stream sweep: 7.63 ms @4, 6.86 @8, 7.19 @16 at E=20).
+SPAN = int(os.environ.get("XUGRID_TPU_SPAN", "8"))
 
 
 class SpanPlan(NamedTuple):
@@ -504,6 +508,188 @@ def plan_gather_span(
         scan_steps=scan_steps,
         maxc=maxc,
         nsp_max=nsp_max,
+        span=span,
+        n=n,
+        block=block,
+    )
+
+
+class StreamPlan(NamedTuple):
+    """Streamed superpacket plan (stream engine).
+
+    One *grid step* per superpacket: the packet table and the span's
+    source chunks arrive as scalar-prefetch-indexed input blocks, so
+    Mosaic's grid pipeline double-buffers their DMA behind compute and
+    the kernel body has NO dynamic VMEM slices at all (the serialized
+    slab/ptab reads were ~60% of the span engine's iteration time).
+    Accumulators live in scratch across the block's consecutive steps;
+    the output block is written once, on the block's last superpacket.
+    Consecutive rounds over one span keep the same source-block index,
+    which Mosaic detects and skips the re-fetch — multi-round buckets
+    cost one span DMA instead of R.
+    """
+
+    blkid: np.ndarray    # (nsteps,) i32 target block per superpacket
+    spanblk: np.ndarray  # (nsteps,) i32 span-block index into the
+    #                      staged (ctot//span, ...) chunk stream
+    ptab: np.ndarray     # (nsteps*span, 8, 128) i32 rows as SpanPlan
+    rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
+    scan_steps: int
+    span: int
+    n: int
+    block: int
+
+
+def plan_gather_stream(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = BLOCK,
+    span: int = SPAN,
+    max_plan_bytes: int = 1_500_000_000,
+) -> StreamPlan | None:
+    """Build the streamed superpacket plan, or None when the window
+    structure defeats it (the caller falls back to the span engine or
+    the XLA gather path)."""
+    n, _w = indices.shape
+    if n == 0:
+        return None
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+    if block != 4 * GROUP:
+        raise ValueError("stream engine assumes 512-target blocks")
+
+    valid = indices >= 0
+    ti, _sl = np.nonzero(valid)
+    if len(ti) == 0:
+        return None
+    src = indices[valid]
+    wts = weights[valid]
+    if n > (1 << 21) * block or src.max() >= (1 << 31):
+        return None
+
+    # Sort by (block, chunk, target slot, lane-local idx) — identical
+    # entry layout to the span engine.
+    B = (ti // block).astype(np.int64)
+    tslot = (ti % block).astype(np.int64)
+    key = (((B << 24) | (src >> 7)) << 16) | (tslot << 7) | (src & 127)
+    del ti, tslot
+    order = np.argsort(key)
+    key = key[order]
+    ew = wts[order]
+    del order, wts, src
+    idx7 = (key & 127).astype(np.int32)
+    tslot = (key >> 7) & 511
+    chk = (key >> 16) & ((1 << 24) - 1)
+    B = key >> 40
+    nnz = len(key)
+    pos = np.arange(nnz, dtype=np.int64)
+
+    # Rank within (block, chunk) -> round r and lane.
+    bc = (B << 24) | chk
+    newc = np.empty(nnz, bool)
+    newc[0] = True
+    np.not_equal(bc[1:], bc[:-1], out=newc[1:])
+    cstart = np.maximum.accumulate(np.where(newc, pos, 0))
+    posk = pos - cstart
+    r = posk // PAYLOAD
+    lane = (posk % PAYLOAD + 1).astype(np.int64)
+
+    span_id = chk // span
+    k_e = chk - span_id * span
+
+    # Buckets = (block, span); superpackets per bucket = the max round
+    # count over the span's chunks.
+    lasts_c = np.flatnonzero(np.append(newc[1:], True))
+    rounds_c = r[lasts_c] + 1
+    bs_c = (B[lasts_c] << 24) | span_id[lasts_c]
+    newb_c = np.empty(len(bs_c), bool)
+    newb_c[0] = True
+    np.not_equal(bs_c[1:], bs_c[:-1], out=newb_c[1:])
+    bid_c = np.cumsum(newb_c) - 1
+    n_buckets = int(bid_c[-1]) + 1
+    Rb = np.zeros(n_buckets, np.int64)
+    np.maximum.at(Rb, bid_c, rounds_c)
+    bucket_B = B[lasts_c][newb_c]
+    bucket_s0 = span_id[lasts_c][newb_c]
+
+    # Global superpacket base per bucket (buckets are (block, span)-
+    # sorted, so a block's superpackets are consecutive grid steps —
+    # the output-revisit pattern Mosaic requires).
+    csum = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(Rb, out=csum[1:])
+    total_sp = int(csum[-1])
+
+    # One dummy superpacket per entry-less block (its sole step is
+    # first AND last: accumulators init to neutral and finalize to NaN
+    # via the zero rwsum), then pad the grid to a pow2-granular bucket
+    # for compile-key stability.  Padding steps extend the final
+    # block's run with all-neutral rows and re-point at its last span
+    # (same source index -> no re-fetch).
+    present = np.zeros(n_blocks, bool)
+    present[np.unique(bucket_B)] = True
+    missing = np.flatnonzero(~present)
+    n_real = total_sp + len(missing)
+    gran = 1 << max(6, n_real.bit_length() - 4)
+    nsteps = -(-n_real // gran) * gran
+    if nsteps * span * 8 * 128 * 4 > max_plan_bytes:
+        return None
+    if 2 * nsteps * 4 + 64 > 900_000:
+        return None  # SMEM scalar-prefetch budget (~1 MB per core)
+
+    blkid = np.empty(nsteps, np.int32)
+    spanblk = np.empty(nsteps, np.int32)
+    blkid[:total_sp] = np.repeat(bucket_B, Rb).astype(np.int32)
+    spanblk[:total_sp] = np.repeat(bucket_s0, Rb).astype(np.int32)
+    blkid[total_sp:n_real] = missing.astype(np.int32)
+    spanblk[total_sp:n_real] = 0
+    blkid[n_real:] = blkid[n_real - 1]
+    spanblk[n_real:] = spanblk[n_real - 1]
+
+    # Entry placement: global superpacket id, then span-local chunk row.
+    ci_e = np.cumsum(newc) - 1
+    gsp_e = csum[bid_c[ci_e]] + r
+    erow = gsp_e * span + k_e
+
+    ptab = np.zeros((nsteps * span, 8, 128), np.int32)
+    ptab[:, 2, :] = -1
+    ptab[erow, 0, lane] = idx7
+    ptab[erow, 1, lane] = ew.view(np.int32)
+    ptab[erow, 2, lane] = tslot.astype(np.int32)
+
+    is_last = np.empty(nnz, bool)
+    is_last[-1] = True
+    np.logical_or(
+        erow[1:] != erow[:-1], tslot[1:] != tslot[:-1],
+        out=is_last[:-1],
+    )
+    g_e = (tslot // GROUP).astype(np.int64)
+    t7 = tslot - g_e * GROUP
+    ptab[erow[is_last], 3 + g_e[is_last], t7[is_last]] = (
+        lane[is_last].astype(np.int32)
+    )
+
+    run_start = np.empty(nnz, bool)
+    run_start[0] = True
+    run_start[1:] = is_last[:-1]
+    rs_pos = np.maximum.accumulate(np.where(run_start, pos, 0))
+    max_run = int((pos - rs_pos).max()) + 1
+    scan_steps = (
+        max(0, int(np.ceil(np.log2(max_run)))) if max_run > 1 else 0
+    )
+
+    rwsum = np.zeros(n_pad, np.float32)
+    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+
+    return StreamPlan(
+        blkid=blkid,
+        spanblk=spanblk,
+        ptab=ptab,
+        rwsum=rwsum,
+        scan_steps=scan_steps,
         span=span,
         n=n,
         block=block,
@@ -1280,6 +1466,10 @@ def _make_span_kernel(
 ):
     chains = _chains(method, has_nan)
     n_groups = block // GROUP
+    # Perf-ablation switch (WRONG numerics — profiling only): skip the
+    # segmented scan, the group tail, or the value gather to attribute
+    # kernel time to sections.
+    ablate = os.environ.get("XUGRID_TPU_SPAN_ABLATE", "")
 
     def kernel(
         chunk0_ref, nsp_ref, meta_ref,    # scalar prefetch (SMEM)
@@ -1332,11 +1522,25 @@ def _make_span_kernel(
             # The gather table IS a contiguous slab slice: superpacket
             # sub-row k reads chunk csp+k — no per-packet staging copy.
             table = slab[pl.ds(csp, span)].reshape(span * e_sub, 128)
-            val = jnp.take_along_axis(table, expand(idx_p), axis=1)
+            if ablate == "nogather":
+                val = table + expand(idx_p).astype(jnp.float32)
+            else:
+                val = jnp.take_along_axis(table, expand(idx_p), axis=1)
             qs = _lane_quantities(method, has_nan, val, expand(w_p))
+            # Neutralize lane 0 (the reserved dummy) per chain: absent
+            # end slots hold 0, so the fused tail gathers lane 0 for
+            # targets with no entries in a row — it must carry the
+            # chain's neutral (not every chain gates w==0 lanes; the
+            # unweighted sum and min/max pass raw values through).
+            # The scan never updates lane 0 (lanes >= s excludes it).
+            neutral = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}
+            qs = [
+                jnp.where(lanes == 0, jnp.float32(neutral[kind]), q)
+                for q, (_, kind) in zip(qs, chains)
+            ]
 
             masks = []
-            for j in range(scan_steps):
+            for j in range(scan_steps if ablate != "noscan" else 0):
                 s = 1 << j
                 seg_r = _roll_lanes(seg_p, s, interpret)
                 masks.append(
@@ -1348,7 +1552,7 @@ def _make_span_kernel(
             xcs = []
             for ci, (_, kind) in enumerate(chains):
                 x = qs[ci]
-                for j in range(scan_steps):
+                for j in range(scan_steps if ablate != "noscan" else 0):
                     xr = _roll_lanes(x, 1 << j, interpret)
                     if kind == "sum":
                         x = x + jnp.where(masks[j], xr, 0.0)
@@ -1358,29 +1562,46 @@ def _make_span_kernel(
                         x = jnp.where(masks[j], jnp.minimum(x, xr), x)
                 xcs.append(x)
 
-            for g in range(n_groups):
-                end_g = tab[:, 3 + g, :]
-                ends = expand(end_g)
-                pres = expand(end_g >= 1)
+            if ablate == "notail":
                 for ci, (_, kind) in enumerate(chains):
-                    res = jnp.take_along_axis(xcs[ci], ends, axis=1)
-                    if kind == "sum":
-                        res = jnp.where(pres, res, 0.0)
-                        red = res.reshape(span, e_sub, 128).sum(axis=0)
-                    elif kind == "max":
-                        res = jnp.where(pres, res, -jnp.inf)
-                        red = res.reshape(span, e_sub, 128).max(axis=0)
-                    else:
-                        res = jnp.where(pres, res, jnp.inf)
-                        red = res.reshape(span, e_sub, 128).min(axis=0)
-                    cur = accs[ci][pl.ds(g, 1)]
-                    red = red.reshape(1, e_sub, 128)
-                    if kind == "sum":
-                        accs[ci][pl.ds(g, 1)] = cur + red
-                    elif kind == "max":
-                        accs[ci][pl.ds(g, 1)] = jnp.maximum(cur, red)
-                    else:
-                        accs[ci][pl.ds(g, 1)] = jnp.minimum(cur, red)
+                    red = xcs[ci].reshape(span, e_sub, 128).sum(axis=0)
+                    accs[ci][...] = accs[ci][...] + jnp.broadcast_to(
+                        red, (n_groups, e_sub, 128)
+                    )
+                return 0
+
+            # Fused tail: ONE gather resolves all groups' segment ends
+            # (the old per-group loop serialized 4x gather + mask +
+            # reduce + accumulator round trips).  Absent end slots
+            # gather lane 0, which carries the chain's neutral — no
+            # presence mask needed.
+            # NB: no None-in-brackets here — mixed basic/newaxis
+            # indexing traces to a >2D lax.gather Mosaic can't lower.
+            ends_g = jnp.expand_dims(tab[:, 3:3 + n_groups, :], 2)
+            ends_e = jnp.broadcast_to(
+                ends_g, (span, n_groups, e_sub, 128)
+            ).reshape(span * n_groups * e_sub, 128)
+            for ci, (_, kind) in enumerate(chains):
+                xt = jnp.broadcast_to(
+                    xcs[ci].reshape(span, 1, e_sub, 128),
+                    (span, n_groups, e_sub, 128),
+                ).reshape(span * n_groups * e_sub, 128)
+                res = jnp.take_along_axis(xt, ends_e, axis=1)
+                red = res.reshape(span, n_groups * e_sub, 128)
+                if kind == "sum":
+                    red = red.sum(axis=0)
+                elif kind == "max":
+                    red = red.max(axis=0)
+                else:
+                    red = red.min(axis=0)
+                red = red.reshape(n_groups, e_sub, 128)
+                cur = accs[ci][...]
+                if kind == "sum":
+                    accs[ci][...] = cur + red
+                elif kind == "max":
+                    accs[ci][...] = jnp.maximum(cur, red)
+                else:
+                    accs[ci][...] = jnp.minimum(cur, red)
             return 0
 
         jax.lax.fori_loop(0, nsp, body, 0)
@@ -1396,6 +1617,197 @@ def _make_span_kernel(
             )
 
     return kernel
+
+
+def _make_stream_kernel(
+    method: str,
+    has_nan: bool,
+    scan_steps: int,
+    e_sub: int,
+    block: int,
+    span: int,
+    interpret: bool,
+):
+    chains = _chains(method, has_nan)
+    n_groups = block // GROUP
+
+    def kernel(
+        blkid_ref, spanblk_ref,           # scalar prefetch (SMEM)
+        ptab_ref, rwsum_ref, src_ref,     # per-step input blocks
+        out_ref,
+        *accs,
+    ):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        cur = blkid_ref[i]
+        prev = blkid_ref[jnp.maximum(i - 1, 0)]
+        nxt = blkid_ref[jnp.minimum(i + 1, nsteps - 1)]
+        is_first = jnp.logical_or(i == 0, prev != cur)
+        is_last = jnp.logical_or(i == nsteps - 1, nxt != cur)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        @pl.when(is_first)
+        def _init():
+            for ci, (_, kind) in enumerate(chains):
+                init = 0.0
+                if kind == "min":
+                    init = jnp.inf
+                elif kind == "max":
+                    init = -jnp.inf
+                accs[ci][...] = jnp.full(
+                    (n_groups, e_sub, 128), init, jnp.float32
+                )
+
+        def expand(x):
+            """(span, 128) -> (span*e_sub, 128): each chunk row
+            repeated e_sub times, matching the source block layout."""
+            return jnp.broadcast_to(
+                x[:, None, :], (span, e_sub, 128)
+            ).reshape(span * e_sub, 128)
+
+        tab = ptab_ref[...]                       # (span, 8, 128)
+        idx_p = tab[:, 0, :]
+        w_p = jax.lax.bitcast_convert_type(tab[:, 1, :], jnp.float32)
+        seg_p = tab[:, 2, :]
+
+        table = src_ref[...].reshape(span * e_sub, 128)
+        val = jnp.take_along_axis(table, expand(idx_p), axis=1)
+        qs = _lane_quantities(method, has_nan, val, expand(w_p))
+        # Lane 0 (the reserved dummy) carries the chain's neutral: the
+        # fused tail gathers lane 0 for targets absent from a row.
+        neutral = {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}
+        qs = [
+            jnp.where(lanes == 0, jnp.float32(neutral[kind]), q)
+            for q, (_, kind) in zip(qs, chains)
+        ]
+
+        masks = []
+        for j in range(scan_steps):
+            s = 1 << j
+            seg_r = _roll_lanes(seg_p, s, interpret)
+            masks.append(
+                expand(jnp.logical_and(lanes >= s, seg_r == seg_p))
+            )
+
+        xcs = []
+        for ci, (_, kind) in enumerate(chains):
+            x = qs[ci]
+            for j in range(scan_steps):
+                xr = _roll_lanes(x, 1 << j, interpret)
+                if kind == "sum":
+                    x = x + jnp.where(masks[j], xr, 0.0)
+                elif kind == "max":
+                    x = jnp.where(masks[j], jnp.maximum(x, xr), x)
+                else:
+                    x = jnp.where(masks[j], jnp.minimum(x, xr), x)
+            xcs.append(x)
+
+        # Fused tail (see _make_span_kernel): ONE gather resolves all
+        # groups' segment ends; absent end slots hit neutral lane 0.
+        ends_g = jnp.expand_dims(tab[:, 3:3 + n_groups, :], 2)
+        ends_e = jnp.broadcast_to(
+            ends_g, (span, n_groups, e_sub, 128)
+        ).reshape(span * n_groups * e_sub, 128)
+        for ci, (_, kind) in enumerate(chains):
+            xt = jnp.broadcast_to(
+                xcs[ci].reshape(span, 1, e_sub, 128),
+                (span, n_groups, e_sub, 128),
+            ).reshape(span * n_groups * e_sub, 128)
+            res = jnp.take_along_axis(xt, ends_e, axis=1)
+            red = res.reshape(span, n_groups * e_sub, 128)
+            if kind == "sum":
+                red = red.sum(axis=0)
+            elif kind == "max":
+                red = red.max(axis=0)
+            else:
+                red = red.min(axis=0)
+            red = red.reshape(n_groups, e_sub, 128)
+            cur_a = accs[ci][...]
+            if kind == "sum":
+                accs[ci][...] = cur_a + red
+            elif kind == "max":
+                accs[ci][...] = jnp.maximum(cur_a, red)
+            else:
+                accs[ci][...] = jnp.minimum(cur_a, red)
+
+        @pl.when(is_last)
+        def _flush():
+            for g in range(n_groups):
+                den = rwsum_ref[:, g * GROUP:(g + 1) * GROUP]
+                parts = [
+                    accs[ci][pl.ds(g, 1)].reshape(e_sub, 128)
+                    for ci in range(len(chains))
+                ]
+                out_ref[:, g * GROUP:(g + 1) * GROUP] = _finalize(
+                    method, has_nan, parts, den
+                )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "has_nan", "scan_steps", "span", "block", "n_blocks",
+        "interpret",
+    ),
+)
+def gather_stream_apply(
+    srcE, blkid, spanblk, ptab, rwsum,
+    method: str = "mean",
+    has_nan: bool = True,
+    scan_steps: int = 7,
+    span: int = SPAN,
+    block: int = BLOCK,
+    n_blocks: int = 1,
+    interpret: bool = False,
+):
+    """Streamed superpacket apply: plan arrays from
+    ``plan_gather_stream``; srcE staged as for the other engines (with
+    ``m_pad`` a multiple of ``span * CHUNK``)."""
+    e_sub, m_pad = srcE.shape
+    ctot = m_pad // CHUNK
+    chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
+    nsteps = blkid.shape[0]
+    n_pad = n_blocks * block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(
+                (span, 8, 128), lambda i, blk, spb: (i, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, block), lambda i, blk, spb: (0, blk[i])
+            ),
+            pl.BlockSpec(
+                (span, e_sub, CHUNK), lambda i, blk, spb: (spb[i], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (e_sub, block), lambda i, blk, spb: (0, blk[i])
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block // GROUP, e_sub, 128), jnp.float32)
+            for _ in range(len(_chains(method, has_nan)))
+        ],
+    )
+
+    kernel = _make_stream_kernel(
+        method, has_nan, scan_steps, e_sub, block, span, interpret,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(blkid, spanblk, ptab, rwsum.reshape(1, -1), chunks)
 
 
 @partial(
@@ -1465,6 +1877,19 @@ def stage_source(source2d: np.ndarray, plan: GatherPlan) -> np.ndarray:
     """(n_extra, m) → (E_sub, m_pad) staged for the kernel (f32)."""
     n_extra, m = source2d.shape
     e_sub = pad_sublanes(n_extra)
+    if isinstance(plan, StreamPlan):
+        # Chunk count padded to whole span blocks (the source streams
+        # in (span, e_sub, 128) grid blocks).
+        c_needed = (
+            (int(plan.spanblk.max()) + 1) * plan.span
+            if len(plan.spanblk)
+            else plan.span
+        )
+        ctot = max(-(-m // CHUNK), c_needed)
+        m_pad = (-(-ctot // plan.span) * plan.span) * CHUNK
+        out = np.zeros((e_sub, m_pad), np.float32)
+        out[:n_extra, :m] = source2d
+        return out
     c_needed = int(plan.chunk0.max()) + plan.maxc if len(plan.chunk0) else 1
     m_pad = max(-(-m // CHUNK), c_needed) * CHUNK
     out = np.zeros((e_sub, m_pad), np.float32)
@@ -1479,13 +1904,18 @@ def plan_default(
     for_minmax: bool = False,
 ) -> GatherPlan | SpanPlan | PdotPlan | None:
     """Plan with the default engine (XUGRID_TPU_GATHER_ENGINE, falling
-    back to the span engine; "pdot" is opt-in — measured slower on the
-    1M config: 11.7 vs 7.4 ms/pass at E=20), with the scan engines as
-    fallbacks when planning rejects.  ``for_minmax`` requests a
+    back to the stream engine; "pdot" is opt-in — measured slower on
+    the 1M config: 11.7 vs 7.4 ms/pass at E=20), with the scan engines
+    as fallbacks when planning rejects.  ``for_minmax`` requests a
     scan-capable plan (the pdot engine covers sum-kind chains only)."""
-    engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
+    engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "stream")
     if engine == "pdot" and not for_minmax:
         plan = plan_gather_pdot(indices, weights)
+        if plan is not None:
+            return plan
+        engine = "stream"
+    if engine == "stream":
+        plan = plan_gather_stream(indices, weights, block)
         if plan is not None:
             return plan
         engine = "span"
@@ -1520,18 +1950,42 @@ def apply_windowed_gather(
     if plan is not None:
         if isinstance(plan, PdotPlan):
             engine = "pdot"
+        elif isinstance(plan, StreamPlan):
+            engine = "stream"
         elif isinstance(plan, SpanPlan):
             engine = "span"
         else:
             engine = "packet"
     elif engine is None:
-        engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span")
+        engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "stream")
     if has_nan is None:
         has_nan = bool(np.isnan(source2d).any())
     if engine == "pdot" and not _pdot_supported(method, bool(has_nan)):
         # min/max chains need the scan engines; replan there.
-        engine = "span"
+        engine = "stream"
         plan = None
+    if engine == "stream":
+        if plan is None:
+            plan = plan_gather_stream(indices, weights, block)
+        if plan is None:
+            engine = "span"
+        else:
+            srcE = stage_source(source2d, plan)
+            out = gather_stream_apply(
+                jnp.asarray(srcE),
+                jnp.asarray(plan.blkid),
+                jnp.asarray(plan.spanblk),
+                jnp.asarray(plan.ptab),
+                jnp.asarray(plan.rwsum),
+                method=method,
+                has_nan=bool(has_nan),
+                scan_steps=plan.scan_steps,
+                span=plan.span,
+                block=plan.block,
+                n_blocks=len(plan.rwsum) // plan.block,
+                interpret=interpret,
+            )
+            return np.asarray(out)[: source2d.shape[0], : plan.n].T
     if engine == "pdot":
         if plan is None:
             plan = plan_gather_pdot(indices, weights)
