@@ -115,16 +115,64 @@ def _pallas_method(reduction, source2d):
         if source2d.dtype != np.float64 or (x64 and flag != "1"):
             return None, None
     # One SIMD pass each: min is NaN iff any NaN; ±inf shows in min/max.
+    has_nan, ok = _finite_scan(source2d)
+    if not ok:
+        return None, None
+    return method, has_nan
+
+
+def _finite_scan(source2d):
+    """(has_nan, ok): ok is False when inf is present (inf cannot ride
+    the masked one-hot matmuls: 0 x inf = NaN)."""
     mn = source2d.min() if source2d.size else np.float64(0.0)
     mx = source2d.max() if source2d.size else np.float64(0.0)
     has_nan = bool(np.isnan(mn))
     if not has_nan and (np.isinf(mn) or np.isinf(mx)):
-        return None, None
+        return has_nan, False
     if has_nan and (
         np.isinf(np.nanmin(source2d)) or np.isinf(np.nanmax(source2d))
     ):
+        return has_nan, False
+    return has_nan, True
+
+
+def _select_method(reduction, source2d):
+    """
+    (method name, has_nan) when the selection Pallas kernel
+    (regrid/select_apply.py) covers this reduction — mode, median, or
+    any percentile closure from ``create_percentile_method`` — else
+    (None, None).  Same TPU/dtype/finiteness gates as the linear
+    family; these reductions otherwise run the lane-serial XLA window
+    gather at ~10x the kernel's time.
+    """
+    flag = os.environ.get("XUGRID_TPU_PALLAS", "")
+    if flag == "0" or source2d.shape[0] == 0:
         return None, None
-    return method, has_nan
+    from xugrid_tpu.regrid import reduce
+
+    if reduction is reduce.mode:
+        name = "mode"
+    elif (
+        getattr(reduction, "__code__", None) is reduce.median.__code__
+    ):
+        # Any percentile closure; __name__ is "p<float>" by contract.
+        name = getattr(reduction, "__name__", "")
+    else:
+        return None, None
+    from xugrid_tpu.regrid.select_apply import covers_method
+
+    if not covers_method(name):
+        return None, None
+    if jax.default_backend() != "tpu":
+        return None, None
+    if source2d.dtype != np.float32:
+        x64 = jax.config.read("jax_enable_x64")
+        if source2d.dtype != np.float64 or (x64 and flag != "1"):
+            return None, None
+    has_nan, ok = _finite_scan(source2d)
+    if not ok:
+        return None, None
+    return name, has_nan
 
 
 def _max_overlap_filter(indices, weights):
@@ -264,6 +312,34 @@ def apply_weights(
             return out.T.astype(source2d.dtype).reshape(
                 leading + (target_size,)
             )
+
+    smethod, s_has_nan = _select_method(reduction, source2d)
+    if smethod is not None:
+        from xugrid_tpu.regrid.select_apply import (
+            apply_windowed_select,
+            plan_gather_select,
+        )
+
+        splan = _REJECTED
+        if plan_cache is not None:
+            splan = plan_cache.get("select_plan", _REJECTED)
+        if splan is _REJECTED:
+            splan = plan_gather_select(weights.indices, weights.weights)
+            if plan_cache is not None:
+                plan_cache["select_plan"] = splan
+        if splan is not None:
+            out = apply_windowed_select(
+                source2d.astype(np.float32, copy=False),
+                weights.indices,
+                weights.weights,
+                smethod,
+                has_nan=s_has_nan,
+                plan=splan,
+            )
+            if out is not None:
+                return out.T.astype(source2d.dtype).reshape(
+                    leading + (target_size,)
+                )
 
     n_extra = source2d.shape[0]
     E = _pad_minor(n_extra)

@@ -376,16 +376,21 @@ def _try_dia_solve(
         return None
 
     n_pad = _next_pow2(n)
+    # Assemble in the dtype the device will compute in: with x64 off
+    # (the TPU default) f64 staging would double every host fill and
+    # tunnel transfer (the dominant cost at 1M nodes) only for jax to
+    # downcast on arrival.
+    dt = np.float64 if jax.config.read("jax_enable_x64") else np.float32
     # Full diagonal: row sums over ALL neighbors for unknowns (the
     # Laplacian D), identity elsewhere; self-loops fold in (D - W).
-    diag_full = np.ones(n_pad)
+    diag_full = np.ones(n_pad, dt)
     rowsum = np.asarray(W.sum(axis=1)).ravel()
     unk = np.flatnonzero(solve_mask)
     diag_full[unk] = rowsum[unk]
     sl = (d == 0) & solve_mask[r]
     if sl.any():
-        np.subtract.at(diag_full, r[sl], v[sl])
-    dia = np.zeros((len(offsets), n_pad))
+        np.subtract.at(diag_full, r[sl], v[sl].astype(dt))
+    dia = np.zeros((len(offsets), n_pad), dt)
     kslot = np.searchsorted(offsets, d[uu])
     dia[kslot, r[uu]] = -v[uu]
 
@@ -398,8 +403,8 @@ def _try_dia_solve(
     # RHS: known-neighbor mass for unknown rows; identity for knowns.
     ukn = solve_mask[r] & notnull[c]
     E = matrix2d.shape[0]
-    b = np.zeros((E, n_pad))
-    x0 = np.zeros((E, n_pad))
+    b = np.zeros((E, n_pad), dt)
+    x0 = np.zeros((E, n_pad), dt)
     means = np.nanmean(matrix2d, axis=1)
     for k in range(E):
         bk = np.zeros(n)
