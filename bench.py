@@ -325,6 +325,69 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"pallas path unavailable: {exc!r}", file=sys.stderr)
 
+    # --- Pallas selection kernel (median: order-statistic family) -------
+    select_median_s = None
+    try:
+        from xugrid_tpu.regrid.select_apply import (
+            gather_select_apply,
+            plan_gather_select,
+        )
+        from xugrid_tpu.regrid.gather_apply import CHUNK as _CHUNK
+        from xugrid_tpu.regrid.gather_apply import (
+            pad_sublanes as _pad_sub,
+        )
+
+        splan = plan_gather_select(padded.indices, padded.weights)
+        if splan is not None and jax.default_backend() == "tpu":
+            e_sub_s = _pad_sub(n_extra)
+            c_needed = (
+                int(splan.bases.max()) + 1 if len(splan.bases) else 1
+            )
+            m_pad = max(-(-grid.n_face // _CHUNK), c_needed) * _CHUNK
+            srcE_s = np.zeros((e_sub_s, m_pad), np.float32)
+            srcE_s[:n_extra, : grid.n_face] = source
+
+            @partial(
+                jax.jit,
+                static_argnames=(
+                    "method", "dmax", "pair", "span", "n_blocks",
+                    "n_reps",
+                ),
+            )
+            def select_reps(srcE, blkid, bases, ptab, rw,
+                            method, dmax, pair, span, n_blocks, n_reps):
+                def body(i, carry):
+                    src, acc = carry
+                    out = gather_select_apply(
+                        src, blkid, bases, ptab, rw,
+                        method=method, has_nan=False, dmax=dmax,
+                        pair=pair, span=span, n_blocks=n_blocks,
+                    )
+                    acc = acc + jnp.nansum(out)
+                    src = src.at[0, 0].add(jnp.float32(1e-12))
+                    return (src, acc)
+
+                _, acc = jax.lax.fori_loop(
+                    0, n_reps, body, (srcE, jnp.float32(0.0))
+                )
+                return acc
+
+            sargs = (
+                jnp.asarray(srcE_s), jnp.asarray(splan.blkid),
+                jnp.asarray(splan.bases), jnp.asarray(splan.ptab),
+                jnp.asarray(splan.rwsum),
+            )
+            n_blk_s = len(splan.rwsum) // splan.block
+            _ = float(select_reps(*sargs, "median", splan.dmax,
+                                  splan.pair, splan.span, n_blk_s, reps))
+            t0 = time.perf_counter()
+            _ = float(select_reps(*sargs, "median", splan.dmax,
+                                  splan.pair, splan.span, n_blk_s, reps))
+            select_median_s = (time.perf_counter() - t0) / reps
+            del sargs, srcE_s
+    except Exception as exc:  # pragma: no cover - perf fallback only
+        print(f"select path unavailable: {exc!r}", file=sys.stderr)
+
     best_apply_s = xla_apply_s
     for cand in (pallas_apply_s, gather_apply_s):
         if cand is not None and cand < best_apply_s:
@@ -422,6 +485,11 @@ def main():
         ),
         "pallas_apply_s_per_pass": (
             round(pallas_apply_s, 4) if pallas_apply_s is not None else None
+        ),
+        "select_median_s_per_pass": (
+            round(select_median_s, 4)
+            if select_median_s is not None
+            else None
         ),
         "weight_build_s": round(weight_build_s, 3),
         "bvh_build_s": round(bvh_build_s, 3),

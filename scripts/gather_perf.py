@@ -79,6 +79,10 @@ def main():
         stage_source,
     )
 
+    if ENGINE == "select":
+        run_select(padded, source, true_bytes)
+        return
+
     t0 = time.perf_counter()
     if ENGINE == "pdot":
         plan = plan_gather_pdot(
@@ -295,6 +299,103 @@ def main():
     )
 
     check_against_xla(source, padded, plan, grid)
+
+
+def run_select(padded, source, true_bytes):
+    """Time the selection kernel (mode/median/p*) and cross-check vs
+    the XLA reduce-registry oracle."""
+    from xugrid_tpu.regrid.select_apply import (
+        gather_select_apply,
+        plan_gather_select,
+    )
+    from xugrid_tpu.regrid.gather_apply import CHUNK, pad_sublanes
+
+    t0 = time.perf_counter()
+    plan = plan_gather_select(padded.indices, padded.weights)
+    print(f"plan[select]: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    if plan is None:
+        print("PLAN REJECTED")
+        return
+    nsteps = len(plan.blkid)
+    nnz = int((padded.indices >= 0).sum())
+    print(
+        f"plan: nsteps={nsteps} dmax={plan.dmax} pair={plan.pair} "
+        f"span={plan.span} nnz={nnz} "
+        f"lane_eff={nnz/(nsteps*12*128):.2f}",
+        file=sys.stderr,
+    )
+
+    n_extra, m = source.shape
+    e_sub = pad_sublanes(n_extra)
+    c_needed = int(plan.bases.max()) + 1 if len(plan.bases) else 1
+    m_pad = max(-(-m // CHUNK), c_needed) * CHUNK
+    srcE = np.zeros((e_sub, m_pad), np.float32)
+    srcE[:n_extra, :m] = source
+
+    n_blocks = len(plan.rwsum) // plan.block
+
+    @partial(jax.jit, static_argnames=("method", "dmax", "pair", "span",
+                                       "n_blocks", "n_reps"))
+    def select_reps(srcE, blkid, bases, ptab, rwsum,
+                    method, dmax, pair, span, n_blocks, n_reps):
+        def body(i, acc):
+            out = gather_select_apply(
+                srcE + i.astype(srcE.dtype) * 1e-12,
+                blkid, bases, ptab, rwsum,
+                method=method, has_nan=False,
+                dmax=dmax, pair=pair, span=span, n_blocks=n_blocks,
+            )
+            return acc + jnp.nansum(out)
+
+        import jax.lax as lax
+        return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+    reps = 10
+    dargs = (
+        jnp.asarray(srcE), jnp.asarray(plan.blkid),
+        jnp.asarray(plan.bases), jnp.asarray(plan.ptab),
+        jnp.asarray(plan.rwsum),
+    )
+    t0 = time.perf_counter()
+    cs = float(select_reps(*dargs, METHOD, plan.dmax, plan.pair,
+                           plan.span, n_blocks, reps))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    cs = float(select_reps(*dargs, METHOD, plan.dmax, plan.pair,
+                           plan.span, n_blocks, reps))
+    dt = (time.perf_counter() - t0) / reps
+    gbps = true_bytes / dt / 1e9
+    print(
+        f"select kernel [{METHOD} E={N_EXTRA} dmax={plan.dmax}]: "
+        f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
+        f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+    )
+
+    # correctness: first 4096 targets vs the reduce-registry oracle
+    from xugrid_tpu.regrid import reduce as red
+    from xugrid_tpu.regrid.apply import _apply_windowed_T, _pad_minor
+    from xugrid_tpu.regrid.select_apply import apply_windowed_select
+
+    got = apply_windowed_select(
+        source, padded.indices, padded.weights, METHOD,
+        has_nan=False, plan=plan,
+    )
+    fn = {"mode": red.mode, "median": red.median}.get(METHOD)
+    if fn is None:
+        fn = red.create_percentile_method(float(METHOD[1:]))
+    E = _pad_minor(N_EXTRA)
+    sourceT = np.zeros((m, E), np.float32)
+    sourceT[:, :N_EXTRA] = source.T
+    want = np.asarray(
+        _apply_windowed_T(
+            jnp.asarray(sourceT), jnp.asarray(padded.indices[:4096]),
+            jnp.asarray(padded.weights[:4096]), fn,
+        )
+    )[:, :N_EXTRA]
+    err = np.nanmax(
+        np.abs(got[:4096] - want) / np.maximum(np.abs(want), 1e-3)
+    )
+    print(f"max rel err vs XLA path (first 4096 targets): {err:.2e}")
 
 
 def check_against_xla(source, padded, plan, grid):

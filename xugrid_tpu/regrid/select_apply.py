@@ -14,11 +14,14 @@ Design (target-major, rank-by-counting):
   128-lane rows — no per-chunk round padding (the chunk-major engines'
   0.46-0.65 lane efficiency becomes ~0.9).  A target's entries never
   split across rows; rows never cross 512-target blocks.
-* One grid step = R rows of one block.  Rows are paired; each pair
-  gets its own ``pair_span`` single-chunk input streams whose
-  scalar-prefetch index maps point at the pair's UNALIGNED first
-  chunk, so the window never straddles an alignment boundary and
-  Mosaic pipelines all DMA (no dynamic VMEM slices anywhere).
+* One grid step = R rows of one block.  Rows are grouped PAIR at a
+  time; each group gets ``span`` single-chunk input streams whose
+  scalar-prefetch index maps point at the group's DISTINCT source
+  chunks (real meshes number faces row-major, so a window's ~17-chunk
+  *spread* hides only ~3 *distinct* chunks — a consecutive-chunk
+  window would reject almost everything).  The row packer is
+  span-aware: a target that would push its group past ``span``
+  distinct chunks closes the whole group.
 * Per lane, a segmented ALL-PAIRS pass over roll distances 1..Dmax
   (Dmax = max window size - 1, static) computes, within each target's
   lane run: the valid count n, the rank of each value (ties broken by
@@ -27,7 +30,8 @@ Design (target-major, rank-by-counting):
   single one-hot MXU matmul (128 lanes x 512 target slots) sums per
   target — no segmented scan, no segment-end tables.
 * Per-target gating rides the host-computed window weight sum
-  (``rwsum``) plus an in-kernel NaN injection for all-NaN windows.
+  (``rwsum``) plus a "bad window" flag chain for all-NaN windows (a
+  NaN in the extraction matmul would spread row-wide).
 
 Semantics pinned to ``regrid/reduce.py`` (which goldens against the
 reference numba kernels, xugrid/regrid/reduce.py:16-272):
@@ -61,12 +65,11 @@ BLOCK = 512
 #: rows per grid step.
 ROWS = 12
 
-#: rows sharing one source-chunk window.
-PAIR = 2
+#: rows sharing one set of source-chunk streams.
+PAIR = int(os.environ.get("XUGRID_TPU_SELECT_PAIR", "4"))
 
-#: chunks per pair window (the pair's rows' combined source extent
-#: must fit; plans reject otherwise).
-PAIR_SPAN = 3
+#: distinct source chunks per row group (4-bit k field: max 16).
+PAIR_SPAN = int(os.environ.get("XUGRID_TPU_SELECT_SPAN", "12"))
 
 #: largest supported window (valid entries per target).
 MAX_WINDOW = 32
@@ -103,13 +106,15 @@ class SelectPlan(NamedTuple):
     """Host-side plan for the selection kernel (all numpy)."""
 
     blkid: np.ndarray    # (nsteps,) i32 512-target block per step
-    bases: np.ndarray    # (nsteps * n_pairs,) i32 first chunk per pair
+    bases: np.ndarray    # (nsteps * n_pairs * span,) i32 chunk ids
     ptab: np.ndarray     # (nsteps*ROWS, 3, 128) i32 rows:
-    #                      0: idx7 | k_chunk<<7 | valid<<9
+    #                      0: idx7 | k<<7 | valid<<11
     #                      1: f32 weight bits
     #                      2: target slot 0..511 (-1 on pad lanes)
     rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
     dmax: int            # all-pairs roll distance bound (= max w - 1)
+    pair: int            # rows per stream group
+    span: int            # streams (distinct chunks) per group
     n: int
     block: int
 
@@ -119,15 +124,20 @@ def plan_gather_select(
     weights: np.ndarray | None = None,
     block: int = BLOCK,
     rows_per_step: int = ROWS,
-    pair_span: int = PAIR_SPAN,
+    pair: int = PAIR,
+    span: int = PAIR_SPAN,
     max_plan_bytes: int = 1_500_000_000,
 ) -> SelectPlan | None:
     """Build the target-major selection plan, or None when the window
-    structure defeats it (windows over MAX_WINDOW entries, pair source
-    extents over ``pair_span`` chunks, or budget gates) — the caller
-    falls back to the XLA window path."""
+    structure defeats it (windows over MAX_WINDOW entries, more than
+    ``span`` distinct chunks in one window, or budget gates) — the
+    caller falls back to the XLA window path."""
     n, _w = indices.shape
     if n == 0:
+        return None
+    if span > 16:
+        return None  # 4-bit k field
+    if rows_per_step % pair != 0:
         return None
     if weights is None:
         weights = np.zeros(indices.shape, np.float32)
@@ -159,92 +169,179 @@ def plan_gather_select(
         return None
     dmax = int(t_counts.max()) - 1
     dmax = max(1, -(-dmax // 4) * 4)  # pad: stable compile keys
-
-    # Greedy row packing: rows hold whole targets, never cross a
-    # block.  Iterates once per ROW (~nnz/110 iterations).
-    cum = np.cumsum(t_counts)
-    csum0 = np.concatenate([[0], cum])
-    t_block = (t_uniq // block).astype(np.int64)
-    # Last target index (exclusive) of each block present.
-    blk_change = np.flatnonzero(np.diff(t_block)) + 1
-    blk_end = np.concatenate([blk_change, [len(t_uniq)]])
     n_t = len(t_uniq)
-    row_of_t = np.empty(n_t, np.int64)
-    row_starts = []
-    s = 0
-    bi = 0
-    while s < n_t:
-        while blk_end[bi] <= s:
-            bi += 1
-        j = int(np.searchsorted(cum, csum0[s] + 128, side="right"))
-        j = min(max(j, s + 1), int(blk_end[bi]))
-        row_of_t[s:j] = len(row_starts)
-        row_starts.append(s)
-        s = j
-    n_rows = len(row_starts)
-    row_starts = np.asarray(row_starts, np.int64)
-    row_block = t_block[row_starts]
+    csum0 = np.concatenate([[0], np.cumsum(t_counts)])
 
-    # Steps: rows of one block grouped rows_per_step at a time.
-    rb_change = np.flatnonzero(np.diff(row_block)) + 1
-    rb_start = np.concatenate([[0], rb_change])
-    rb_end = np.concatenate([rb_change, [n_rows]])
-    rows_b = rb_end - rb_start
-    steps_b = -(-rows_b // rows_per_step)
+    # Per-target distinct chunk lists (CSR over sorted-unique chunks;
+    # entries are source-sorted within each target already).
+    chk = (src >> 7).astype(np.int64)
+    e_t = np.repeat(np.arange(n_t), t_counts)
+    newc = np.empty(nnz, bool)
+    newc[0] = True
+    np.logical_or(
+        np.diff(chk) != 0, np.diff(e_t) != 0, out=newc[1:]
+    )
+    t_nchunks = np.zeros(n_t, np.int64)
+    np.add.at(t_nchunks, e_t[newc], 1)
+    if int(t_nchunks.max()) > span:
+        return None
+    tc_data = chk[newc]                       # distinct chunks, grouped
+    tc_ptr = np.concatenate([[0], np.cumsum(t_nchunks)])
+
+    t_block = (t_uniq // block).astype(np.int64)
+
+    # Span-aware greedy packing (Python loop, once per plan; plans are
+    # cached by the caller).  Rows hold whole targets, never cross a
+    # block; a target that would push its PAIR-row group past ``span``
+    # distinct chunks (or is the group's first and a block boundary)
+    # closes the group.
+    row_start = []        # first target ordinal of each row
+    row_blockl = []       # block of each row
+    group_of_row = []     # group ordinal of each row
+    group_chunks = []     # list of sorted np arrays per group
+    cur_set: set = set()
+    cur_lanes = 0
+    cur_block = -1
+    row_open = False
+    rows_in_group = 0
+
+    def close_row():
+        nonlocal row_open, cur_lanes, rows_in_group
+        row_open = False
+        cur_lanes = 0
+        rows_in_group += 1
+
+    def close_group():
+        nonlocal rows_in_group, cur_set
+        if cur_set:
+            group_chunks.append(
+                np.asarray(sorted(cur_set), np.int64)
+            )
+            cur_set = set()
+        rows_in_group = 0
+
+    for t in range(n_t):
+        cnt = int(t_counts[t])
+        tch = tc_data[tc_ptr[t]:tc_ptr[t + 1]]
+        blk = int(t_block[t])
+        new_block = blk != cur_block
+        need_new_row = (
+            new_block or not row_open or cur_lanes + cnt > 128
+        )
+        if need_new_row and row_open:
+            close_row()
+        if new_block:
+            close_group()
+            cur_block = blk
+        # Chunk budget: does this target fit the current group?
+        add = [c for c in tch if c not in cur_set]
+        if len(cur_set) + len(add) > span:
+            if row_open:
+                close_row()
+            close_group()
+            add = list(tch)
+            need_new_row = True
+        elif rows_in_group >= pair and not row_open:
+            close_group()
+            add = list(tch)
+        if not row_open:
+            row_start.append(t)
+            row_blockl.append(blk)
+            group_of_row.append(len(group_chunks))
+            row_open = True
+        cur_set.update(add)
+        cur_lanes += cnt
+    if row_open:
+        close_row()
+    close_group()
+
+    n_rows = len(row_start)
+    row_start = np.asarray(row_start, np.int64)
+    row_block = np.asarray(row_blockl, np.int64)
+    group_of_row = np.asarray(group_of_row, np.int64)
+    row_of_t = np.repeat(
+        np.arange(n_rows),
+        np.diff(np.concatenate([row_start, [n_t]])),
+    )
+
+    # Steps: rows of one block grouped rows_per_step at a time.  Each
+    # group of `pair` rows must land in one step-local stream slot, so
+    # groups pad to `pair` rows: row ids are assigned group-major.
+    n_groups = len(group_chunks)
+    rows_g = np.bincount(group_of_row, minlength=n_groups)
+    if (rows_g > pair).any():
+        return None
+    group_block = np.zeros(n_groups, np.int64)
+    group_block[group_of_row] = row_block
+    gb_change = np.flatnonzero(np.diff(group_block)) + 1
+    gb_start = np.concatenate([[0], gb_change])
+    gb_end = np.concatenate([gb_change, [n_groups]])
+    groups_b = gb_end - gb_start
+    gps = rows_per_step // pair              # groups per step
+    steps_b = -(-groups_b // gps)
     nsteps_real = int(steps_b.sum())
-    n_pairs = rows_per_step // PAIR
     # One all-padding dummy step per block with no entries: its flush
     # writes the NaN the zero rwsum implies (otherwise the out block
     # would carry garbage).
     present = np.zeros(n_blocks, bool)
-    present[row_block[rb_start]] = True
+    present[group_block[gb_start]] = True
     missing = np.flatnonzero(~present)
     nsteps = nsteps_real + len(missing)
+    n_pairs = gps
     if nsteps * rows_per_step * 3 * 128 * 4 > max_plan_bytes:
         return None
-    if (nsteps + nsteps * n_pairs) * 4 + 64 > 900_000:
+    if (nsteps + nsteps * n_pairs * span) * 4 + 64 > 900_000:
         return None  # SMEM scalar-prefetch budget
 
-    # Global padded row id per real row.
+    # Global padded group/row ids.
     step0_b = np.concatenate([[0], np.cumsum(steps_b)[:-1]])
-    rlocal = np.arange(n_rows) - rb_start[
-        np.searchsorted(rb_end, np.arange(n_rows), side="right")
-    ]
-    prow = (
-        step0_b[np.searchsorted(rb_end, np.arange(n_rows), side="right")]
-        * rows_per_step
-        + rlocal
+    g_bi = np.searchsorted(gb_end, np.arange(n_groups), side="right")
+    glocal = np.arange(n_groups) - gb_start[g_bi]
+    pgroup = step0_b[g_bi] * gps + glocal
+    # Row slot within its group (rows of a group are consecutive).
+    first_row_of_g = np.full(n_groups, n_rows, np.int64)
+    np.minimum.at(
+        first_row_of_g, group_of_row, np.arange(n_rows)
     )
+    rslot = np.arange(n_rows) - first_row_of_g[group_of_row]
+    prow = pgroup[group_of_row] * pair + rslot
 
     blkid = np.concatenate(
-        [np.repeat(row_block[rb_start], steps_b), missing]
+        [np.repeat(group_block[gb_start], steps_b), missing]
     ).astype(np.int32)
 
+    # Stream table: group -> its sorted distinct chunks, padded with 0.
+    bases = np.zeros((nsteps * n_pairs, span), np.int32)
+    for g in range(n_groups):
+        gc = group_chunks[g]
+        bases[pgroup[g], : len(gc)] = gc.astype(np.int32)
+
     # Entry placement.
-    e_t = np.repeat(np.arange(n_t), t_counts)      # target ordinal
     e_row = row_of_t[e_t]
     e_prow = prow[e_row]
-    lane = np.arange(nnz) - csum0[row_starts[e_row]]
+    lane = np.arange(nnz) - csum0[row_start[e_row]]
     tslot = (ti - (t_block[e_t] * block)).astype(np.int32)
-
-    # Pair windows: first chunk per pair, local chunk offsets.
-    chk = src >> 7
-    e_pair = e_prow // PAIR
-    NPR = nsteps * n_pairs
-    pair_min = np.full(NPR + 1, np.int64(1) << 40)
-    np.minimum.at(pair_min, e_pair, chk)
-    pair_max = np.zeros(NPR + 1, np.int64)
-    np.maximum.at(pair_max, e_pair, chk)
-    has = pair_min < (np.int64(1) << 40)
-    if ((pair_max - pair_min + 1)[has] > pair_span).any():
-        return None
-    bases = np.where(has, pair_min, 0)[:NPR].astype(np.int32)
-    k_e = (chk - pair_min[e_pair]).astype(np.int32)
+    # k = position of the entry's chunk in its group's stream list.
+    k_e = np.empty(nnz, np.int32)
+    e_g = group_of_row[e_row]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(e_g)) + 1, [nnz]]
+    )
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        gc = group_chunks[e_g[s]]
+        k_e[s:e] = np.searchsorted(gc, chk[s:e]).astype(np.int32)
 
     ptab = np.zeros((nsteps * rows_per_step, 3, 128), np.int32)
     ptab[:, 2, :] = -1
+    # Window size rides bits 12..17 (<= MAX_WINDOW = 32): when the
+    # source is NaN-free the per-target valid count is plan-static, so
+    # the kernel skips the whole n-counting all-pairs pass.
+    wsz = t_counts[e_t].astype(np.int32)
     ptab[e_prow, 0, lane] = (
-        (src & 127).astype(np.int32) | (k_e << 7) | (1 << 9)
+        (src & 127).astype(np.int32)
+        | (k_e << 7)
+        | (1 << 11)
+        | (wsz << 12)
     )
     ptab[e_prow, 1, lane] = wts.view(np.int32)
     ptab[e_prow, 2, lane] = tslot
@@ -258,6 +355,8 @@ def plan_gather_select(
         ptab=ptab,
         rwsum=rwsum,
         dmax=dmax,
+        pair=pair,
+        span=span,
         n=n,
         block=block,
     )
@@ -270,17 +369,18 @@ def _make_select_kernel(
     e_sub: int,
     block: int,
     rows_per_step: int,
-    pair_span: int,
+    pair: int,
+    span: int,
     interpret: bool,
 ):
-    n_pairs = rows_per_step // PAIR
+    n_pairs = rows_per_step // pair
     p = _method_p(method)
 
     def kernel(blkid_ref, bases_ref, *refs):
         ptab_ref, rwsum_ref = refs[0], refs[1]
-        srcs = refs[2:2 + n_pairs * pair_span]
-        out_ref = refs[2 + n_pairs * pair_span]
-        acc = refs[2 + n_pairs * pair_span + 1]
+        srcs = refs[2:2 + n_pairs * span]
+        out_ref = refs[2 + n_pairs * span]
+        acc = refs[2 + n_pairs * span + 1]
 
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
@@ -301,8 +401,8 @@ def _make_select_kernel(
         tab = ptab_ref[...]                    # (R, 3, 128)
         meta = tab[:, 0, :]
         idx_p = meta & 127
-        k_p = (meta >> 7) & 3
-        slotv = (meta >> 9) & 1
+        k_p = (meta >> 7) & 15
+        slotv = (meta >> 11) & 1
         w_p = jax.lax.bitcast_convert_type(tab[:, 1, :], jnp.float32)
         seg_p = tab[:, 2, :]
 
@@ -312,23 +412,23 @@ def _make_select_kernel(
             ).reshape(rows_per_step * reps, 128)
 
         idx_e = expand(idx_p)
-        # Gather per (pair, k): both rows of a pair read the pair's
-        # k-th chunk stream; lanes select on their chunk offset.
+        # Gather per (group, k): all `pair` rows of a group read the
+        # group's k-th chunk stream; lanes select on their k field.
         k_e = expand(k_p)
         pieces = []
         for pr in range(n_pairs):
-            lo = pr * PAIR * e_sub
-            hi = (pr + 1) * PAIR * e_sub
+            lo = pr * pair * e_sub
+            hi = (pr + 1) * pair * e_sub
             idx_pair = idx_e[lo:hi]
             sel_pair = k_e[lo:hi]
-            got = jnp.zeros((PAIR * e_sub, 128), jnp.float32)
-            for k in range(pair_span):
+            got = jnp.zeros((pair * e_sub, 128), jnp.float32)
+            for k in range(span):
                 table = jnp.broadcast_to(
-                    srcs[pr * pair_span + k][...].reshape(
+                    srcs[pr * span + k][...].reshape(
                         1, e_sub, 128
                     ),
-                    (PAIR, e_sub, 128),
-                ).reshape(PAIR * e_sub, 128)
+                    (pair, e_sub, 128),
+                ).reshape(pair * e_sub, 128)
                 g = jnp.take_along_axis(table, idx_pair, axis=1)
                 got = jnp.where(sel_pair == k, g, got)
             pieces.append(got)
@@ -341,26 +441,34 @@ def _make_select_kernel(
         if has_nan:
             fin = jnp.logical_not(jnp.isnan(val))
             okv = jnp.logical_and(expand(ok), fin)
+            okf = okv.astype(jnp.float32)
         else:
+            # NaN-free: every in-segment partner is valid, so the
+            # validity roll drops out of seg_mask and the valid count
+            # is the plan-static window size (meta bits 12..17) — this
+            # halves the all-pairs VPU work, the kernel's hot loop.
             okv = expand(ok)
-        okf = okv.astype(jnp.float32)
+            okf = None
 
         def seg_mask(d, sgn):
             """In-segment partner mask at roll distance sgn*d, as an
             expanded f32 gate (rolls stay on i32/f32 tiles)."""
             seg_r = _roll(seg_p, sgn * d, interpret)
             edge = lanes >= d if sgn == 1 else lanes <= 127 - d
-            return expand(
+            m = expand(
                 jnp.logical_and(seg_r == seg_p, edge)
-            ).astype(jnp.float32) * _roll(okf, sgn * d, interpret)
+            ).astype(jnp.float32)
+            if has_nan:
+                m = m * _roll(okf, sgn * d, interpret)
+            return m
 
         # Segmented all-pairs over roll distances 1..dmax: within each
-        # target's lane run count valid entries (n), and per lane its
-        # rank among valid values (ties -> lane order) [percentiles]
-        # or the weighted total of equal values plus the run maxima
-        # needed for the lexicographic mode pick.
+        # target's lane run count valid entries (n, NaN path only), and
+        # per lane its rank among valid values (ties -> lane order)
+        # [percentiles] or the weighted total of equal values plus the
+        # run maxima needed for the lexicographic mode pick.
         vs = jnp.where(okv, val, 0.0)
-        n_tot = okf + 0.0
+        n_tot = okf + 0.0 if has_nan else None
         if p is not None:
             rank = jnp.zeros_like(vs)
         else:
@@ -371,7 +479,8 @@ def _make_select_kernel(
             for sgn in (1, -1):
                 m = seg_mask(d, sgn)
                 v_r = _roll(vs, sgn * d, interpret)
-                n_tot = n_tot + m
+                if has_nan:
+                    n_tot = n_tot + m
                 if p is not None:
                     less = (v_r < vs).astype(jnp.float32)
                     if sgn == 1:
@@ -387,7 +496,11 @@ def _make_select_kernel(
 
         if p is not None:
             # rank/n are valid-only; invalid lanes must never match.
-            nv = n_tot
+            nv = (
+                n_tot
+                if has_nan
+                else expand((meta >> 12) & 63).astype(jnp.float32)
+            )
             rk = jnp.where(okv, rank, 1e9)
             target_rank = 1.0 + (nv - 1.0) * jnp.float32(p / 100.0)
             f = jnp.floor(target_rank)
@@ -452,9 +565,15 @@ def _make_select_kernel(
             # raw window sum): all-zero valid weights or no valid
             # value -> NaN, even when rwsum > 0.  Rides the "bad"
             # chain (a NaN here would poison the extraction matmul).
+            # NaN-free windows always have >= 1 valid value.
+            empty = (
+                n_tot == 0.0
+                if has_nan
+                else jnp.zeros_like(tmax, dtype=bool)
+            )
             bad = jnp.logical_and(
                 expand(ok),
-                jnp.logical_or(n_tot == 0.0, tmax == 0.0),
+                jnp.logical_or(empty, tmax == 0.0),
             )
 
         # Extraction: one one-hot matmul per row sums each target's
@@ -470,16 +589,29 @@ def _make_select_kernel(
                     seg_p[r:r + 1, :].reshape(128, 1), (128, block)
                 )
                 == iota_b
-            ).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
             qu = contrib[r * e_sub:(r + 1) * e_sub]
             if nc == 2:
                 qu = jnp.concatenate(
                     [qu, badf[r * e_sub:(r + 1) * e_sub]], axis=0
                 )
+            # Default TPU matmul precision rounds inputs to bf16
+            # (observed ~0.4% error on chip, none in interpret mode)
+            # and Mosaic supports only DEFAULT/HIGHEST.  Manual 2-pass
+            # bf16 split: the one-hot side is exact in bf16, so
+            # hi+lo recovers the f32 product to ~2^-17 at a third of
+            # HIGHEST's six MXU passes.
+            qu_hi = qu.astype(jnp.bfloat16)
+            qu_lo = (qu - qu_hi.astype(jnp.float32)).astype(
+                jnp.bfloat16
+            )
+            dims = (((1,), (0,)), ((), ()))
             res = res + jax.lax.dot_general(
-                qu,
-                ph,
-                (((1,), (0,)), ((), ())),
+                qu_hi, ph, dims,
+                preferred_element_type=jnp.float32,
+            )
+            res = res + jax.lax.dot_general(
+                qu_lo, ph, dims,
                 preferred_element_type=jnp.float32,
             )
         acc[...] += res
@@ -502,14 +634,15 @@ def _make_select_kernel(
 def _roll(x, shift, interpret):
     if interpret:
         return jnp.roll(x, shift, axis=1)
-    return pltpu.roll(x, shift, axis=1)
+    # pltpu.roll rejects negative shifts; the lane axis is 128 wide.
+    return pltpu.roll(x, shift % 128, axis=1)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "dmax", "block", "rows_per_step",
-        "pair_span", "n_blocks", "interpret",
+        "pair", "span", "n_blocks", "interpret",
     ),
 )
 def gather_select_apply(
@@ -519,7 +652,8 @@ def gather_select_apply(
     dmax: int = 8,
     block: int = BLOCK,
     rows_per_step: int = ROWS,
-    pair_span: int = PAIR_SPAN,
+    pair: int = 4,
+    span: int = 12,
     n_blocks: int = 1,
     interpret: bool = False,
 ):
@@ -529,12 +663,12 @@ def gather_select_apply(
     ctot = m_pad // CHUNK
     chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
     nsteps = blkid.shape[0]
-    n_pairs = rows_per_step // PAIR
+    n_pairs = rows_per_step // pair
     n_pad = n_blocks * block
 
     def src_map(pr, k):
         def f(i, blk, bas):
-            c = bas[i * n_pairs + pr] + k
+            c = bas[(i * n_pairs + pr) * span + k]
             return (jnp.minimum(c, ctot - 1), 0, 0)
 
         return f
@@ -553,7 +687,7 @@ def gather_select_apply(
         + [
             pl.BlockSpec((1, e_sub, CHUNK), src_map(pr, k))
             for pr in range(n_pairs)
-            for k in range(pair_span)
+            for k in range(span)
         ],
         out_specs=pl.BlockSpec(
             (e_sub, block), lambda i, blk, bas: (0, blk[i])
@@ -572,7 +706,7 @@ def gather_select_apply(
 
     kernel = _make_select_kernel(
         method, has_nan, dmax, e_sub, block, rows_per_step,
-        pair_span, interpret,
+        pair, span, interpret,
     )
 
     return pl.pallas_call(
@@ -585,7 +719,7 @@ def gather_select_apply(
         interpret=interpret,
     )(
         blkid, bases, ptab, rwsum.reshape(1, -1),
-        *([chunks] * (n_pairs * pair_span)),
+        *([chunks] * (n_pairs * span)),
     )
 
 
@@ -611,7 +745,7 @@ def apply_windowed_select(
 
     n_extra, m = source2d.shape
     e_sub = pad_sublanes(n_extra)
-    c_needed = int(plan.bases.max()) + PAIR_SPAN if len(plan.bases) else 1
+    c_needed = int(plan.bases.max()) + 1 if len(plan.bases) else 1
     m_pad = max(-(-m // CHUNK), c_needed) * CHUNK
     srcE = np.zeros((e_sub, m_pad), np.float32)
     srcE[:n_extra, :m] = source2d
@@ -626,6 +760,8 @@ def apply_windowed_select(
         has_nan=bool(has_nan),
         dmax=plan.dmax,
         block=plan.block,
+        pair=plan.pair,
+        span=plan.span,
         n_blocks=len(plan.rwsum) // plan.block,
         interpret=interpret,
     )
