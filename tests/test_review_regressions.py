@@ -444,3 +444,148 @@ class TestAdvisorRound2Fixes:
         out = da.reindex(x=[1, 2, 3, 9])
         np.testing.assert_array_equal(out.values[:3], [2.0, 4.0, 1.0])
         assert np.isnan(out.values[3])
+
+
+class TestRound3ReviewFindings:
+    """Pins for the round-3 diff review (kernel routing + lazy paths)."""
+
+    def _jittered_quads(self, n=24, seed=0):
+        rng = np.random.default_rng(seed)
+        x = np.arange(n + 1.0)
+        yy, xx = np.meshgrid(x, x, indexing="ij")
+        verts = np.column_stack([xx.ravel(), yy.ravel()])
+        j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        nid = lambda ii, jj: jj * (n + 1) + ii  # noqa: E731
+        faces = np.stack(
+            [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
+            axis=-1,
+        ).reshape(-1, 4)
+        jit = rng.uniform(-0.2, 0.2, verts.shape)
+        edge = (
+            (verts[:, 0] == 0) | (verts[:, 1] == 0)
+            | (verts[:, 0] == n) | (verts[:, 1] == n)
+        )
+        jit[edge] = 0.0
+        return xu.Ugrid2d(
+            verts[:, 0] + jit[:, 0], verts[:, 1] + jit[:, 1], -1, faces
+        )
+
+    def test_cg_gather_handles_stream_plan(self, monkeypatch):
+        # plan_default defaults to the stream engine; cg_solve's gather
+        # branch crashed with AttributeError on StreamPlan (no .npk).
+        monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+        monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+        from xugrid_tpu.regrid.gather_apply import StreamPlan, plan_default
+        from xugrid_tpu.ugrid.interpolate import laplace_interpolate
+
+        grid = self._jittered_quads()
+        conn = grid.face_face_connectivity
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=grid.n_face)
+        data[rng.random(grid.n_face) < 0.5] = np.nan
+
+        # The scenario only bites when the default plan IS a StreamPlan.
+        from xugrid_tpu.core.sparse import MatrixCSR, PaddedCSR
+
+        coo = conn.tocoo()
+        padded = PaddedCSR.from_csr(
+            MatrixCSR.from_triplet(
+                coo.row, coo.col, coo.data.astype(np.float64),
+                n=conn.shape[0], m=conn.shape[1],
+            )
+        )
+        assert isinstance(
+            plan_default(padded.indices, padded.weights), StreamPlan
+        )
+
+        out = laplace_interpolate(data, conn, direct_solve=False)
+        known = ~np.isnan(data)
+        assert not np.isnan(out).any()
+        np.testing.assert_allclose(out[known], data[known])
+
+    def test_pallas_method_gate_accepts_min_max(self, monkeypatch):
+        # min/max were rejected by the PALLAS_METHODS gate, so
+        # apply_weights never routed them to the gather kernel.
+        import jax
+
+        from xugrid_tpu.regrid import reduce
+        from xugrid_tpu.regrid.apply import _pallas_method
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        src = np.ones((4, 16), np.float32)
+        for reduction, name in (
+            (reduce.minimum, "min"),
+            (reduce.maximum, "max"),
+            (reduce.max_overlap, "max_overlap"),
+            (reduce.mean, "mean"),
+        ):
+            method, has_nan = _pallas_method(reduction, src)
+            assert method == name
+            assert has_nan is False
+
+    def test_grid_hash_excludes_nan_y_boxes(self):
+        # A box with finite x but NaN y slipped past the width-only
+        # finiteness check into the native binning (NaN→int cast UB).
+        from xugrid_tpu.spatial.grid_hash import GridHash
+
+        rng = np.random.default_rng(2)
+        lo = rng.uniform(0, 10, (200, 2))
+        boxes = np.column_stack(
+            [lo[:, 0], lo[:, 1], lo[:, 0] + 0.5, lo[:, 1] + 0.5]
+        )
+        boxes[7, 1] = np.nan
+        boxes[7, 3] = np.nan
+        gh = GridHash(boxes)
+        hits = gh.query_boxes(np.array([[0.0, 0.0, 10.5, 10.5]]))
+        assert 7 not in set(np.asarray(hits[1]).ravel())
+
+    def test_lazy_regrid_zero_length_leading_dim(self, tmp_path):
+        # Streamed lazy regrid crashed on time=0 variables:
+        # np.concatenate([]) raises on the empty block list.
+        grid = self._jittered_quads(n=4, seed=3)
+        target = xu.Ugrid2d(
+            *_square_target_coords(4), -1, _square_target_faces(4)
+        )
+        reg = xu.OverlapRegridder(
+            xu.UgridDataArray.from_data(
+                np.zeros(grid.n_face), grid, facet="face"
+            ),
+            target=target,
+        )
+
+        class _FakeLazy:
+            shape = (0, grid.n_face)
+            dtype = np.dtype(np.float64)
+
+            def __array__(self, dtype=None, copy=None):
+                return np.zeros(self.shape)
+
+            def __getitem__(self, key):
+                return np.zeros(self.shape)[key]
+
+        from xugrid_tpu.xdata import lazy as lazy_mod
+
+        orig = lazy_mod.is_lazy
+        lazy_mod.is_lazy = lambda x: isinstance(x, _FakeLazy) or orig(x)
+        try:
+            out = reg._regrid_array(_FakeLazy())
+        finally:
+            lazy_mod.is_lazy = orig
+        assert out.shape[0] == 0
+
+
+def _square_target_coords(n):
+    x = np.arange(n + 1.0)
+    yy, xx = np.meshgrid(x, x, indexing="ij")
+    verts = np.column_stack([xx.ravel(), yy.ravel()])
+    return verts[:, 0], verts[:, 1]
+
+
+def _square_target_faces(n):
+    j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    nid = lambda ii, jj: jj * (n + 1) + ii  # noqa: E731
+    return np.stack(
+        [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
+        axis=-1,
+    ).reshape(-1, 4)

@@ -87,7 +87,7 @@ def _pallas_method(reduction, source2d):
         # path pads the lane axis and handles this shape.
         return None, None
     from xugrid_tpu.regrid import reduce
-    from xugrid_tpu.regrid.pallas_apply import PALLAS_METHODS
+    from xugrid_tpu.regrid.gather_apply import GATHER_METHODS
 
     by_reduction = {
         reduce.mean: "mean",
@@ -105,7 +105,7 @@ def _pallas_method(reduction, source2d):
     }
     method = by_reduction.get(reduction)
     if method is None or (
-        method != "max_overlap" and method not in PALLAS_METHODS
+        method != "max_overlap" and method not in GATHER_METHODS
     ):
         return None, None
     if jax.default_backend() != "tpu":
@@ -287,31 +287,37 @@ def apply_weights(
                     )
 
         from xugrid_tpu.regrid.pallas_apply import (
+            PALLAS_METHODS,
             apply_windowed_pallas,
             plan_auto,
         )
 
-        plan = _REJECTED
-        if plan_cache is not None:
-            plan = plan_cache.get("pallas_plan", _REJECTED)
-        if plan is _REJECTED:
-            plan = plan_auto(weights.indices, weights.weights)
+        # Only the linear family rides the one-hot slab kernel —
+        # planning for anything else (min/max/max_overlap rejected
+        # above) would burn seconds of host work on a plan the apply
+        # can never use.
+        if method in PALLAS_METHODS:
+            plan = _REJECTED
             if plan_cache is not None:
-                plan_cache["pallas_plan"] = plan
-        out = None
-        if plan is not None:
-            out = apply_windowed_pallas(
-                source2d.T.astype(np.float32),
-                weights.indices,
-                weights.weights,
-                method,
-                has_nan=has_nan,
-                plan=plan,
-            )
-        if out is not None:
-            return out.T.astype(source2d.dtype).reshape(
-                leading + (target_size,)
-            )
+                plan = plan_cache.get("pallas_plan", _REJECTED)
+            if plan is _REJECTED:
+                plan = plan_auto(weights.indices, weights.weights)
+                if plan_cache is not None:
+                    plan_cache["pallas_plan"] = plan
+            out = None
+            if plan is not None:
+                out = apply_windowed_pallas(
+                    source2d.T.astype(np.float32),
+                    weights.indices,
+                    weights.weights,
+                    method,
+                    has_nan=has_nan,
+                    plan=plan,
+                )
+            if out is not None:
+                return out.T.astype(source2d.dtype).reshape(
+                    leading + (target_size,)
+                )
 
     smethod, s_has_nan = _select_method(reduction, source2d)
     if smethod is not None:

@@ -72,6 +72,11 @@ CHUNK = 128
 #: payload entries per packet (lane 0 is the reserved dummy).
 PAYLOAD = 127
 
+#: engine used when XUGRID_TPU_GATHER_ENGINE is unset — the single
+#: source of truth (plan_default, apply_windowed_gather, and the CG
+#: plan-cache key in ugrid/interpolate.py all read this).
+DEFAULT_ENGINE = "stream"
+
 #: VMEM budget for the chunk slab (bytes) — bounds MAXC per plan.
 _SLAB_BYTES = 6 * 1024 * 1024
 
@@ -1172,7 +1177,7 @@ def _make_kernel(
                         pu = jax.lax.rem(pu, 128)
                     colidx = jnp.full((128, 128), 0, jnp.int32) + pu
                     mpre = jnp.take_along_axis(ptile, colidx, axis=1)
-                    m1h = (mpre == lanes).astype(jnp.float32)
+                    m1h = (mpre == lanes).astype(jnp.bfloat16)
                     qu = jnp.concatenate(
                         [
                             qs[ci][u * e_sub:(u + 1) * e_sub]
@@ -1180,8 +1185,33 @@ def _make_kernel(
                         ],
                         axis=0,
                     )
-                    res = jnp.dot(
-                        qu, m1h, preferred_element_type=jnp.float32
+                    # Default Mosaic matmul precision silently rounds
+                    # f32 inputs to bf16 (see CLAUDE.md); the one-hot
+                    # side is exact in bf16, so a 3-way hi/mid/lo split
+                    # of the values covers the full 24-bit mantissa
+                    # (f32-exact segment sums) at half the cost of
+                    # Precision.HIGHEST's six MXU passes.  A 2-way
+                    # split leaves ~2^-17 terms that cancelling sums
+                    # amplify past the oracle tolerance.
+                    qu_hi = qu.astype(jnp.bfloat16)
+                    r1 = qu - qu_hi.astype(jnp.float32)
+                    qu_mid = r1.astype(jnp.bfloat16)
+                    qu_lo = (r1 - qu_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16
+                    )
+                    res = (
+                        jnp.dot(
+                            qu_hi, m1h,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jnp.dot(
+                            qu_mid, m1h,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jnp.dot(
+                            qu_lo, m1h,
+                            preferred_element_type=jnp.float32,
+                        )
                     )
                     for ci in range(nc):
                         upd(
@@ -1908,7 +1938,7 @@ def plan_default(
     the 1M config: 11.7 vs 7.4 ms/pass at E=20), with the scan engines
     as fallbacks when planning rejects.  ``for_minmax`` requests a
     scan-capable plan (the pdot engine covers sum-kind chains only)."""
-    engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "stream")
+    engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE)
     if engine == "pdot" and not for_minmax:
         plan = plan_gather_pdot(indices, weights)
         if plan is not None:
@@ -1957,7 +1987,7 @@ def apply_windowed_gather(
         else:
             engine = "packet"
     elif engine is None:
-        engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", "stream")
+        engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE)
     if has_nan is None:
         has_nan = bool(np.isnan(source2d).any())
     if engine == "pdot" and not _pdot_supported(method, bool(has_nan)):

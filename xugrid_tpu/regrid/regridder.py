@@ -123,10 +123,18 @@ class BaseRegridder(abc.ABC):
             # smaller) results.  The analog of the reference's lazy dask
             # map_blocks path (xugrid/regrid/regridder.py:167-186).
             shp = source.shape
-            if len(shp) <= source_grid.ndim:
+            if len(shp) <= source_grid.ndim or shp[0] == 0:
+                # No leading dim to stream over (or nothing to stream:
+                # np.concatenate([]) would raise) — materialize and run
+                # the eager path, which handles zero-length shapes.
                 source = np.asarray(source)
             else:
-                per_row = 4 * (
+                # Budget by the decoded dtype: CF-decoded lazy blocks
+                # are typically float64, not 4 bytes/element.
+                itemsize = int(
+                    np.dtype(getattr(source, "dtype", np.float64)).itemsize
+                )
+                per_row = max(itemsize, 4) * (
                     int(np.prod(shp[1:]))
                     + int(np.prod(shp[1: len(shp) - source_grid.ndim]))
                     * self._target.size
@@ -140,6 +148,13 @@ class BaseRegridder(abc.ABC):
                     axis=0,
                 )
         first_dims_shape = source.shape[: -source_grid.ndim]
+        if 0 in first_dims_shape:
+            # Nothing to regrid (e.g. a freshly initialized time=0
+            # store): reshape(-1) cannot infer the grid dim from zero
+            # elements, and the apply path needs >=1 extra row.
+            return np.empty(
+                first_dims_shape + self._target.shape, source.dtype
+            )
         source = source.reshape(first_dims_shape + (-1,))
         if source.shape[-1] != source_grid.size:
             raise ValueError(
@@ -377,6 +392,10 @@ class CentroidLocatorRegridder(BaseRegridder):
     def _regrid_array(self, source):
         source_grid = self._source
         first_dims_shape = source.shape[: -source_grid.ndim]
+        if 0 in first_dims_shape:
+            return np.empty(
+                first_dims_shape + self._target.shape, source.dtype
+            )
         source = source.reshape(first_dims_shape + (-1,))
         if source.shape[-1] != source_grid.size:
             # JAX clamps out-of-bounds gathers, so a size mismatch would

@@ -71,13 +71,19 @@ class GridHash:
         # native binning runs with identity ids.
         w = boxes[:, 2] - boxes[:, 0]
         h = boxes[:, 3] - boxes[:, 1]
+        # Finiteness must check all 4 coordinates: a box with finite x
+        # but NaN y has finite w and would otherwise reach the native
+        # binning, where NaN→int casts plant it in wrong cells.
+        finite_all = np.isfinite(boxes).all(axis=1)
         with np.errstate(invalid="ignore"):
             oversize_mask = (w > 4 * max(w99, 1e-300)) | (
                 h > 4 * max(h99, 1e-300)
             )
-            regular_mask = (w >= 0) & ~oversize_mask  # finite & regular
+            regular_mask = (
+                finite_all & (w >= 0) & (h >= 0) & ~oversize_mask
+            )
         self.oversize = np.flatnonzero(oversize_mask)
-        n_finite = int(np.count_nonzero(np.isfinite(w)))
+        n_finite = int(np.count_nonzero(finite_all))
         if len(self.oversize) == 0 and n_finite == len(boxes):
             regular_ids = None
             rb = boxes

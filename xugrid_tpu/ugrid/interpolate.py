@@ -79,25 +79,39 @@ def _make_pcg_gather():
         jax.jit,
         static_argnames=(
             "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
-            "engine", "interpret",
+            "engine", "n_blocks", "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
               atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
-              engine, interpret=False):
+              engine, n_blocks=0, interpret=False):
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
             gather_span_apply,
+            gather_stream_apply,
             gather_windowed_apply,
         )
 
         N = bE.shape[1]
-        n_blocks = chunk0.shape[0]
-        n512 = n_blocks * (128 if engine == "pdot" else 512)
+        if engine == "stream":
+            # chunk0/npk carry blkid/spanblk (one row per superpacket,
+            # not per block) — the output block count rides the static
+            # n_blocks instead.
+            n512 = n_blocks * 512
+        else:
+            n_blocks = chunk0.shape[0]
+            n512 = n_blocks * (128 if engine == "pdot" else 512)
         rw = jnp.zeros(n512, jnp.float32)  # unused by method="matvec"
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
-            if engine == "pdot":
+            if engine == "stream":
+                out = gather_stream_apply(
+                    xE, chunk0, npk, ptab, rw,
+                    method="matvec", has_nan=False,
+                    scan_steps=scan_steps, span=span,
+                    n_blocks=n_blocks, interpret=interpret,
+                )
+            elif engine == "pdot":
                 out = gather_pdot_apply(
                     xE, chunk0, npk, meta, ptab, rw,
                     method="matvec", has_nan=False,
@@ -566,9 +580,11 @@ def cg_solve(
         h = hashlib.blake2b(digest_size=16)
         h.update(np.ascontiguousarray(idx).tobytes())
         h.update(np.ascontiguousarray(w32).tobytes())
+        from xugrid_tpu.regrid.gather_apply import DEFAULT_ENGINE
+
         key = (
             idx.shape, h.hexdigest(),
-            os.environ.get("XUGRID_TPU_GATHER_ENGINE", "span"),
+            os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE),
         )
         if key in _GATHER_PLANS:
             gather_plan = _GATHER_PLANS[key]
@@ -583,6 +599,7 @@ def cg_solve(
         from xugrid_tpu.regrid.gather_apply import (
             PdotPlan,
             SpanPlan,
+            StreamPlan,
             _use_mxu,
             pad_sublanes,
         )
@@ -592,33 +609,60 @@ def cg_solve(
             _PCG_GATHER = _make_pcg_gather()
         plan = gather_plan
         e_sub = pad_sublanes(E)
-        if isinstance(plan, PdotPlan):
-            engine = "pdot"
+        dummy_page = np.zeros((8, 128), np.int32)
+        maxc = 0
+        stream_blocks = 0
+        if isinstance(plan, StreamPlan):
+            engine = "stream"
             mxu = False
-            count = plan.nsp
+            first = plan.blkid       # target block per superpacket
+            count = plan.spanblk     # span-block per superpacket
+            meta = np.zeros(1, np.int32)   # unused by stream engine
             span = plan.span
-            page = np.zeros((8, 128), np.int32)  # unused by pdot engine
-            scan_steps = 0
-        elif isinstance(plan, SpanPlan):
-            engine = "span"
-            mxu = False
-            count = plan.nsp
-            span = plan.span
-            page = np.zeros((8, 128), np.int32)  # unused by span engine
+            page = dummy_page
             scan_steps = plan.scan_steps
+            stream_blocks = len(plan.rwsum) // plan.block
+            n512 = stream_blocks * plan.block
+            c_needed = (
+                (int(plan.spanblk.max()) + 1) * plan.span
+                if len(plan.spanblk)
+                else plan.span
+            ) * 128
+            # The stream engine reshapes the source into whole
+            # (span, e_sub, 128) grid blocks.
+            align = plan.span * 128
+            N = -(-max(n_pad, n512, c_needed) // align) * align
         else:
-            engine = "packet"
-            mxu = _use_mxu("matvec", False, e_sub)
-            count = plan.npk
-            span = 0
-            # Scan-path matvecs never read the page: ship a dummy
-            # instead of the plan's (it would otherwise ride every
-            # block's DMA).
-            page = plan.page if mxu else np.zeros((8, 128), np.int32)
-            scan_steps = 0 if mxu else plan.scan_steps
-        n512 = len(plan.chunk0) * plan.block
-        c_needed = (int(plan.chunk0.max()) + plan.maxc) * 128
-        N = max(n_pad, n512, -(-c_needed // 512) * 512)
+            if isinstance(plan, PdotPlan):
+                engine = "pdot"
+                mxu = False
+                count = plan.nsp
+                span = plan.span
+                page = dummy_page
+                scan_steps = 0
+            elif isinstance(plan, SpanPlan):
+                engine = "span"
+                mxu = False
+                count = plan.nsp
+                span = plan.span
+                page = dummy_page
+                scan_steps = plan.scan_steps
+            else:
+                engine = "packet"
+                mxu = _use_mxu("matvec", False, e_sub)
+                count = plan.npk
+                span = 0
+                # Scan-path matvecs never read the page: ship a dummy
+                # instead of the plan's (it would otherwise ride every
+                # block's DMA).
+                page = plan.page if mxu else dummy_page
+                scan_steps = 0 if mxu else plan.scan_steps
+            first = plan.chunk0
+            meta = plan.meta
+            maxc = plan.maxc
+            n512 = len(plan.chunk0) * plan.block
+            c_needed = (int(plan.chunk0.max()) + plan.maxc) * 128
+            N = max(n_pad, n512, -(-c_needed // 512) * 512)
         bE = np.zeros((e_sub, N), np.float32)
         bE[:E, :n] = b2
         x0E = np.zeros((e_sub, N), np.float32)
@@ -628,14 +672,15 @@ def cg_solve(
             diag_pad != 0.0, 1.0 / np.where(diag_pad == 0.0, 1.0, diag_pad), 1.0
         )
         x, k = _PCG_GATHER(
-            jnp.asarray(plan.chunk0), jnp.asarray(count),
-            jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
+            jnp.asarray(first), jnp.asarray(count),
+            jnp.asarray(meta), jnp.asarray(plan.ptab),
             jnp.asarray(page),
             jnp.asarray(minv_row), jnp.asarray(bE), jnp.asarray(x0E),
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
-            scan_steps=scan_steps, maxc=plan.maxc,
+            scan_steps=scan_steps, maxc=maxc,
             span=span, mxu=mxu, engine=engine,
+            n_blocks=stream_blocks,
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
