@@ -287,3 +287,88 @@ def test_gather_cg_matches_direct(monkeypatch):
     monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
     got = interpolate.laplace_interpolate(data, W, maxiter=4000, atol=1e-10)
     np.testing.assert_allclose(got, direct, atol=5e-5)
+
+
+def _grid_adjacency(nx, ny, drop_frac=0.0, seed=0):
+    """Symmetric 4-neighbor adjacency of an nx*ny raster, optionally
+    with a random subset of nodes removed (banded but irregular)."""
+    idx = np.arange(nx * ny).reshape(ny, nx)
+    pairs = []
+    pairs.append(np.column_stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()]))
+    pairs.append(np.column_stack([idx[:-1, :].ravel(), idx[1:, :].ravel()]))
+    ij = np.concatenate(pairs)
+    if drop_frac:
+        rng = np.random.default_rng(seed)
+        keep_node = rng.random(nx * ny) >= drop_frac
+        ij = ij[keep_node[ij[:, 0]] & keep_node[ij[:, 1]]]
+    i = np.concatenate([ij[:, 0], ij[:, 1]])
+    j = np.concatenate([ij[:, 1], ij[:, 0]])
+    w = np.ones(len(i))
+    return sparse.coo_matrix((w, (i, j)), shape=(nx * ny, nx * ny)).tocsr()
+
+
+class TestDiaStencilSolve:
+    """The DIA (shifted-stream) PCG vs the COO formulation: both must
+    produce the same interpolation on banded Laplace graphs."""
+
+    @pytest.mark.parametrize(
+        "nx,ny,drop,nan_frac",
+        [(16, 16, 0.0, 0.3), (24, 9, 0.0, 0.6), (12, 12, 0.15, 0.4)],
+    )
+    def test_matches_coo_path(self, monkeypatch, nx, ny, drop, nan_frac):
+        conn = _grid_adjacency(nx, ny, drop_frac=drop, seed=3)
+        rng = np.random.default_rng(nx * 100 + ny)
+        data = rng.normal(size=conn.shape[0])
+        data[rng.random(conn.shape[0]) < nan_frac] = np.nan
+        if np.isnan(data).all() or not np.isnan(data).any():
+            data[:2] = [1.0, np.nan]
+
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        out_dia = interpolate.laplace_interpolate(
+            data, conn, direct_solve=False, atol=1e-8
+        )
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+        out_coo = interpolate.laplace_interpolate(
+            data, conn, direct_solve=False, atol=1e-8
+        )
+        known = ~np.isnan(data)
+        np.testing.assert_allclose(out_dia[known], data[known])
+        np.testing.assert_allclose(out_dia, out_coo, rtol=1e-5, atol=1e-6)
+
+    def test_batched_rhs_matches_single(self, monkeypatch):
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        conn = _grid_adjacency(10, 10)
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=conn.shape[0])
+        base[rng.random(conn.shape[0]) < 0.5] = np.nan
+        stack = np.stack([base, base * 2.0 + 1.0])
+        out2 = interpolate.laplace_interpolate(
+            stack, conn, direct_solve=False, atol=1e-9
+        )
+        out0 = interpolate.laplace_interpolate(
+            stack[0], conn, direct_solve=False, atol=1e-9
+        )
+        np.testing.assert_allclose(out2[0], out0, rtol=1e-5, atol=1e-7)
+        # Laplace is affine: a*x+b solves to a*sol+b.
+        np.testing.assert_allclose(
+            out2[1], out0 * 2.0 + 1.0, rtol=1e-4, atol=1e-5
+        )
+
+    def test_dia_engages_on_structured(self, monkeypatch):
+        # On a banded graph the auto mode must pick DIA (the gather/COO
+        # branches would otherwise hide regressions in this test file).
+        called = {}
+        orig = interpolate._try_dia_solve
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            called["result"] = out is not None
+            return out
+
+        monkeypatch.setattr(interpolate, "_try_dia_solve", spy)
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "auto")
+        conn = _grid_adjacency(8, 8)
+        data = np.ones(64)
+        data[10:40] = np.nan
+        interpolate.laplace_interpolate(data, conn, direct_solve=False)
+        assert called.get("result") is True

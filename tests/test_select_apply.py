@@ -148,3 +148,52 @@ def test_select_plan_rejects_wide_windows():
     indices = rng.integers(0, m, size=(n, w)).astype(np.int32)
     weights = np.ones((n, w), np.float32)
     assert plan_gather_select(indices, weights) is None
+
+
+@pytest.mark.parametrize("method", ["median", "mode", "p25"])
+def test_select_structural_edge_shapes(method):
+    """Width-1 windows, sub-block target counts, and a single source
+    slice: shapes that stress plan padding rather than numerics."""
+    for n, w, n_extra, seed in [(5, 1, 1, 10), (130, 1, 1, 11),
+                                (513, 3, 2, 12)]:
+        rng = np.random.default_rng(seed)
+        m = 4 * n + 8
+        base = (np.arange(n) * m) // n
+        indices = np.clip(
+            base[:, None] + rng.integers(-3, 4, size=(n, w)), 0, m - 1
+        ).astype(np.int32)
+        weights = rng.uniform(0.5, 1.5, size=(n, w)).astype(np.float32)
+        source = rng.normal(size=(n_extra, m)).astype(np.float32)
+        if method == "mode":
+            source = np.round(source)
+        got = apply_windowed_select(
+            source, indices, weights, method, interpret=True
+        )
+        if got is None:
+            # plan may reject degenerate shapes; that's a legal outcome
+            continue
+        want = oracle_apply(method, indices, weights, source)
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=1e-5,
+            err_msg=f"{method} n={n} w={w} E={n_extra}",
+        )
+
+
+def test_select_seed_sweep_median_vs_oracle():
+    """Randomized sweep: jittered localities, ragged windows, NaN
+    speckle — median and p75 against the registry oracle."""
+    for seed in range(6):
+        indices, weights, source = make_case(
+            n=420, m=600, w=5, n_extra=3, seed=100 + seed,
+            nan_frac=0.1 * (seed % 3),
+        )
+        for method in ("median", "p75"):
+            got = apply_windowed_select(
+                source, indices, weights, method, interpret=True
+            )
+            assert got is not None
+            want = oracle_apply(method, indices, weights, source)
+            np.testing.assert_allclose(
+                got, want, rtol=2e-5, atol=1e-5,
+                err_msg=f"seed={seed} {method}",
+            )
