@@ -722,3 +722,45 @@ class TestPolyfitAndFriends:
         assert np.isnan(
             da.interp(x=[2.5], method="nearest").values
         ).all()
+
+
+class TestInterpSplineKinds:
+    def test_cubic_matches_scipy(self):
+        from scipy.interpolate import interp1d
+        from xugrid_tpu.xdata import DataArray
+
+        x = np.array([0.0, 1.0, 2.5, 4.0, 5.0, 7.0])
+        y = np.sin(x)
+        da = DataArray(y, dims=("x",), coords={"x": x})
+        newx = np.linspace(-0.5, 7.5, 17)
+        out = da.interp(x=newx, method="cubic")
+        want = interp1d(x, y, kind="cubic", bounds_error=False,
+                        fill_value=np.nan)(newx)
+        np.testing.assert_allclose(out.values, want, rtol=1e-12,
+                                   equal_nan=True)
+        # out-of-range -> NaN, exactly like xarray's scipy path
+        assert np.isnan(out.values[0]) and np.isnan(out.values[-1])
+
+    def test_quadratic_2d_and_unsorted_coord(self):
+        from xugrid_tpu.xdata import DataArray
+
+        x = np.array([3.0, 0.0, 1.0, 2.0])  # unsorted
+        data = np.stack([x ** 2, 2 * x ** 2])
+        da = DataArray(data, dims=("b", "x"), coords={"x": x})
+        out = da.interp(x=[0.5, 1.5], method="quadratic")
+        np.testing.assert_allclose(
+            out.values, [[0.25, 2.25], [0.5, 4.5]], atol=1e-10
+        )
+
+    def test_slinear_matches_linear(self):
+        from xugrid_tpu.xdata import DataArray
+
+        rng = np.random.default_rng(0)
+        x = np.sort(rng.uniform(0, 10, 9))
+        da = DataArray(rng.normal(size=9), dims=("x",), coords={"x": x})
+        newx = rng.uniform(0, 10, 20)
+        np.testing.assert_allclose(
+            da.interp(x=newx, method="slinear").values,
+            da.interp(x=newx, method="linear").values,
+            rtol=1e-12,
+        )

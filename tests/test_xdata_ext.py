@@ -410,3 +410,44 @@ class TestDatasetExtensions:
         )
         ap = ds.apply(lambda a: a * 0 + 1)
         np.testing.assert_allclose(np.asarray(ap["v"].data), 1.0)
+
+
+class TestResampleFrequencies:
+    """Offset-alias coverage: anchored and sub-daily frequencies that
+    the old to_period binning rejected, plus legacy-alias spelling."""
+
+    def _series(self, n=48, step="37min"):
+        import pandas as pd
+
+        times = pd.date_range("2020-01-01", periods=n, freq=step)
+        return xdata.DataArray(
+            np.arange(n, dtype=float), dims=("time",),
+            coords={"time": times.values}, name="v",
+        ), times
+
+    @pytest.mark.parametrize("freq", ["2h", "2H", "15T", "15min", "QS", "W"])
+    def test_matches_pandas_resample(self, freq):
+        import warnings
+
+        import pandas as pd
+
+        da, times = self._series()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = da.resample(time=freq).mean()
+            legacy = {"H": "h", "T": "min"}
+            import re
+            m = re.match(r"^(\d*)([A-Za-z]+)(-\w+)?$", freq)
+            pfreq = (m.group(1) or "") + legacy.get(m.group(2), m.group(2)) + (
+                m.group(3) or ""
+            )
+            want = pd.Series(np.arange(len(times), dtype=float),
+                             index=times).resample(pfreq).mean().dropna()
+        np.testing.assert_allclose(np.asarray(out.data), want.values)
+
+    def test_month_end_labels(self):
+        da, _ = self._series(n=60, step="1D")
+        out = da.resample(time="M").mean()
+        labels = np.asarray(out.coords["time"].data)
+        # pandas/xarray convention: "M"/"ME" labels at month END
+        assert str(labels[0]).startswith("2020-01-31")

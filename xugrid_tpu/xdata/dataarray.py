@@ -1183,10 +1183,14 @@ class DataArray:
     def interp(self, coords=None, method="linear", kwargs=None,
                **coords_kwargs) -> "DataArray":
         """Sequential 1-D interpolation along each named dim
-        (``method``: "linear" or "nearest")."""
-        if method not in ("linear", "nearest"):
+        (``method``: "linear", "nearest", or the scipy spline kinds
+        "slinear"/"quadratic"/"cubic" — the set xarray exposes via
+        scipy.interpolate for 1-D interp)."""
+        spline_kinds = ("slinear", "quadratic", "cubic")
+        if method not in ("linear", "nearest") + spline_kinds:
             raise NotImplementedError(
-                "interp supports method='linear' or 'nearest'"
+                "interp supports method='linear', 'nearest', "
+                "'slinear', 'quadratic', or 'cubic'"
             )
         targets = dict(coords or {})
         targets.update(coords_kwargs)
@@ -1218,6 +1222,15 @@ class DataArray:
                 oob = (new1 < so[0]) | (new1 > so[-1])
                 res = flat[:, order][:, pick]
                 res = np.where(oob[None, :], np.nan, res)
+            elif method in spline_kinds:
+                from scipy.interpolate import interp1d
+
+                f = interp1d(
+                    so, flat[:, order], kind=method, axis=1,
+                    bounds_error=False, fill_value=np.nan,
+                    assume_sorted=True,
+                )
+                res = f(new1)
             else:
                 res = np.empty((flat.shape[0], len(new1)), dtype=np.float64)
                 for i in range(flat.shape[0]):

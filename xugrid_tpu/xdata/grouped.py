@@ -485,6 +485,42 @@ class DataArrayWeighted:
 # ---------------------------------------------------------------------------
 # Resample (time frequencies via pandas)
 # ---------------------------------------------------------------------------
+#: offset aliases removed in pandas >= 2.2/3.0, mapped to their
+#: replacements so user code written against older pandas keeps working.
+_LEGACY_FREQ_ALIASES = {
+    "H": "h", "T": "min", "S": "s", "L": "ms", "U": "us", "N": "ns",
+    "M": "ME", "Q": "QE", "A": "YE", "Y": "YE",
+    "BM": "BME", "BQ": "BQE", "BA": "BYE", "BY": "BYE",
+}
+
+
+def _resample_bin_labels(times, freq):
+    """Per-element bin label using pandas' own resample binning
+    (pd.Grouper) — covers every pandas offset alias, including anchored
+    ones (QS, W-SUN, YS) that ``to_period`` rejects, with the label
+    conventions xarray users expect (e.g. month-END labels for "ME")."""
+    import re
+
+    import pandas as pd
+
+    def grouper_indices(f):
+        s = pd.Series(np.zeros(len(times)), index=times)
+        return s.groupby(pd.Grouper(freq=f)).indices
+
+    try:
+        idx = grouper_indices(freq)
+    except ValueError:
+        m = re.match(r"^(\d*)([A-Za-z]+)(-\w+)?$", str(freq))
+        alias = _LEGACY_FREQ_ALIASES.get(m.group(2)) if m else None
+        if alias is None:
+            raise
+        idx = grouper_indices((m.group(1) or "") + alias + (m.group(3) or ""))
+    labels = np.empty(len(times), dtype="datetime64[ns]")
+    for lab, pos in idx.items():
+        labels[np.asarray(pos)] = np.datetime64(lab)
+    return labels
+
+
 class DataArrayResample:
     def __init__(self, obj, dim, freq):
         import pandas as pd
@@ -492,7 +528,7 @@ class DataArrayResample:
         self._obj = obj
         self._dim = dim
         times = pd.to_datetime(np.asarray(obj._coords[dim].data))
-        self._bins = times.to_period(freq).start_time
+        self._bins = _resample_bin_labels(times, freq)
         key_name = f"__resample_{dim}"
         DataArray = _data_array()
         self._key = DataArray(
