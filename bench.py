@@ -350,18 +350,20 @@ def main():
             @partial(
                 jax.jit,
                 static_argnames=(
-                    "method", "dmax", "pair", "span", "n_blocks",
+                    "method", "dmax", "pair", "span", "rows", "n_blocks",
                     "n_reps",
                 ),
             )
             def select_reps(srcE, blkid, bases, ptab, rw,
-                            method, dmax, pair, span, n_blocks, n_reps):
+                            method, dmax, pair, span, rows, n_blocks,
+                            n_reps):
                 def body(i, carry):
                     src, acc = carry
                     out = gather_select_apply(
                         src, blkid, bases, ptab, rw,
                         method=method, has_nan=False, dmax=dmax,
-                        pair=pair, span=span, n_blocks=n_blocks,
+                        rows_per_step=rows, pair=pair, span=span,
+                        n_blocks=n_blocks,
                     )
                     acc = acc + jnp.nansum(out)
                     src = src.at[0, 0].add(jnp.float32(1e-12))
@@ -375,14 +377,16 @@ def main():
             sargs = (
                 jnp.asarray(srcE_s), jnp.asarray(splan.blkid),
                 jnp.asarray(splan.bases), jnp.asarray(splan.ptab),
-                jnp.asarray(splan.rwsum),
+                jnp.asarray(splan.rwraw),  # percentile-family gate
             )
             n_blk_s = len(splan.rwsum) // splan.block
             _ = float(select_reps(*sargs, "median", splan.dmax,
-                                  splan.pair, splan.span, n_blk_s, reps))
+                                  splan.pair, splan.span, splan.rows,
+                                  n_blk_s, reps))
             t0 = time.perf_counter()
             _ = float(select_reps(*sargs, "median", splan.dmax,
-                                  splan.pair, splan.span, n_blk_s, reps))
+                                  splan.pair, splan.span, splan.rows,
+                                  n_blk_s, reps))
             select_median_s = (time.perf_counter() - t0) / reps
             del sargs, srcE_s
     except Exception as exc:  # pragma: no cover - perf fallback only

@@ -351,10 +351,11 @@ def run_select(padded, source, true_bytes):
         return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
     reps = 10
+    gate = plan.rwsum if METHOD == "mode" else plan.rwraw
     dargs = (
         jnp.asarray(srcE), jnp.asarray(plan.blkid),
         jnp.asarray(plan.bases), jnp.asarray(plan.ptab),
-        jnp.asarray(plan.rwsum),
+        jnp.asarray(gate),
     )
     t0 = time.perf_counter()
     cs = float(select_reps(*dargs, METHOD, plan.dmax, plan.pair,

@@ -589,3 +589,135 @@ def _square_target_faces(n):
         [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)],
         axis=-1,
     ).reshape(-1, 4)
+
+
+class TestDiaSelectReviewFindings:
+    """Pins for the focused interpolate/select review findings."""
+
+    def test_dia_accumulates_duplicate_coo_entries(self, monkeypatch):
+        import scipy.sparse
+
+        from xugrid_tpu.ugrid.interpolate import laplace_interpolate
+
+        # Edge (1,2) stored as two duplicate 0.5 entries: DIA assembly
+        # overwrote instead of accumulating.
+        i = np.array([0, 1, 1, 1, 2, 2, 2, 3])
+        j = np.array([1, 0, 2, 2, 1, 1, 3, 2])
+        v = np.array([1.0, 1.0, 0.5, 0.5, 0.5, 0.5, 1.0, 1.0])
+        W = scipy.sparse.csr_matrix((v, (i, j)), shape=(4, 4))
+        data = np.array([10.0, np.nan, np.nan, 20.0])
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        got = laplace_interpolate(data, W, direct_solve=False, atol=1e-10)
+        want = laplace_interpolate(data, W, direct_solve=True)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # maximum principle: interior stays inside the known range
+        assert got.min() >= 10.0 - 1e-6 and got.max() <= 20.0 + 1e-6
+
+    def test_dia_rtol_uses_unknown_row_norm(self, monkeypatch):
+        import scipy.sparse
+
+        from xugrid_tpu.ugrid.interpolate import laplace_interpolate
+
+        # Large known values + small hole: the full-size ||b|| loosened
+        # rtol by the known/unknown ratio (err 4.5e-3 vs COO's 6.3e-4).
+        n = 60
+        idx = np.arange(n * n).reshape(n, n)
+        pairs = np.concatenate([
+            np.column_stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()]),
+            np.column_stack([idx[:-1, :].ravel(), idx[1:, :].ravel()]),
+        ])
+        i = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        j = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        W = scipy.sparse.csr_matrix(
+            (np.ones(len(i)), (i, j)), shape=(n * n, n * n)
+        )
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        truth = 1000.0 + xs.ravel() * 3.0 + ys.ravel() * 5.0
+        data = truth.copy()
+        hole = (xs.ravel() >= 20) & (xs.ravel() < 25) \
+            & (ys.ravel() >= 20) & (ys.ravel() < 25)
+        data[hole] = np.nan
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        got = laplace_interpolate(
+            data, W, direct_solve=False, rtol=1e-6, atol=0.0
+        )
+        # harmonic truth: the linear field solves Laplace exactly
+        assert np.abs(got[hole] - truth[hole]).max() < 1.5e-3
+
+    def test_select_rejects_inf_sources(self):
+        from xugrid_tpu.regrid.select_apply import apply_windowed_select
+
+        rng = np.random.default_rng(0)
+        n, m, w = 700, 900, 5
+        base = (np.arange(n) * m) // n
+        indices = np.clip(
+            base[:, None] + rng.integers(-5, 6, (n, w)), 0, m - 1
+        ).astype(np.int32)
+        weights = np.ones((n, w), np.float32)
+        source = rng.normal(size=(2, m)).astype(np.float32)
+        source[0, 5] = np.inf
+        out = apply_windowed_select(
+            source, indices, weights, "median", interpret=True
+        )
+        assert out is None  # falls back rather than NaN-poisoning
+
+    def test_select_plan_records_rows_per_step(self):
+        from xugrid_tpu.regrid import reduce as reductions
+        from xugrid_tpu.regrid.select_apply import (
+            apply_windowed_select,
+            plan_gather_select,
+        )
+
+        rng = np.random.default_rng(4)
+        n, m, w = 600, 800, 4
+        base = (np.arange(n) * m) // n
+        indices = np.clip(
+            base[:, None] + rng.integers(-4, 5, (n, w)), 0, m - 1
+        ).astype(np.int32)
+        weights = rng.uniform(0.5, 1.5, (n, w)).astype(np.float32)
+        source = rng.normal(size=(3, m)).astype(np.float32)
+        plan = plan_gather_select(indices, weights, rows_per_step=8)
+        assert plan is not None and plan.rows == 8
+        got = apply_windowed_select(
+            source, indices, weights, "median", plan=plan, interpret=True
+        )
+        import jax.numpy as jnp
+
+        vals = source[:, indices]
+        vals = np.where((indices < 0)[None], np.nan, vals)
+        want = np.asarray(reductions.median(
+            jnp.asarray(np.moveaxis(vals, 0, 1)),
+            jnp.asarray(weights[:, None, :]),
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    def test_select_percentile_gate_matches_reference(self):
+        from xugrid_tpu.regrid import reduce as reductions
+        from xugrid_tpu.regrid.select_apply import apply_windowed_select
+
+        # One valid entry with weight 0 plus a positive weight on an
+        # invalid slot: reference percentile gates on the RAW max weight
+        # and returns the value; the kernel used sum(valid)>0 -> NaN.
+        rng = np.random.default_rng(9)
+        n, m, w = 600, 800, 4
+        base = (np.arange(n) * m) // n
+        indices = np.clip(
+            base[:, None] + rng.integers(-4, 5, (n, w)), 0, m - 1
+        ).astype(np.int32)
+        weights = rng.uniform(0.5, 1.5, (n, w)).astype(np.float32)
+        indices[13, 1:] = -1
+        weights[13] = [0.0, 2.0, 0.0, 0.0]
+        source = rng.normal(size=(2, m)).astype(np.float32)
+        got = apply_windowed_select(
+            source, indices, weights, "median", interpret=True
+        )
+        import jax.numpy as jnp
+
+        vals = source[:, indices]
+        vals = np.where((indices < 0)[None], np.nan, vals)
+        want = np.asarray(reductions.median(
+            jnp.asarray(np.moveaxis(vals, 0, 1)),
+            jnp.asarray(weights[:, None, :]),
+        ))
+        assert np.isfinite(want[13]).all()
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)

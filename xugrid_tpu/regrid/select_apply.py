@@ -111,10 +111,15 @@ class SelectPlan(NamedTuple):
     #                      0: idx7 | k<<7 | valid<<11
     #                      1: f32 weight bits
     #                      2: target slot 0..511 (-1 on pad lanes)
-    rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
+    rwsum: np.ndarray    # (n_pad,) f32 mode gate: max VALID weight
+    rwraw: np.ndarray    # (n_pad,) f32 percentile gate: max RAW weight
+    #                      where any valid slot exists (reduce.py pins
+    #                      percentile to max(weights) incl. invalid
+    #                      slots, mode to the valid-masked max)
     dmax: int            # all-pairs roll distance bound (= max w - 1)
     pair: int            # rows per stream group
     span: int            # streams (distinct chunks) per group
+    rows: int            # ptab rows per grid step (kernel layout)
     n: int
     block: int
 
@@ -347,16 +352,21 @@ def plan_gather_select(
     ptab[e_prow, 2, lane] = tslot
 
     rwsum = np.zeros(n_pad, np.float32)
-    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+    rwsum[:n] = np.where(valid, weights, 0.0).max(axis=1)
+    rwraw = np.zeros(n_pad, np.float32)
+    any_valid = valid.any(axis=1)
+    rwraw[:n] = np.where(any_valid, weights.max(axis=1), 0.0)
 
     return SelectPlan(
         blkid=blkid,
         bases=bases.reshape(-1),
         ptab=ptab,
         rwsum=rwsum,
+        rwraw=rwraw,
         dmax=dmax,
         pair=pair,
         span=span,
+        rows=rows_per_step,
         n=n,
         block=block,
     )
@@ -742,6 +752,10 @@ def apply_windowed_select(
         return None
     if has_nan is None:
         has_nan = bool(np.isnan(source2d).any())
+        if np.isinf(source2d).any():
+            # inf NaN-poisons the whole 512-target block through the
+            # one-hot extraction matmul (inf * 0 = NaN) — fall back.
+            return None
 
     n_extra, m = source2d.shape
     e_sub = pad_sublanes(n_extra)
@@ -750,16 +764,20 @@ def apply_windowed_select(
     srcE = np.zeros((e_sub, m_pad), np.float32)
     srcE[:n_extra, :m] = source2d
 
+    # Gate choice pins reduce.py: mode gates on the valid-masked max
+    # weight, percentiles on the raw max (invalid slots included).
+    gate = plan.rwsum if method == "mode" else plan.rwraw
     out = gather_select_apply(
         jnp.asarray(srcE),
         jnp.asarray(plan.blkid),
         jnp.asarray(plan.bases),
         jnp.asarray(plan.ptab),
-        jnp.asarray(plan.rwsum),
+        jnp.asarray(gate),
         method=method,
         has_nan=bool(has_nan),
         dmax=plan.dmax,
         block=plan.block,
+        rows_per_step=plan.rows,
         pair=plan.pair,
         span=plan.span,
         n_blocks=len(plan.rwsum) // plan.block,

@@ -310,7 +310,7 @@ def _make_pcg_dia():
     @partial(
         jax.jit, static_argnames=("offsets", "m_pad", "maxiter", "degree")
     )
-    def solve(dia, diag, b, x0, rtol, atol, lmax, offsets, m_pad,
+    def solve(dia, diag, b, x0, bnorm, rtol, atol, lmax, offsets, m_pad,
               maxiter, degree):
         n = b.shape[-1]
 
@@ -325,12 +325,17 @@ def _make_pcg_dia():
         minv = jnp.where(diag != 0.0, 1.0 / diag, 1.0)
         precond = _make_chebyshev_precond(matvec, minv, lmax, degree)
 
-        def one(b1, x1):
+        def one(b1, x1, bn):
             r = b1 - matvec(x1)
             z = precond(r)
             p = z
             rz = jnp.vdot(r, z)
-            tol = jnp.maximum(atol, rtol * jnp.linalg.norm(b1))
+            # bn is the UNKNOWN-row norm of b, computed on host: the
+            # full-size b carries every known value on identity rows,
+            # whose norm would loosen rtol by the known/unknown ratio
+            # (identity rows hold zero residual throughout, so the
+            # residual norm below already measures only the unknowns).
+            tol = jnp.maximum(atol, rtol * bn)
 
             def cond(state):
                 x, r, z, p, rz, k = state
@@ -359,8 +364,8 @@ def _make_pcg_dia():
             return x, k
 
         if b.ndim == 1:
-            return one(b, x0)
-        return jax.vmap(one)(b, x0)
+            return one(b, x0, bnorm)
+        return jax.vmap(one)(b, x0, bnorm)
 
     return solve
 
@@ -382,6 +387,11 @@ def _try_dia_solve(
 
     n = W.shape[0]
     coo = W.tocoo()
+    # User-built CSR may carry duplicate entries (scipy never
+    # canonicalizes); the `dia[kslot, r] = -v` assembly below OVERWRITES
+    # rather than accumulates, so fold duplicates first (the COO/direct
+    # paths accumulate naturally).
+    coo.sum_duplicates()
     r, c, v = coo.row, coo.col, coo.data
     d = c.astype(np.int64) - r.astype(np.int64)
     uu = solve_mask[r] & solve_mask[c] & (d != 0)
@@ -438,8 +448,14 @@ def _try_dia_solve(
     squeeze = E == 1
     bj = jnp.asarray(b[0] if squeeze else b)
     x0j = jnp.asarray(x0[0] if squeeze else x0)
+    # rtol reference norm over the UNKNOWN rows only (the compacted
+    # system's b), matching the COO/windowed paths: the full-size b
+    # carries every known value and would loosen the criterion by the
+    # known/unknown ratio.
+    bnorm = np.linalg.norm(b[:, unk], axis=1).astype(dt)
+    bnj = jnp.asarray(bnorm[0] if squeeze else bnorm)
     x, k = _PCG_DIA(
-        jnp.asarray(dia), jnp.asarray(diag_full), bj, x0j,
+        jnp.asarray(dia), jnp.asarray(diag_full), bj, x0j, bnj,
         float(rtol), float(atol), float(lmax),
         offsets=tuple(int(o) for o in offsets), m_pad=m_pad,
         maxiter=int(maxiter), degree=int(degree),
