@@ -451,3 +451,90 @@ class TestResampleFrequencies:
         labels = np.asarray(out.coords["time"].data)
         # pandas/xarray convention: "M"/"ME" labels at month END
         assert str(labels[0]).startswith("2020-01-31")
+
+
+class TestStackedMultiIndexLite:
+    """MultiIndex-style selection/unstack on stacked dims: tuple labels,
+    level-name sel, and sparse (post-subset) unstack with fill."""
+
+    def _da(self):
+        data = np.arange(12.0).reshape(3, 4)
+        return xdata.DataArray(
+            data, dims=("y", "x"),
+            coords={"y": [10, 20, 30], "x": [1, 2, 3, 4]}, name="v",
+        )
+
+    def test_sel_full_tuple_label(self):
+        s = self._da().stack(z=("y", "x"))
+        out = s.sel(z=(20, 3))
+        assert float(out.data) == 6.0
+        assert "z" not in out.dims  # scalar selection drops the dim
+        assert int(out.coords["y"].data) == 20
+        assert int(out.coords["x"].data) == 3
+
+    def test_sel_list_of_tuples(self):
+        s = self._da().stack(z=("y", "x"))
+        out = s.sel(z=[(10, 1), (30, 4), (20, 2)])
+        np.testing.assert_allclose(np.asarray(out.data), [0.0, 11.0, 5.0])
+
+    def test_sel_level_name(self):
+        s = self._da().stack(z=("y", "x"))
+        out = s.sel(y=20)
+        assert out.sizes["z"] == 4
+        np.testing.assert_allclose(np.asarray(out.data), [4, 5, 6, 7])
+        np.testing.assert_array_equal(np.asarray(out.coords["x"].data),
+                                      [1, 2, 3, 4])
+        # two level selections intersect
+        out2 = s.sel(y=20, x=[2, 4])
+        np.testing.assert_allclose(np.asarray(out2.data), [5, 7])
+
+    def test_sel_missing_tuple_raises(self):
+        s = self._da().stack(z=("y", "x"))
+        with pytest.raises(KeyError):
+            s.sel(z=(99, 1))
+
+    def test_unstack_after_subset_fills(self):
+        s = self._da().stack(z=("y", "x"))
+        sub = s.isel(z=[0, 1, 5, 11])  # (10,1) (10,2) (20,2) (30,4)
+        back = sub.unstack("z")
+        assert back.sizes == {"y": 3, "x": 3}  # unique levels, sorted
+        np.testing.assert_array_equal(np.asarray(back.coords["y"].data),
+                                      [10, 20, 30])
+        np.testing.assert_array_equal(np.asarray(back.coords["x"].data),
+                                      [1, 2, 4])
+        got = np.asarray(back.data)
+        assert got[0, 0] == 0.0 and got[0, 1] == 1.0
+        assert got[1, 1] == 5.0 and got[2, 2] == 11.0
+        assert np.isnan(got[1, 0]) and np.isnan(got[2, 0])
+
+    def test_unstack_full_product_roundtrip_unchanged(self):
+        da = self._da()
+        back = da.stack(z=("y", "x")).unstack("z")
+        np.testing.assert_allclose(np.asarray(back.data),
+                                   np.asarray(da.data))
+        np.testing.assert_array_equal(np.asarray(back.coords["x"].data),
+                                      np.asarray(da.coords["x"].data))
+
+    def test_dataset_sel_level_name(self):
+        ds = xdata.Dataset({"v": self._da()})
+        s = ds.stack(z=("y", "x"))
+        out = s.sel(x=3)
+        np.testing.assert_allclose(np.asarray(out["v"].data), [2, 6, 10])
+        np.testing.assert_array_equal(np.asarray(out["y"].data),
+                                      [10, 20, 30])
+
+    def test_set_index_multi_coord_tuple_sel_and_unstack(self):
+        # set_index(z=[...]) records the level order: tuple sel and
+        # sparse unstack work without a stack() call.
+        z_y = np.array([10, 10, 20, 20, 30])
+        z_x = np.array([1, 2, 1, 2, 1])
+        da = xdata.DataArray(
+            np.arange(5.0), dims=("z",),
+            coords={"yy": ("z", z_y), "xx": ("z", z_x)}, name="v",
+        )
+        mi = da.set_index(z=["yy", "xx"])
+        assert float(mi.sel(z=(20, 2)).data) == 3.0
+        back = mi.unstack("z")
+        assert back.sizes == {"yy": 3, "xx": 2}
+        got = np.asarray(back.data)
+        assert got[2, 0] == 4.0 and np.isnan(got[2, 1])

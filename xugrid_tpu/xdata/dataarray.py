@@ -352,6 +352,11 @@ class DataArray:
                 continue
             new_coords[name] = cv
         out = DataArray._construct(new_var, new_coords, self.name)
+        # Stacked-dim layout survives subsetting (unstack handles the
+        # sparse case via the level coordinates).
+        for ek, ev in self.encoding.items():
+            if ek.startswith("_stacked_") and ek[len("_stacked_"):] in out.dims:
+                out.encoding[ek] = ev
         if renames:
             out = out.rename(renames)
             # Drop the old dim-named index coordinate: its values are
@@ -364,9 +369,57 @@ class DataArray:
     def sel(self, indexers=None, method=None, tolerance=None, drop: bool = False, **kwargs) -> "DataArray":
         indexers = self._resolve_indexers(indexers, kwargs)
         positional = {}
+        aux_masks = {}  # underlying dim -> bool mask (level selections)
         for dim, label in indexers.items():
             if dim not in self.dims:
+                # MultiIndex-style level selection: a 1-D coordinate
+                # over another dim (the layout stack() produces).
+                cv = self._coords.get(dim)
+                if (
+                    cv is not None
+                    and len(cv.dims) == 1
+                    and cv.dims[0] != dim
+                    and cv.dims[0] in self.dims
+                ):
+                    other = cv.dims[0]
+                    vals = np.asarray(cv.data)
+                    lab = np.asarray(label)
+                    if lab.ndim == 0:
+                        m = vals == lab[()]
+                        if not m.any():
+                            raise KeyError(
+                                f"{label!r} not found in level {dim!r}"
+                            )
+                    else:
+                        m = np.isin(vals, lab)
+                    aux_masks[other] = (
+                        m if other not in aux_masks else aux_masks[other] & m
+                    )
+                    continue
                 raise KeyError(f"no dimension {dim!r}")
+            levels = None
+            ent = self.encoding.get("_stacked_" + dim)
+            if ent is not None:
+                levels = ent[0]
+            if levels is not None and isinstance(label, tuple):
+                # full-tuple MultiIndex label -> scalar position
+                positional[dim] = self._stacked_tuple_position(
+                    dim, levels, label
+                )
+                continue
+            if (
+                levels is not None
+                and isinstance(label, (list, np.ndarray))
+                and len(label)
+                and isinstance(label[0], tuple)
+            ):
+                positional[dim] = np.array(
+                    [
+                        self._stacked_tuple_position(dim, levels, t)
+                        for t in label
+                    ]
+                )
+                continue
             if dim not in self._coords or self._coords[dim].dims != (dim,):
                 # No index coordinate: treat labels as positions.
                 positional[dim] = label
@@ -375,7 +428,35 @@ class DataArray:
             positional[dim] = resolve_label_indexer(
                 index, label, method, tolerance
             )
+        for other, m in aux_masks.items():
+            pos = np.flatnonzero(m)
+            if other in positional:
+                prev = np.atleast_1d(np.asarray(positional[other]))
+                positional[other] = prev[np.isin(prev, pos)]
+            else:
+                positional[other] = pos
         return self.isel(positional, drop=drop)
+
+    def _stacked_tuple_position(self, dim, levels, label) -> int:
+        """Flat position of a full (level0, level1, ...) label on a
+        stacked dim."""
+        if len(label) != len(levels):
+            raise KeyError(
+                f"stacked dim {dim!r} expects {len(levels)}-tuples "
+                f"(levels {levels}), got {label!r}"
+            )
+        mask = np.ones(self.sizes[dim], bool)
+        for lev, lab in zip(levels, label):
+            lv = self._coords.get(lev)
+            if lv is None:
+                raise KeyError(
+                    f"stacked level coordinate {lev!r} was dropped"
+                )
+            mask &= np.asarray(lv.data) == lab
+        pos = np.flatnonzero(mask)
+        if len(pos) == 0:
+            raise KeyError(f"{label!r} not found in stacked dim {dim!r}")
+        return int(pos[0])
 
     def __getitem__(self, key) -> "DataArray":
         if isinstance(key, str):
@@ -437,13 +518,36 @@ class DataArray:
         return self.drop_vars(names, errors="ignore")
 
     def set_index(self, **kwargs):
-        # minimal: rename coordinate onto the dim name
         out = self
         for dim, coord in kwargs.items():
-            var = out._coords[coord]
+            if isinstance(coord, (list, tuple)):
+                # Multi-coordinate index over an existing dim: record
+                # the level order so tuple-label sel and (sparse)
+                # unstack work; no reshape happens (xarray MultiIndex
+                # semantics without the pandas object).
+                for c in coord:
+                    cv = out._coords[c]
+                    if cv.dims != (dim,):
+                        raise ValueError(
+                            f"set_index level {c!r} must be a 1-D "
+                            f"coordinate over {dim!r}"
+                        )
+                var = Variable(
+                    out.variable.dims, out.variable.data, out.attrs,
+                    dict(out.encoding),
+                )
+                # sizes=None: no product layout exists — unstack must
+                # take the sparse unique-level path.
+                var.encoding["_stacked_" + dim] = (tuple(coord), None)
+                out = DataArray._construct(
+                    var, dict(out._coords), out.name
+                )
+                continue
+            # single coordinate: rename it onto the dim name
+            cv = out._coords[coord]
             new = dict(out._coords)
             del new[coord]
-            new[dim] = Variable((dim,), var.data, var.attrs)
+            new[dim] = Variable((dim,), cv.data, cv.attrs)
             out = DataArray._construct(out.variable, new, out.name)
         return out
 
@@ -1050,24 +1154,79 @@ class DataArray:
             orig_dims, orig_sizes = out.encoding[key]
             axis = out.dims.index(d)
             data = np.asarray(out.data)
-            new_shape = (
-                data.shape[:axis] + tuple(orig_sizes) + data.shape[axis + 1:]
-            )
             new_dims = out.dims[:axis] + orig_dims + out.dims[axis + 1:]
             coords = {}
-            for k, v in out._coords.items():
-                if d in v.dims:
-                    if k in orig_dims:
-                        # recover the 1-D coordinate from the product
-                        flat = np.asarray(v.data).reshape(orig_sizes)
-                        j = orig_dims.index(k)
-                        index = [0] * len(orig_sizes)
-                        index[j] = slice(None)
-                        coords[k] = Variable((k,), flat[tuple(index)])
-                    # other stacked-dim coords are dropped
-                else:
-                    coords[k] = v
-            var = Variable(new_dims, data.reshape(new_shape), out.attrs)
+            if orig_sizes is not None and data.shape[axis] == int(
+                np.prod(orig_sizes)
+            ):
+                # full product: a pure reshape, original level order
+                new_shape = (
+                    data.shape[:axis]
+                    + tuple(orig_sizes)
+                    + data.shape[axis + 1:]
+                )
+                unstacked = data.reshape(new_shape)
+                for k, v in out._coords.items():
+                    if d in v.dims:
+                        if k in orig_dims:
+                            # recover the 1-D coordinate from the product
+                            flat = np.asarray(v.data).reshape(orig_sizes)
+                            j = orig_dims.index(k)
+                            index = [0] * len(orig_sizes)
+                            index[j] = slice(None)
+                            coords[k] = Variable((k,), flat[tuple(index)])
+                        # other stacked-dim coords are dropped
+                    else:
+                        coords[k] = v
+            else:
+                # subset of the product (after sel/isel): scatter into
+                # the unique-level grid, missing cells take fill_value
+                # (xarray's sparse-unstack semantics; levels sorted).
+                try:
+                    level_vals = [
+                        np.asarray(out._coords[k].data) for k in orig_dims
+                    ]
+                except KeyError:
+                    raise ValueError(
+                        f"cannot unstack subset of {d!r}: a level "
+                        "coordinate was dropped"
+                    )
+                uniq = [np.unique(lv) for lv in level_vals]
+                new_sizes = tuple(len(u) for u in uniq)
+                flat_idx = np.ravel_multi_index(
+                    [
+                        np.searchsorted(u, lv)
+                        for u, lv in zip(uniq, level_vals)
+                    ],
+                    new_sizes,
+                )
+                d0 = np.moveaxis(data, axis, 0)
+                dtype = d0.dtype
+                full = len(np.unique(flat_idx)) == int(np.prod(new_sizes))
+                if not full and dtype.kind in "iub" and not isinstance(
+                    fill_value, (int, np.integer)
+                ):
+                    dtype = np.float64
+                out0 = np.full(
+                    (int(np.prod(new_sizes)),) + d0.shape[1:],
+                    fill_value,
+                    dtype=dtype,
+                )
+                out0[flat_idx] = d0
+                unstacked = np.moveaxis(
+                    out0.reshape(new_sizes + d0.shape[1:]),
+                    range(len(new_sizes)),
+                    range(axis, axis + len(new_sizes)),
+                )
+                for k, v in out._coords.items():
+                    if d in v.dims:
+                        if k in orig_dims:
+                            coords[k] = Variable(
+                                (k,), uniq[orig_dims.index(k)]
+                            )
+                    else:
+                        coords[k] = v
+            var = Variable(new_dims, unstacked, out.attrs)
             enc = dict(out.encoding)
             enc.pop(key)
             result = DataArray._construct(var, coords, out.name)

@@ -659,6 +659,8 @@ class Dataset:
         indexers = dict(indexers or {})
         indexers.update(kwargs)
         positional = {}
+        aux_masks = {}  # underlying dim -> bool mask (level selections)
+        dim_sizes = self.dims_sizes()
         for dim, label in indexers.items():
             var = self._variables.get(dim)
             if var is not None and var.dims == (dim,) and dim in self._coord_names:
@@ -666,8 +668,38 @@ class Dataset:
                 positional[dim] = resolve_label_indexer(
                     index, label, method, tolerance
                 )
+            elif (
+                var is not None
+                and dim in self._coord_names
+                and len(var.dims) == 1
+                and var.dims[0] != dim
+                and dim not in dim_sizes
+            ):
+                # MultiIndex-style level selection: a 1-D coordinate
+                # over another dim (the layout stack() produces).
+                other = var.dims[0]
+                vals = np.asarray(var.data)
+                lab = np.asarray(label)
+                if lab.ndim == 0:
+                    m = vals == lab[()]
+                    if not m.any():
+                        raise KeyError(
+                            f"{label!r} not found in level {dim!r}"
+                        )
+                else:
+                    m = np.isin(vals, lab)
+                aux_masks[other] = (
+                    m if other not in aux_masks else aux_masks[other] & m
+                )
             else:
                 positional[dim] = label
+        for other, m in aux_masks.items():
+            pos = np.flatnonzero(m)
+            if other in positional:
+                prev = np.atleast_1d(np.asarray(positional[other]))
+                positional[other] = prev[np.isin(prev, pos)]
+            else:
+                positional[other] = pos
         return self.isel(positional, drop=drop)
 
     def transpose(self, *dims) -> "Dataset":
