@@ -220,18 +220,22 @@ static void gh_points_pass(const double* pts, int64_t nq, double tol,
                            const int64_t* bin_prims, const double* boxes,
                            int64_t* counts, const int64_t* offsets,
                            int64_t* pair_q, int64_t* pair_p) {
+    // Cell arithmetic MUST match the binning passes above ((b - min) *
+    // inv_d, not (b - min) / d): a 1-ulp difference can name a cell the
+    // primitive was never binned in and silently drop a candidate.
+    const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
     auto process = [&](int64_t lo, int64_t hi) {
         std::vector<int64_t> seen;
         for (int64_t i = lo; i < hi; ++i) {
             const double px = pts[2 * i], py = pts[2 * i + 1];
             const int64_t ix0 =
-                gh_clamp((int64_t)((px - tol - xmin) / dx), nx - 1);
+                gh_clamp((int64_t)((px - tol - xmin) * inv_dx), nx - 1);
             const int64_t iy0 =
-                gh_clamp((int64_t)((py - tol - ymin) / dy), ny - 1);
+                gh_clamp((int64_t)((py - tol - ymin) * inv_dy), ny - 1);
             const int64_t ix1 =
-                gh_clamp((int64_t)((px + tol - xmin) / dx), nx - 1);
+                gh_clamp((int64_t)((px + tol - xmin) * inv_dx), nx - 1);
             const int64_t iy1 =
-                gh_clamp((int64_t)((py + tol - ymin) / dy), ny - 1);
+                gh_clamp((int64_t)((py + tol - ymin) * inv_dy), ny - 1);
             const bool multi = (ix0 != ix1) | (iy0 != iy1);
             if (multi) seen.clear();
             int64_t n = 0;
@@ -319,14 +323,24 @@ static void gh_boxes_pass(const double* qb, int64_t nq, double xmin,
                           const int64_t* bin_prims, const double* boxes,
                           int64_t* counts, const int64_t* offsets,
                           int64_t* pair_q, int64_t* pair_p) {
+    // Same requirement as gh_points_pass: the canonical-cell dedup below
+    // recomputes each primitive's min cell, and that recompute must be
+    // bit-identical to the arithmetic grid_hash_count/fill binned it with
+    // ((b - min) * inv_d). A 1-ulp divergence names a cell the primitive
+    // is absent from and the pair is silently never emitted.
+    const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
     auto process = [&](int64_t lo, int64_t hi) {
         for (int64_t i = lo; i < hi; ++i) {
             const double qx0 = qb[4 * i], qy0 = qb[4 * i + 1];
             const double qx1 = qb[4 * i + 2], qy1 = qb[4 * i + 3];
-            const int64_t ix0 = gh_clamp((int64_t)((qx0 - xmin) / dx), nx - 1);
-            const int64_t iy0 = gh_clamp((int64_t)((qy0 - ymin) / dy), ny - 1);
-            const int64_t ix1 = gh_clamp((int64_t)((qx1 - xmin) / dx), nx - 1);
-            const int64_t iy1 = gh_clamp((int64_t)((qy1 - ymin) / dy), ny - 1);
+            const int64_t ix0 =
+                gh_clamp((int64_t)((qx0 - xmin) * inv_dx), nx - 1);
+            const int64_t iy0 =
+                gh_clamp((int64_t)((qy0 - ymin) * inv_dy), ny - 1);
+            const int64_t ix1 =
+                gh_clamp((int64_t)((qx1 - xmin) * inv_dx), nx - 1);
+            const int64_t iy1 =
+                gh_clamp((int64_t)((qy1 - ymin) * inv_dy), ny - 1);
             int64_t n = 0;
             int64_t o = kEmit ? offsets[i] : 0;
             for (int64_t cy = iy0; cy <= iy1; ++cy) {
@@ -342,9 +356,9 @@ static void gh_boxes_pass(const double* qb, int64_t nq, double xmin,
                         // Canonical cell: min corner of the overlap of the
                         // two cell ranges.
                         const int64_t px0 =
-                            gh_clamp((int64_t)((b[0] - xmin) / dx), nx - 1);
+                            gh_clamp((int64_t)((b[0] - xmin) * inv_dx), nx - 1);
                         const int64_t py0 =
-                            gh_clamp((int64_t)((b[1] - ymin) / dy), ny - 1);
+                            gh_clamp((int64_t)((b[1] - ymin) * inv_dy), ny - 1);
                         if (cx != (px0 > ix0 ? px0 : ix0)) continue;
                         if (cy != (py0 > iy0 ? py0 : iy0)) continue;
                         if (kEmit) {

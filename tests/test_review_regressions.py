@@ -721,3 +721,178 @@ class TestDiaSelectReviewFindings:
         ))
         assert np.isfinite(want[13]).all()
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_native_lib():
+    """Force the numpy fallbacks regardless of library availability."""
+    from xugrid_tpu.utils import native
+
+    lib, tried = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        yield
+    finally:
+        native._LIB, native._TRIED = lib, tried
+
+
+class TestNativeSpatialReviewFindings:
+    """Round-3 native/spatial/lazy review sweep regressions."""
+
+    def test_conn_clip_gate_respects_kcap(self):
+        # polygon_clip_areas_conn_native gated only the tree side; a
+        # >64-vertex query polygon silently truncated in sh_clip_area's
+        # fixed 96-slot working buffers (wrong overlap areas) instead of
+        # falling back to another path.
+        from xugrid_tpu.utils.native import polygon_clip_areas_conn_native
+
+        mq, mt = 70, 32  # mq + mt > 96: must refuse
+        query_xy = np.zeros((1, mq, 2))
+        tree_faces = np.zeros((1, mt), dtype=np.int64)
+        out = polygon_clip_areas_conn_native(
+            np.zeros(1, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+            query_xy,
+            tree_faces,
+            np.zeros(mt),
+            np.zeros(mt),
+        )
+        assert out is None
+
+    def test_grid_hash_native_matches_numpy_on_boundary_boxes(self):
+        # The native query passes computed cell indices with division
+        # while binning used reciprocal multiplication; a 1-ulp rounding
+        # difference could drop candidate pairs for zero-width boxes on
+        # cell boundaries.  Pin native/numpy parity on a stress set of
+        # boundary-aligned degenerate boxes.
+        from xugrid_tpu.spatial.grid_hash import GridHash
+        from xugrid_tpu.utils import native
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        centers = rng.uniform(0, 37.3, size=(4000, 2))
+        half = rng.uniform(0.001, 0.15, size=(4000, 1))
+        boxes = np.concatenate([centers - half, centers + half], axis=1)
+        gh = GridHash(boxes)
+        # Degenerate (zero-width) queries snapped exactly onto the cell
+        # lattice, plus random thin boxes.
+        kx = rng.integers(0, gh.nx, 500)
+        ky = rng.integers(0, gh.ny, 500)
+        gx = gh.xmin + kx * gh.dx
+        gy = gh.ymin + ky * gh.dy
+        degenerate = np.column_stack([gx, gy, gx, gy])
+        qc = rng.uniform(0, 37.3, size=(500, 2))
+        thin = np.concatenate([qc, qc + [[1e-9, 0.5]]], axis=1)
+        queries = np.concatenate([degenerate, thin])
+
+        q_nat, p_nat = gh.query_boxes(queries)
+        # Force the numpy fallback through the same GridHash bins.
+        with _no_native_lib():
+            q_np, p_np = gh.query_boxes(queries)
+        got = set(zip(q_nat.tolist(), p_nat.tolist()))
+        want = set(zip(q_np.tolist(), p_np.tolist()))
+        assert got == want
+
+    def test_degenerate_tree_edge_no_false_intersection(self):
+        from xugrid_tpu.spatial.celltree import _segment_intersections
+
+        p0 = np.array([[0.0, 0.0]])
+        p1 = np.array([[1.0, 0.0]])
+        # Zero-length tree edge far off the query segment's line.
+        q = np.array([[0.5, 5.0]])
+        hit, _ = _segment_intersections(p0, p1, q, q)
+        assert not hit[0]
+        # Zero-length edge ON the segment: still a hit, at the point.
+        q_on = np.array([[0.5, 0.0]])
+        hit_on, pts = _segment_intersections(p0, p1, q_on, q_on)
+        assert hit_on[0]
+        np.testing.assert_allclose(pts[0], [0.5, 0.0])
+
+    def test_lazy_zarr_big_endian_store(self, tmp_path):
+        # An identity CF transform over a '>f8' store must still emit
+        # native-byte-order blocks (the LazyArray dtype claims native).
+        import json
+
+        from xugrid_tpu.xdata import io_zarr
+        from xugrid_tpu.xdata.lazy import LAZY_MIN_BYTES
+
+        n = LAZY_MIN_BYTES // 8 + 16
+        values = np.arange(n, dtype=">f8")
+        ds = Dataset()
+        ds["v"] = Variable(("x",), values.astype("=f8"))
+        io_zarr.to_zarr(ds, tmp_path / "store", mode="w")
+        # Rewrite the payload big-endian on disk.
+        meta_path = tmp_path / "store" / "v" / ".zarray"
+        meta = json.loads(meta_path.read_text())
+        meta["dtype"] = ">f8"
+        meta_path.write_text(json.dumps(meta))
+        import zlib
+
+        (tmp_path / "store" / "v" / "0").write_bytes(
+            zlib.compress(values.tobytes(), 4)
+        )
+        back = io_zarr.open_zarr(tmp_path / "store", lazy=True)
+        arr = back["v"].data
+        assert getattr(arr, "is_lazy", False)
+        block = np.asarray(arr[: 4])
+        assert block.dtype.byteorder in ("=", "|", "<")
+        np.testing.assert_array_equal(block, [0.0, 1.0, 2.0, 3.0])
+
+    def test_lazy_array_out_of_bounds_raises(self):
+        from xugrid_tpu.xdata.lazy import LazyArray
+
+        raw = np.arange(100.0).reshape(100, 1)
+        arr = LazyArray(lambda s, e: raw[s:e], (100, 1), np.float64)
+        with pytest.raises(IndexError):
+            arr[150]
+        with pytest.raises(IndexError):
+            arr[-150]
+        np.testing.assert_array_equal(arr[-1], raw[-1])
+
+    def test_grid_hash_inverted_finite_box(self):
+        from xugrid_tpu.spatial.grid_hash import GridHash
+
+        rng = np.random.default_rng(3)
+        centers = rng.uniform(0, 10, size=(200, 2))
+        boxes = np.concatenate([centers - 0.1, centers + 0.1], axis=1)
+        boxes[7] = [3.0, 4.0, 2.0, 1.0]  # finite but inverted
+        # Both backends: build must not crash; the inverted primitive
+        # and inverted queries are dropped consistently.
+        results = []
+        for use_native in (True, False):
+            ctx = (
+                contextlib.nullcontext() if use_native else _no_native_lib()
+            )
+            with ctx:
+                gh = GridHash(boxes)
+                q, p = gh.query_boxes(boxes)
+            assert 7 not in set(p.tolist())
+            assert 7 not in set(q.tolist())
+            results.append(set(zip(q.tolist(), p.tolist())))
+        assert results[0] == results[1]
+
+    def test_oversize_hits_chunked_parity(self, monkeypatch):
+        from xugrid_tpu.spatial import grid_hash as gh_mod
+        from xugrid_tpu.spatial.grid_hash import GridHash
+
+        rng = np.random.default_rng(11)
+        centers = rng.uniform(0, 10, size=(400, 2))
+        half = np.full((400, 1), 0.05)
+        # Make 2 primitives (0.5% < p99) huge -> oversize list.
+        half[::200] = 4.0
+        boxes = np.concatenate([centers - half, centers + half], axis=1)
+        gh = GridHash(boxes)
+        assert len(gh.oversize) > 0
+        queries = np.concatenate(
+            [centers - 0.01, centers + 0.01], axis=1
+        )
+        q1, p1 = gh.query_boxes(queries)
+        monkeypatch.setattr(gh_mod, "OVERSIZE_CHUNK_ELEMS", 64)
+        q2, p2 = gh.query_boxes(queries)
+        assert set(zip(q1.tolist(), p1.tolist())) == set(
+            zip(q2.tolist(), p2.tolist())
+        )

@@ -27,6 +27,9 @@ import numpy as np
 from xugrid_tpu.constants import IntDType
 from xugrid_tpu.utils.profiling import timed
 
+#: bound on the (query_chunk x n_oversize) brute-force hit matrix.
+OVERSIZE_CHUNK_ELEMS = 2**24
+
 
 class GridHash:
     """Uniform-bin index over primitive bounding boxes."""
@@ -83,8 +86,13 @@ class GridHash:
                 finite_all & (w >= 0) & (h >= 0) & ~oversize_mask
             )
         self.oversize = np.flatnonzero(oversize_mask)
-        n_finite = int(np.count_nonzero(finite_all))
-        if len(self.oversize) == 0 and n_finite == len(boxes):
+        n_regular_total = int(np.count_nonzero(regular_mask))
+        # The no-copy fast path requires EVERY box regular — finite,
+        # non-inverted (w/h >= 0), and non-oversize.  Checking finiteness
+        # alone let finite inverted boxes reach the binning, where the
+        # numpy fallback crashed (negative spans) while the native path
+        # silently dropped them.
+        if len(self.oversize) == 0 and n_regular_total == len(boxes):
             regular_ids = None
             rb = boxes
             n_regular = len(boxes)
@@ -162,17 +170,22 @@ class GridHash:
         return self._cols
 
     def _cell_ranges(self, boxes):
+        # Reciprocal multiply, NOT division: must match the native
+        # kernels' binning arithmetic bit-for-bit so a build binned by
+        # one path is never queried with 1-ulp-different cell indices.
+        inv_dx = 1.0 / self.dx
+        inv_dy = 1.0 / self.dy
         ix0 = np.clip(
-            ((boxes[:, 0] - self.xmin) / self.dx).astype(np.int64), 0, self.nx - 1
+            ((boxes[:, 0] - self.xmin) * inv_dx).astype(np.int64), 0, self.nx - 1
         )
         iy0 = np.clip(
-            ((boxes[:, 1] - self.ymin) / self.dy).astype(np.int64), 0, self.ny - 1
+            ((boxes[:, 1] - self.ymin) * inv_dy).astype(np.int64), 0, self.ny - 1
         )
         ix1 = np.clip(
-            ((boxes[:, 2] - self.xmin) / self.dx).astype(np.int64), 0, self.nx - 1
+            ((boxes[:, 2] - self.xmin) * inv_dx).astype(np.int64), 0, self.nx - 1
         )
         iy1 = np.clip(
-            ((boxes[:, 3] - self.ymin) / self.dy).astype(np.int64), 0, self.ny - 1
+            ((boxes[:, 3] - self.ymin) * inv_dy).astype(np.int64), 0, self.ny - 1
         )
         return ix0, iy0, ix1, iy1
 
@@ -190,7 +203,11 @@ class GridHash:
 
         qb = np.asarray(query_boxes, dtype=np.float64)
         n_q = len(qb)
-        valid_q = np.isfinite(qb).all(axis=1) & (qb[:, 0] <= qb[:, 2])
+        valid_q = (
+            np.isfinite(qb).all(axis=1)
+            & (qb[:, 0] <= qb[:, 2])
+            & (qb[:, 1] <= qb[:, 3])
+        )
         ids_q = np.flatnonzero(valid_q)
         b = qb[valid_q]
         if len(b) == 0:
@@ -258,17 +275,35 @@ class GridHash:
         pair_p = unique_key % self.n_prim
         return self._query_boxes_finish(pair_q, pair_p, b, ids_q)
 
+    def _oversize_hits(self, qx0, qy0, qx1, qy1):
+        """Brute-force the oversize list against query intervals, with
+        the query axis chunked so the broadcast hit matrix stays bounded
+        (a graded 10M-mesh can have ~1e5 oversize prims; a dense
+        (n_query, n_oversize) bool matrix would OOM the bench host)."""
+        ob = self.boxes[self.oversize]
+        n_q = len(qx0)
+        chunk = max(1, int(OVERSIZE_CHUNK_ELEMS // max(1, len(ob))))
+        out_q, out_p = [], []
+        for lo in range(0, n_q, chunk):
+            hi = min(n_q, lo + chunk)
+            hit = (
+                (ob[None, :, 0] <= qx1[lo:hi, None])
+                & (ob[None, :, 2] >= qx0[lo:hi, None])
+                & (ob[None, :, 1] <= qy1[lo:hi, None])
+                & (ob[None, :, 3] >= qy0[lo:hi, None])
+            )
+            oq, op = np.nonzero(hit)
+            out_q.append(oq + lo)
+            out_p.append(op)
+        if not out_q:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty
+        return np.concatenate(out_q), np.concatenate(out_p)
+
     def _query_boxes_finish(self, pair_q, pair_p, b, ids_q):
         """Append brute-force oversize hits and remap to query ids."""
         if len(self.oversize) > 0:
-            ob = self.boxes[self.oversize]
-            hit = (
-                (ob[None, :, 0] <= b[:, None, 2])
-                & (ob[None, :, 2] >= b[:, None, 0])
-                & (ob[None, :, 1] <= b[:, None, 3])
-                & (ob[None, :, 3] >= b[:, None, 1])
-            )
-            oq, op = np.nonzero(hit)
+            oq, op = self._oversize_hits(b[:, 0], b[:, 1], b[:, 2], b[:, 3])
             pair_q = np.concatenate([pair_q, oq])
             pair_p = np.concatenate([pair_p, self.oversize[op]])
         return ids_q[pair_q].astype(IntDType), pair_p.astype(IntDType)
@@ -309,14 +344,9 @@ class GridHash:
             return None
         pair_q, pair_p = result
         if len(self.oversize) > 0:
-            ob = self.boxes[self.oversize]
-            hit = (
-                (ob[None, :, 0] <= fp[:, None, 0] + tol)
-                & (ob[None, :, 2] >= fp[:, None, 0] - tol)
-                & (ob[None, :, 1] <= fp[:, None, 1] + tol)
-                & (ob[None, :, 3] >= fp[:, None, 1] - tol)
+            oq, op = self._oversize_hits(
+                fp[:, 0] - tol, fp[:, 1] - tol, fp[:, 0] + tol, fp[:, 1] + tol
             )
-            oq, op = np.nonzero(hit)
             pair_q = np.concatenate([pair_q, oq])
             pair_p = np.concatenate([pair_p, self.oversize[op]])
         ids_q = np.flatnonzero(valid)

@@ -823,7 +823,14 @@ def polygon_clip_areas_conn_native(
     """Clip areas gathering tree polygons from connectivity (skips the
     padded tree vertex buffer), or None when unavailable."""
     lib = get_lib()
-    if lib is None or tree_faces.shape[1] > 32:
+    # Same kCap=96 working-buffer guard as polygon_clip_areas_native:
+    # the Sutherland-Hodgman kernel silently truncates once the subject
+    # plus clip vertex counts exceed the cap (wrong overlap areas).
+    if (
+        lib is None
+        or tree_faces.shape[1] > 32
+        or query_xy.shape[1] + tree_faces.shape[1] > 96
+    ):
         return None
     pair_q = np.ascontiguousarray(pair_q, dtype=np.int64)
     pair_p = np.ascontiguousarray(pair_p, dtype=np.int64)

@@ -48,23 +48,24 @@ def _parse_time_units(units):
         return None
 
 
-def _decode_cf_time(data, attrs):
-    """Decode CF time numerics: '<unit> since <epoch>' to datetime64[ns],
-    bare time units ('seconds', 'days', ...) to timedelta64[ns] —
-    xarray's decode_times/decode_timedelta defaults."""
-    if not np.issubdtype(np.asarray(data).dtype, np.number):
-        return None
-    units = attrs.get("units")
+def _resolve_time_units(units):
+    """CF units string -> (ns_per_unit, epoch-or-None), or None when the
+    string is not a recognized time unit.  Bare units ('seconds') decode
+    to timedelta64 (epoch=None); '<unit> since <epoch>' to datetime64."""
     parsed = _parse_time_units(units)
-    epoch = None
     if parsed is not None:
-        ns, epoch = parsed
-    elif isinstance(units, str):
+        return parsed
+    if isinstance(units, str):
         ns = _TIME_UNITS_NS.get(units.strip().lower().rstrip("s") + "s")
-        if ns is None:
-            return None
-    else:
-        return None
+        if ns is not None:
+            return ns, None
+    return None
+
+
+def _time_values_to_datetime64(data, ns, epoch):
+    """Numeric time values -> datetime64[ns] (or timedelta64[ns] when
+    epoch is None); non-finite values map to NaT.  Single source of the
+    rounding/NaT semantics for BOTH the eager and lazy decode paths."""
     values = np.asarray(data, dtype=np.float64) * ns
     nat = ~np.isfinite(values)
     delta = np.where(nat, 0, np.round(values)).astype("timedelta64[ns]")
@@ -72,6 +73,20 @@ def _decode_cf_time(data, attrs):
     if nat.any():
         fill = np.datetime64("NaT") if epoch is not None else np.timedelta64("NaT")
         out = np.where(nat, fill, out)
+    return out
+
+
+def _decode_cf_time(data, attrs):
+    """Decode CF time numerics: '<unit> since <epoch>' to datetime64[ns],
+    bare time units ('seconds', 'days', ...) to timedelta64[ns] —
+    xarray's decode_times/decode_timedelta defaults."""
+    if not np.issubdtype(np.asarray(data).dtype, np.number):
+        return None
+    resolved = _resolve_time_units(attrs.get("units"))
+    if resolved is None:
+        return None
+    ns, epoch = resolved
+    out = _time_values_to_datetime64(data, ns, epoch)
     attrs = dict(attrs)
     attrs.pop("units", None)
     attrs.pop("calendar", None)

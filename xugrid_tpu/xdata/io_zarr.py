@@ -151,7 +151,16 @@ def open_zarr(store, lazy: bool = False, **kwargs) -> Dataset:
                         child, shape, chunks, dtype, meta,
                         row_range=(start, stop),
                     )
-                    return np.ascontiguousarray(transform(block))
+                    block = transform(block)
+                    # Loaders must emit native byte order (lazy.py's
+                    # out_dtype contract); an identity transform over a
+                    # '>f8' store would otherwise leak big-endian blocks
+                    # under a native-claiming dtype.  No-op when already
+                    # native (copy=False).
+                    block = block.astype(
+                        block.dtype.newbyteorder("="), copy=False
+                    )
+                    return np.ascontiguousarray(block)
 
                 ds._variables[name] = Variable(
                     tuple(dims),

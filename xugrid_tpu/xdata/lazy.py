@@ -116,6 +116,11 @@ class LazyArray:
             i = int(first)
             if i < 0:
                 i += n
+            if not 0 <= i < n:
+                raise IndexError(
+                    f"index {int(first)} is out of bounds for axis 0 "
+                    f"with size {n}"
+                )
             block = self._load(i, i + 1)[0]
             return block[rest] if rest else block
         # fancy / boolean / strided: materialize then index
@@ -146,7 +151,10 @@ def cf_block_decoder(dims, dtype, attrs, decode_cf):
     Returns None when the variable needs an eager shape-changing decode
     (CF char arrays) — the caller loads those eagerly.
     """
-    from xugrid_tpu.xdata.io_netcdf import _parse_time_units, _TIME_UNITS_NS
+    from xugrid_tpu.xdata.io_netcdf import (
+        _resolve_time_units,
+        _time_values_to_datetime64,
+    )
 
     attrs = dict(attrs)
     encoding: dict = {}
@@ -176,33 +184,14 @@ def cf_block_decoder(dims, dtype, attrs, decode_cf):
                 steps.append(lambda d, o=offset: d + o)
         units = attrs.get("units")
         if np.issubdtype(dtype, np.number) or packed:
-            parsed = _parse_time_units(units)
-            ns = epoch = None
-            if parsed is not None:
-                ns, epoch = parsed
-            elif isinstance(units, str):
-                ns = _TIME_UNITS_NS.get(
-                    units.strip().lower().rstrip("s") + "s"
-                )
-            if ns is not None:
-
-                def decode_time(d, ns=ns, epoch=epoch):
-                    values = np.asarray(d, dtype=np.float64) * ns
-                    nat = ~np.isfinite(values)
-                    delta = np.where(nat, 0, np.round(values)).astype(
-                        "timedelta64[ns]"
+            resolved = _resolve_time_units(units)
+            if resolved is not None:
+                ns, epoch = resolved
+                steps.append(
+                    lambda d, ns=ns, epoch=epoch: _time_values_to_datetime64(
+                        d, ns, epoch
                     )
-                    out = delta if epoch is None else epoch + delta
-                    if nat.any():
-                        fillv = (
-                            np.datetime64("NaT")
-                            if epoch is not None
-                            else np.timedelta64("NaT")
-                        )
-                        out = np.where(nat, fillv, out)
-                    return out
-
-                steps.append(decode_time)
+                )
                 attrs.pop("units", None)
                 attrs.pop("calendar", None)
                 encoding["units"] = "seconds since 1970-01-01"
