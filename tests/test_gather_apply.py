@@ -65,7 +65,9 @@ def oracle_apply(method, indices, weights, source):
     return np.asarray(out)                             # (n, E)
 
 
-@pytest.mark.parametrize("engine", ["packet", "span", "pdot", "stream"])
+@pytest.mark.parametrize(
+    "engine", ["packet", "span", "pdot", "stream", "dense"]
+)
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
 def test_gather_kernel_matches_oracle(method, nan_frac, engine):
@@ -82,11 +84,12 @@ def test_gather_kernel_matches_oracle(method, nan_frac, engine):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("engine", ["stream", "dense"])
 @pytest.mark.parametrize("method", ["mean", "min"])
-def test_stream_engine_empty_blocks(method):
+def test_engine_empty_blocks(method, engine):
     """Whole 512-target blocks without any window entry ride dummy
-    superpackets (grid steps appended after the real blocks) and must
-    come out NaN, without disturbing neighbouring blocks."""
+    steps (appended after the real blocks) and must come out NaN,
+    without disturbing neighbouring blocks."""
     rng = np.random.default_rng(3)
     n, m, w = 2100, 1500, 5
     base = (np.arange(n) * m) // n
@@ -99,12 +102,36 @@ def test_stream_engine_empty_blocks(method):
     weights[512:1536] = 0.0
     source = rng.normal(size=(3, m)).astype(np.float32)
     got = apply_windowed_gather(
-        source, indices, weights, method, interpret=True, engine="stream"
+        source, indices, weights, method, interpret=True, engine=engine
     )
     assert got is not None
     assert np.isnan(got[512:1536]).all()
     want = oracle_apply(method, indices, weights, source)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_dense_plan_roundtrip():
+    """The dense quad-packed plan decodes back to exactly the input
+    (target, source, weight) triplet set."""
+    from xugrid_tpu.regrid.dense_apply import (
+        plan_gather_dense,
+        plan_triplets,
+    )
+
+    indices, weights, _ = make_case(n=2100, m=2500, w=8, seed=5)
+    plan = plan_gather_dense(indices, weights)
+    assert plan is not None
+    ti, si, wi = plan_triplets(plan)
+    got = sorted(zip(ti.tolist(), si.tolist(), wi.tolist()))
+    rows, cols = np.nonzero(indices >= 0)
+    want = sorted(
+        zip(
+            rows.tolist(),
+            indices[rows, cols].tolist(),
+            weights[rows, cols].tolist(),
+        )
+    )
+    assert got == want
 
 
 @pytest.mark.parametrize("force", ["0", "1"])

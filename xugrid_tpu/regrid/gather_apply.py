@@ -1944,6 +1944,13 @@ def plan_default(
         if plan is not None:
             return plan
         engine = "stream"
+    if engine == "dense":
+        from xugrid_tpu.regrid.dense_apply import plan_gather_dense
+
+        plan = plan_gather_dense(indices, weights)
+        if plan is not None:
+            return plan
+        engine = "stream"
     if engine == "stream":
         plan = plan_gather_stream(indices, weights, block)
         if plan is not None:
@@ -1977,9 +1984,17 @@ def apply_windowed_gather(
     """
     if method not in GATHER_METHODS:
         return None
+    from xugrid_tpu.regrid.dense_apply import (
+        DensePlan,
+        dense_apply,
+        plan_gather_dense,
+    )
+
     if plan is not None:
         if isinstance(plan, PdotPlan):
             engine = "pdot"
+        elif isinstance(plan, DensePlan):
+            engine = "dense"
         elif isinstance(plan, StreamPlan):
             engine = "stream"
         elif isinstance(plan, SpanPlan):
@@ -1994,6 +2009,19 @@ def apply_windowed_gather(
         # min/max chains need the scan engines; replan there.
         engine = "stream"
         plan = None
+    if engine == "dense":
+        if plan is None:
+            plan = plan_gather_dense(indices, weights)
+        if plan is None:
+            engine = "stream"
+        else:
+            return dense_apply(
+                source2d,
+                plan,
+                method=method,
+                has_nan=bool(has_nan),
+                interpret=interpret,
+            )
     if engine == "stream":
         if plan is None:
             plan = plan_gather_stream(indices, weights, block)
