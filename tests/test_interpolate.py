@@ -262,9 +262,12 @@ def test_windowed_cg_matches_coo(monkeypatch):
     np.testing.assert_allclose(coo, direct, atol=1e-6)
 
 
-def test_gather_cg_matches_direct(monkeypatch):
-    """The Pallas gather-packet CG (interpret mode on CPU) reproduces
-    the direct solve to f32 accuracy."""
+@pytest.mark.parametrize("engine", ["stream", "dense"])
+def test_gather_cg_matches_direct(monkeypatch, engine):
+    """The Pallas gather CG (interpret mode on CPU) reproduces the
+    direct solve to f32 accuracy, for each gather engine.  The DIA
+    stencil path must be disabled explicitly: it would otherwise claim
+    this banded graph before the gather dispatch is reached."""
     import scipy.sparse
 
     n_side = 24
@@ -285,7 +288,13 @@ def test_gather_cg_matches_direct(monkeypatch):
     direct = interpolate.laplace_interpolate(data, W, direct_solve=True)
     monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
     monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+    monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+    monkeypatch.setenv("XUGRID_TPU_GATHER_ENGINE", engine)
+    interpolate._PCG_GATHER = None
+    interpolate._GATHER_PLANS.clear()
     got = interpolate.laplace_interpolate(data, W, maxiter=4000, atol=1e-10)
+    interpolate._PCG_GATHER = None
+    interpolate._GATHER_PLANS.clear()
     np.testing.assert_allclose(got, direct, atol=5e-5)
 
 

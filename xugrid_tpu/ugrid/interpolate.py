@@ -85,6 +85,7 @@ def _make_pcg_gather():
     def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
               atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
               engine, n_blocks=0, interpret=False):
+        from xugrid_tpu.regrid.dense_apply import gather_dense_apply
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
             gather_span_apply,
@@ -93,7 +94,7 @@ def _make_pcg_gather():
         )
 
         N = bE.shape[1]
-        if engine == "stream":
+        if engine in ("stream", "dense"):
             # chunk0/npk carry blkid/spanblk (one row per superpacket,
             # not per block) — the output block count rides the static
             # n_blocks instead.
@@ -104,7 +105,17 @@ def _make_pcg_gather():
         rw = jnp.zeros(n512, jnp.float32)  # unused by method="matvec"
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
-            if engine == "stream":
+            if engine == "dense":
+                # Array slots repurposed: chunk0=blkid, npk=wmeta,
+                # page=winc0; statics: maxc=w_chunks, span=r_step.
+                out = gather_dense_apply(
+                    xE, chunk0, npk, page, meta, ptab, rw,
+                    method="matvec", has_nan=False,
+                    scan_steps=scan_steps, block=512, r_step=span,
+                    w_chunks=maxc, n_blocks=n_blocks,
+                    interpret=interpret,
+                )
+            elif engine == "stream":
                 out = gather_stream_apply(
                     xE, chunk0, npk, ptab, rw,
                     method="matvec", has_nan=False,
@@ -628,7 +639,27 @@ def cg_solve(
         dummy_page = np.zeros((8, 128), np.int32)
         maxc = 0
         stream_blocks = 0
-        if isinstance(plan, StreamPlan):
+        from xugrid_tpu.regrid.dense_apply import DensePlan
+
+        if isinstance(plan, DensePlan):
+            engine = "dense"
+            mxu = False
+            first = plan.blkid
+            count = plan.wmeta
+            meta = plan.meta
+            span = plan.r_step           # statics repurposed (see
+            maxc = plan.w_chunks         # _make_pcg_gather.matvec)
+            page = plan.winc0
+            scan_steps = plan.scan_steps
+            stream_blocks = len(plan.rwsum) // plan.block
+            n512 = stream_blocks * plan.block
+            c_needed = (
+                (int(plan.winc0.max()) + plan.w_chunks) * 128
+                if len(plan.winc0)
+                else 128
+            )
+            N = -(-max(n_pad, n512, c_needed) // 128) * 128
+        elif isinstance(plan, StreamPlan):
             engine = "stream"
             mxu = False
             first = plan.blkid       # target block per superpacket
