@@ -110,6 +110,57 @@ def test_engine_empty_blocks(method, engine):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "shape",
+    ["sparse_random", "longrun_scan", "wide_window"],
+)
+def test_dense_engine_adversarial_shapes(shape):
+    """Kernel parity on the dense engine's hard structural paths:
+    sparse targets per chunk (row sub-split, two-group tails), long
+    per-(target, chunk) runs (residual packed-lane scan), and windows
+    straddling more chunks than one resident slab (window-cover DMA
+    runs)."""
+    from xugrid_tpu.regrid.dense_apply import (
+        dense_apply,
+        plan_gather_dense,
+    )
+
+    rng = np.random.default_rng(11)
+    if shape == "sparse_random":
+        n, m, w = 1400, 9000, 10
+        indices = rng.integers(0, m, (n, w))
+        keep = np.arange(w)[None] < rng.integers(0, w + 1, n)[:, None]
+        indices = np.where(keep, indices, -1)
+        weights = np.where(
+            keep, rng.uniform(0.1, 2, (n, w)), 0
+        ).astype(np.float32)
+    elif shape == "longrun_scan":
+        n, m, w = 600, 5000, 40
+        base = rng.integers(0, m // 128 - 1, n) * 128
+        offs = np.argsort(rng.random((n, w)), axis=1)
+        indices = base[:, None] + offs
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+    else:
+        n, w = 900, 90
+        indices = (
+            np.arange(w)[None] * (128 * 3)
+            + rng.integers(0, 100, (n, 1))
+        )
+        m = int(indices.max()) + 1
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+
+    src = rng.normal(size=(3, m)).astype(np.float32) + 2
+    src[rng.random(src.shape) < 0.12] = np.nan
+    plan = plan_gather_dense(indices, weights)
+    assert plan is not None
+    if shape == "longrun_scan":
+        assert plan.scan_steps >= 3
+    got = dense_apply(src, plan, "mean", has_nan=True, interpret=True)
+    want = oracle_apply("mean", indices, weights, src)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
 def test_dense_plan_roundtrip():
     """The dense quad-packed plan decodes back to exactly the input
     (target, source, weight) triplet set."""
