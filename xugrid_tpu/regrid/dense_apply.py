@@ -122,6 +122,13 @@ def plan_gather_dense(
         raise ValueError("dense engine: unsupported packing parameters")
     if weights is None:
         weights = np.zeros(indices.shape, np.float32)
+    # Steps floor at one per target block: skip straight to the widest
+    # block when the floor alone would blow the SMEM scalar budget
+    # (saves a full wasted planning pass at the 10M scale).
+    while block < 1024 and (
+        (3 + r_step // 2) * 4 * (-(-n // block)) + 64 > 900_000
+    ):
+        block *= 2
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     weights = np.ascontiguousarray(weights, dtype=np.float32)
     n_blocks = -(-n // block)
@@ -271,7 +278,17 @@ def plan_gather_dense(
     if nsteps * r_step * 8 * 128 * 4 > max_plan_bytes:
         return None
     if (3 * nsteps + nsteps * r_step // 2) * 4 + 64 > 900_000:
-        return None  # SMEM scalar-prefetch budget (~1 MB per core)
+        # SMEM scalar-prefetch budget (~1 MB per core).  The step count
+        # floors at one per 512-target block; >10M-target problems blow
+        # the budget at block=512, so retry with 1024-target blocks
+        # (the plan key packs target slots in 10 bits, capping block at
+        # 1024; the row sub-split keeps rows at <=2 groups regardless).
+        if block < 1024:
+            return plan_gather_dense(
+                indices, weights, block * 2, r_step, w_chunks, q_pack,
+                max_plan_bytes,
+            )
+        return None
 
     blkid = np.empty(nsteps, np.int32)
     winc0 = np.empty(nsteps, np.int32)
