@@ -161,6 +161,55 @@ def test_dense_engine_adversarial_shapes(shape):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
+def test_dense_geometric_mean_ignores_unselected_negatives():
+    """Invalid quad sub-slots gather lane-local index 0 of their
+    chunk; geometric_mean's negs chain is not weight-gated, so those
+    garbage gathers must be masked explicitly (regression: a negative
+    value at a chunk's first lane poisoned every touching target to
+    NaN even though no window selected it)."""
+    from xugrid_tpu.regrid.dense_apply import (
+        dense_apply,
+        plan_gather_dense,
+    )
+
+    indices = np.array([[3], [4], [5], [6]])
+    weights = np.ones((4, 1), np.float32)
+    src = np.arange(1, 129, dtype=np.float32)[None]
+    src[0, 0] = -5.0
+    plan = plan_gather_dense(indices, weights)
+    got = dense_apply(
+        src, plan, "geometric_mean", has_nan=False, interpret=True
+    )
+    np.testing.assert_allclose(
+        got.ravel(), [4.0, 5.0, 6.0, 7.0], rtol=1e-5
+    )
+
+
+def test_dense_matvec_block_1024():
+    """The CG matvec must honor non-default plan block widths (plans
+    auto-widen to 1024-target blocks past the SMEM step floor)."""
+    from xugrid_tpu.regrid.dense_apply import (
+        dense_apply,
+        plan_gather_dense,
+    )
+
+    rng = np.random.default_rng(4)
+    n, m, w = 2100, 2600, 5
+    base = (np.arange(n) * m) // n
+    indices = np.clip(
+        base[:, None] + rng.integers(-8, 9, (n, w)), 0, m - 1
+    )
+    weights = rng.uniform(-1, 2, (n, w)).astype(np.float32)
+    src = rng.normal(size=(2, m)).astype(np.float32)
+    plan = plan_gather_dense(indices, weights, block=1024)
+    assert plan is not None and plan.block == 1024
+    got = dense_apply(src, plan, "matvec", has_nan=False, interpret=True)
+    want = np.einsum(
+        "nw,enw->ne", weights, src[:, np.maximum(indices, 0)]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
 def test_dense_plan_roundtrip():
     """The dense quad-packed plan decodes back to exactly the input
     (target, source, weight) triplet set."""

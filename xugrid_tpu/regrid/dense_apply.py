@@ -62,8 +62,12 @@ R_STEP = 16
 #: targets per output block (4 gather groups).
 D_BLOCK = 512
 
-#: raw-value chains (no weight gating) need explicit sub-slot masks.
-_RAW_VALUE_METHODS = ("sum", "min", "max")
+#: methods with at least one chain not gated by weight==0 need the
+#: explicit bit-7 sub-slot mask: sum/min/max use raw values, and
+#: geometric_mean's negs chain tests ``val < 0`` irrespective of
+#: weight (an ungated garbage gather of a chunk's lane-0 value would
+#: poison the whole target to NaN).
+_RAW_VALUE_METHODS = ("sum", "min", "max", "geometric_mean")
 
 
 class DensePlan(NamedTuple):
@@ -386,12 +390,24 @@ def plan_triplets(plan: DensePlan):
     meta16[0::2] = meta & 0xFFFF
     meta16[1::2] = meta >> 16
     cid = meta16 & 63
+    g0 = (meta16 >> 6) & ((1 << gbits) - 1)
+    g1 = (meta16 >> (6 + gbits)) & ((1 << gbits) - 1)
     step = np.arange(nrows) // r_step
     c0 = plan.winc0.astype(np.int64)[step]
     blk = plan.blkid.astype(np.int64)[step]
 
     idxw = plan.ptab[:, 0, :].view(np.uint32).astype(np.int64)
     seg = plan.ptab[:, 6, :].astype(np.int64)
+    # Every real lane's target group must be one of the row's two
+    # routed groups (validates the g0/g1 meta encoding, not just
+    # indices/weights).
+    lane_real = seg >= 0
+    lane_real[:, 0] = False  # lane 0 is the neutral dummy
+    r, lane = np.nonzero(lane_real)
+    lane_g = seg[r, lane] // GROUP
+    assert ((lane_g == g0[r]) | (lane_g == g1[r])).all(), (
+        "plan meta g0/g1 disagree with lane segments"
+    )
     tis, sis, ws = [], [], []
     for k in range(Q_PACK):
         byte = (idxw >> (8 * k)) & 255

@@ -79,12 +79,12 @@ def _make_pcg_gather():
         jax.jit,
         static_argnames=(
             "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
-            "engine", "n_blocks", "interpret",
+            "engine", "n_blocks", "blk", "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
               atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
-              engine, n_blocks=0, interpret=False):
+              engine, n_blocks=0, blk=512, interpret=False):
         from xugrid_tpu.regrid.dense_apply import gather_dense_apply
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
@@ -97,8 +97,9 @@ def _make_pcg_gather():
         if engine in ("stream", "dense"):
             # chunk0/npk carry blkid/spanblk (one row per superpacket,
             # not per block) — the output block count rides the static
-            # n_blocks instead.
-            n512 = n_blocks * 512
+            # n_blocks * blk instead (dense plans auto-widen blocks to
+            # 1024 past ~10M targets).
+            n512 = n_blocks * blk
         else:
             n_blocks = chunk0.shape[0]
             n512 = n_blocks * (128 if engine == "pdot" else 512)
@@ -111,7 +112,7 @@ def _make_pcg_gather():
                 out = gather_dense_apply(
                     xE, chunk0, npk, page, meta, ptab, rw,
                     method="matvec", has_nan=False,
-                    scan_steps=scan_steps, block=512, r_step=span,
+                    scan_steps=scan_steps, block=blk, r_step=span,
                     w_chunks=maxc, n_blocks=n_blocks,
                     interpret=interpret,
                 )
@@ -727,7 +728,7 @@ def cg_solve(
             maxiter=int(maxiter), degree=int(degree),
             scan_steps=scan_steps, maxc=maxc,
             span=span, mxu=mxu, engine=engine,
-            n_blocks=stream_blocks,
+            n_blocks=stream_blocks, blk=int(plan.block),
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
