@@ -896,3 +896,175 @@ class TestNativeSpatialReviewFindings:
         assert set(zip(q1.tolist(), p1.tolist())) == set(
             zip(q2.tolist(), p2.tolist())
         )
+
+
+class TestXdataReviewRound3:
+    """Regressions from the round-3 xdata review sweep (10 confirmed
+    findings: silent corruption in unstack/groupby/isel, crashes in
+    where/dropna/sel, dtype handling in notnull/first/to_zarr, and
+    resample bin alignment)."""
+
+    def test_unstack_after_reorder_scatters(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(6.0).reshape(2, 3), dims=("x", "y"),
+            coords={"x": [10, 20], "y": [1, 2, 3]},
+        )
+        s = da.stack(z=("x", "y")).assign_coords(
+            lev=("z", [5, 3, 1, 0, 2, 4])
+        ).sortby("lev")
+        u = s.unstack("z").transpose("x", "y")
+        np.testing.assert_array_equal(u.values, da.values)
+        np.testing.assert_array_equal(
+            np.asarray(u.coords["y"].data), [1, 2, 3]
+        )
+
+    def test_groupby_reduce_honors_dim(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(12.0).reshape(4, 3), dims=("t", "y"),
+            coords={"t": [0, 1, 2, 3], "g": ("t", ["a", "a", "b", "b"]),
+                    "y": [10, 20, 30]},
+        )
+        out = da.groupby("g").mean("y")
+        assert out.dims == ("t",)
+        np.testing.assert_allclose(out.values, da.values.mean(axis=1))
+        out_all = da.groupby("g").mean(...)
+        assert out_all.dims == ("g",)
+        np.testing.assert_allclose(
+            out_all.values, [da.values[:2].mean(), da.values[2:].mean()]
+        )
+
+    def test_groupby_transform_restores_order(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(8.0).reshape(4, 2), dims=("t", "y"),
+            coords={"t": [0, 1, 2, 3], "g": ("t", ["b", "a", "b", "a"])},
+        )
+        tr = da.groupby("g").mean("y")
+        np.testing.assert_allclose(tr.values, da.values.mean(axis=1))
+        np.testing.assert_array_equal(
+            np.asarray(tr.coords["t"].data), [0, 1, 2, 3]
+        )
+
+    def test_pointwise_isel(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(12.0).reshape(3, 4), dims=("x", "y"),
+            coords={"x": [10, 20, 30], "y": [1, 2, 3, 4]},
+        )
+        ix = DataArray([0, 1, 2], dims="pts")
+        iy = DataArray([0, 1, 2], dims="pts")
+        out = da.isel(x=ix, y=iy)
+        assert out.dims == ("pts",)
+        np.testing.assert_allclose(out.values, [0.0, 5.0, 10.0])
+        np.testing.assert_array_equal(
+            np.asarray(out.coords["x"].data), [10, 20, 30]
+        )
+        out2 = da.isel(
+            x=DataArray([0, 2], dims="a"), y=DataArray([1, 3], dims="b")
+        )
+        assert out2.dims == ("a", "b")
+        np.testing.assert_allclose(out2.values, [[1, 3], [9, 11]])
+
+    def test_where_drop_with_array_other(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(5.0), dims=("x",), coords={"x": np.arange(5)}
+        )
+        other = DataArray(
+            -np.arange(5.0), dims=("x",), coords={"x": np.arange(5)}
+        )
+        out = da.where(da > 1.5, other, drop=True)
+        np.testing.assert_allclose(out.values, [2.0, 3.0, 4.0])
+
+    def test_dropna_with_string_variable(self):
+        from xugrid_tpu.xdata import Dataset
+
+        ds = Dataset({
+            "a": ("x", [1.0, np.nan, 3.0]),
+            "lab": ("x", np.array(["p", "q", "r"])),
+        })
+        out = ds.dropna("x")
+        np.testing.assert_allclose(np.asarray(out["a"].data), [1.0, 3.0])
+        assert np.asarray(out["lab"].data).tolist() == ["p", "r"]
+
+    def test_sel_slice_plus_level(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray(
+            np.arange(6.0), dims=("z",),
+            coords={"z": np.arange(6),
+                    "lev": ("z", ["a", "b", "a", "b", "a", "b"])},
+        )
+        out = da.sel(z=slice(0, 4), lev="a")
+        np.testing.assert_allclose(out.values, [0.0, 2.0, 4.0])
+
+    def test_notnull_nat(self):
+        from xugrid_tpu.xdata import DataArray
+
+        t = np.array(["2020-01-01", "NaT"], dtype="datetime64[ns]")
+        da = DataArray(t, dims=("x",))
+        np.testing.assert_array_equal(da.notnull().values, [True, False])
+        assert int(da.count().values) == 1
+
+    def test_groupby_first_keeps_datetime(self):
+        from xugrid_tpu.xdata import DataArray
+
+        t = np.array(
+            ["2020-01-01", "2020-03-01", "2020-02-01"],
+            dtype="datetime64[ns]",
+        )
+        da = DataArray(t, dims=("t",),
+                       coords={"t": [0, 1, 2], "g": ("t", [0, 0, 1])})
+        f = da.groupby("g").first()
+        assert f.dtype.kind == "M"
+        assert f.values[0] == np.datetime64("2020-01-01")
+
+    def test_resample_emits_empty_bins(self):
+        from xugrid_tpu.xdata import DataArray
+
+        t = np.array(["2020-01-01", "2020-01-02", "2020-01-05"],
+                     dtype="datetime64[ns]")
+        da = DataArray([1.0, 2.0, 4.0], dims=("time",),
+                       coords={"time": t})
+        r = da.resample(time="1D").mean()
+        assert r.sizes["time"] == 5
+        assert np.isnan(r.values[2]) and np.isnan(r.values[3])
+        c = da.resample(time="1D").count()
+        np.testing.assert_array_equal(c.values, [1, 1, 0, 0, 1])
+
+    def test_to_zarr_unicode_strings(self, tmp_path):
+        from xugrid_tpu.xdata import Dataset, open_zarr
+        from xugrid_tpu.xdata.io_zarr import to_zarr
+
+        ds = Dataset({"s": ("x", np.array(["héllo", "wörld"]))})
+        p = str(tmp_path / "t.zarr")
+        to_zarr(ds, p)
+        back = open_zarr(p)
+        vals = [
+            v.decode("utf-8") if isinstance(v, bytes) else str(v)
+            for v in np.asarray(back["s"].data).tolist()
+        ]
+        assert vals == ["héllo", "wörld"]
+
+    def test_reindex_nearest_tie_goes_high(self):
+        from xugrid_tpu.xdata import DataArray
+
+        da = DataArray([1.0, 2.0], dims=("x",), coords={"x": [0.0, 2.0]})
+        out = da.reindex(x=[1.0], method="nearest")
+        # pandas breaks exact-distance ties toward the higher label
+        np.testing.assert_allclose(out.values, [2.0])
+
+    def test_dataset_reduce_keeps_scalar_coords(self):
+        from xugrid_tpu.xdata import Dataset
+
+        ds = Dataset({"a": ("x", [1.0, 2.0])})
+        ds = ds.assign_coords(tag=((), 7))
+        out = ds.mean()
+        assert "tag" in out.coords

@@ -441,9 +441,15 @@ class TestResampleFrequencies:
             pfreq = (m.group(1) or "") + legacy.get(m.group(2), m.group(2)) + (
                 m.group(3) or ""
             )
+            # full bin range, NaN for empty bins (no dropna): pandas/
+            # xarray resample semantics
             want = pd.Series(np.arange(len(times), dtype=float),
-                             index=times).resample(pfreq).mean().dropna()
+                             index=times).resample(pfreq).mean()
         np.testing.assert_allclose(np.asarray(out.data), want.values)
+        np.testing.assert_array_equal(
+            np.asarray(out.coords["time"].data),
+            want.index.values,
+        )
 
     def test_month_end_labels(self):
         da, _ = self._series(n=60, step="1D")

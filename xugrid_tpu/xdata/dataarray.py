@@ -333,6 +333,19 @@ class DataArray:
             if missing_dims == "raise":
                 raise ValueError(f"dimensions {unknown} do not exist")
             indexers = {k: v for k, v in indexers.items() if k in self.dims}
+        da_idx = {
+            k: v
+            for k, v in indexers.items()
+            if isinstance(v, DataArray) and v.ndim >= 1
+        }
+        if len(da_idx) > 1:
+            # Vectorized (pointwise) indexing: multiple DataArray
+            # indexers broadcast against each other by dim name and
+            # select jointly — per-axis application would produce an
+            # outer product with duplicate dim names (xarray pointwise
+            # semantics).
+            rest = {k: v for k, v in indexers.items() if k not in da_idx}
+            return self._isel_pointwise(da_idx, rest, drop)
         clean = {}
         renames = {}
         for k, v in indexers.items():
@@ -365,6 +378,52 @@ class DataArray:
                 if new in out._coords and out._coords[new].dims == (new,):
                     del out._coords[new]
         return out
+
+    def _isel_pointwise(self, da_idx, rest, drop):
+        """Joint advanced indexing for multiple DataArray indexers:
+        broadcast the indexers by dim name, replace the indexed dims
+        with the broadcast dims (xarray vectorized indexing)."""
+        out = self.isel(rest, drop=drop) if rest else self
+        axes_dims = list(da_idx)
+        bvars = broadcast_variables(*[v.variable for v in da_idx.values()])
+        idx_arrays = [np.asarray(b.data) for b in bvars]
+        new_idx_dims = bvars[0].dims
+        for d in new_idx_dims:
+            if d in out.dims and d not in axes_dims:
+                raise ValueError(
+                    f"pointwise indexer dim {d!r} collides with a "
+                    "remaining array dim"
+                )
+        arr = np.asarray(out.data)
+        axes = [out.dims.index(k) for k in axes_dims]
+        moved = np.moveaxis(arr, axes, range(len(axes)))
+        result = moved[tuple(idx_arrays)]
+        rest_dims = tuple(d for d in out.dims if d not in axes_dims)
+        new_dims = new_idx_dims + rest_dims
+        coords = {}
+        for name, cvar in out._coords.items():
+            hit = [d for d in cvar.dims if d in axes_dims]
+            if not hit:
+                coords[name] = cvar
+                continue
+            c_arr = np.asarray(cvar.data)
+            c_axes = [cvar.dims.index(d) for d in hit]
+            c_moved = np.moveaxis(c_arr, c_axes, range(len(c_axes)))
+            c_idx = tuple(
+                idx_arrays[axes_dims.index(d)] for d in hit
+            )
+            c_rest = tuple(d for d in cvar.dims if d not in axes_dims)
+            coords[name] = Variable(new_idx_dims + c_rest, c_moved[c_idx])
+        # indexer coordinates ride along (xarray attaches them)
+        for v in da_idx.values():
+            for cname, cvar in v._coords.items():
+                if cname not in coords and set(cvar.dims) <= set(
+                    new_idx_dims
+                ):
+                    coords[cname] = cvar
+        return DataArray._construct(
+            Variable(new_dims, result, self.attrs), coords, self.name
+        )
 
     def sel(self, indexers=None, method=None, tolerance=None, drop: bool = False, **kwargs) -> "DataArray":
         indexers = self._resolve_indexers(indexers, kwargs)
@@ -431,7 +490,12 @@ class DataArray:
         for other, m in aux_masks.items():
             pos = np.flatnonzero(m)
             if other in positional:
-                prev = np.atleast_1d(np.asarray(positional[other]))
+                prev = positional[other]
+                if isinstance(prev, slice):
+                    # slice + level selection on one dim: expand the
+                    # slice to positions before intersecting
+                    prev = np.arange(self.sizes[other])[prev]
+                prev = np.atleast_1d(np.asarray(prev))
                 positional[other] = prev[np.isin(prev, pos)]
             else:
                 positional[other] = pos
@@ -667,7 +731,17 @@ class DataArray:
                 # Plain array/Variable cond must be subset too, or the
                 # recursive where() sees mismatched sizes.
                 sub_cond = cond_var.isel(keep_indexers).data
-            return result.where(sub_cond, other)
+            sub_other = other
+            if isinstance(other, Variable):
+                # Array-valued other follows the drop (same mismatch).
+                sub = {
+                    d: keep_indexers[d]
+                    for d in other.dims
+                    if d in keep_indexers
+                }
+                if sub:
+                    sub_other = other.isel(sub)
+            return result.where(sub_cond, sub_other)
         self_b = self
         xp = get_namespace(self.data)
         sv, cv = broadcast_variables(self.variable, cond_var)
@@ -836,12 +910,9 @@ class DataArray:
         return out
 
     def count(self, dim=None) -> "DataArray":
-        """Number of non-NaN elements along ``dim``."""
-        data = np.asarray(self.data)
-        if data.dtype.kind == "f":
-            valid = ~np.isnan(data)
-        else:
-            valid = np.ones(data.shape, dtype=bool)
+        """Number of non-null elements along ``dim`` (NaN for floats,
+        NaT for datetimes/timedeltas)."""
+        valid = np.asarray(self.variable.notnull().data)
         var = Variable(self.dims, valid.astype(np.int64))
         out = DataArray._construct(var, dict(self._coords), self.name)
         return out._reduce("sum", dim=dim, skipna=False)
@@ -1156,9 +1227,32 @@ class DataArray:
             data = np.asarray(out.data)
             new_dims = out.dims[:axis] + orig_dims + out.dims[axis + 1:]
             coords = {}
-            if orig_sizes is not None and data.shape[axis] == int(
-                np.prod(orig_sizes)
-            ):
+            # The pure-reshape path requires the stacked dim to still be
+            # in canonical meshgrid order: a matching LENGTH alone is not
+            # enough (sortby/roll keep the length while permuting rows,
+            # which a reshape would silently scramble).
+            canonical = orig_sizes is not None and data.shape[
+                axis
+            ] == int(np.prod(orig_sizes))
+            if canonical:
+                for k in orig_dims:
+                    if k not in out._coords:
+                        continue  # dropped level: no order evidence
+                    flat = np.asarray(out._coords[k].data).reshape(
+                        orig_sizes
+                    )
+                    j = orig_dims.index(k)
+                    index = [slice(0, 1)] * len(orig_sizes)
+                    index[j] = slice(None)
+                    expect = np.broadcast_to(flat[tuple(index)], flat.shape)
+                    if flat.dtype.kind == "f":
+                        same = np.array_equal(flat, expect, equal_nan=True)
+                    else:
+                        same = np.array_equal(flat, expect)
+                    if not same:
+                        canonical = False
+                        break
+            if canonical:
                 # full product: a pure reshape, original level order
                 new_shape = (
                     data.shape[:axis]
@@ -1284,9 +1378,11 @@ class DataArray:
                 if method == "nearest":
                     j_lo = np.clip(j - 1, 0, len(sc) - 1)
                     j_hi = np.clip(j, 0, len(sc) - 1)
+                    # strict <: pandas breaks exact-distance ties
+                    # toward the HIGHER label
                     pick = np.where(
                         np.abs(labels - sc[j_lo])
-                        <= np.abs(sc[j_hi] - labels),
+                        < np.abs(sc[j_hi] - labels),
                         j_lo,
                         j_hi,
                     )

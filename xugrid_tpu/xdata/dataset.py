@@ -465,7 +465,9 @@ class Dataset:
             if dim not in da.dims:
                 continue
             axis = tuple(i for i, d in enumerate(da.dims) if d != dim)
-            isnan = np.isnan(np.asarray(da.data, dtype=np.float64))
+            # dtype-aware missingness: strings/ints are never null and
+            # must not be force-cast to float (xarray semantics).
+            isnan = ~np.asarray(da.variable.notnull().data)
             masks.append(
                 isnan.any(axis=axis) if how == "any" else isnan.all(axis=axis)
             )
@@ -696,7 +698,12 @@ class Dataset:
         for other, m in aux_masks.items():
             pos = np.flatnonzero(m)
             if other in positional:
-                prev = np.atleast_1d(np.asarray(positional[other]))
+                prev = positional[other]
+                if isinstance(prev, slice):
+                    # slice + level selection on one dim: expand the
+                    # slice to positions before intersecting
+                    prev = np.arange(self.dims_sizes()[other])[prev]
+                prev = np.atleast_1d(np.asarray(prev))
                 positional[other] = prev[np.isin(prev, pos)]
             else:
                 positional[other] = pos
@@ -806,7 +813,14 @@ class Dataset:
         out = Dataset(attrs=dict(self.attrs))
         for name, var in self._variables.items():
             if name in self._coord_names:
-                if dim is None or any(d in var.dims for d in np.atleast_1d(dim)):
+                # keep coords untouched by the reduction: all of them
+                # for scalar/disjoint coords; dim=None only drops
+                # DIMENSIONED coords (xarray keeps scalar coords)
+                if dim is None:
+                    drop = var.ndim > 0
+                else:
+                    drop = any(d in var.dims for d in np.atleast_1d(dim))
+                if drop:
                     continue
                 out._variables[name] = var
                 out._coord_names.add(name)

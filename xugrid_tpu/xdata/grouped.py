@@ -97,10 +97,27 @@ class DataArrayGroupBy:
 
         results = [func(sub, *args, **kwargs) for _, sub in self]
         if all(np.ndim(getattr(r, "data", r)) == 0 for r in results):
+            # np.stack (not float()) so datetime64/int results keep
+            # their dtype (first/last on time data).
             return self._wrap_scalars(
-                [float(np.asarray(getattr(r, "data", r))) for r in results]
+                np.stack(
+                    [np.asarray(getattr(r, "data", r)) for r in results]
+                )
             )
-        return concat(results, dim=self._dim)
+        out = concat(results, dim=self._dim)
+        # When the group dim survives intact (transform-like results),
+        # restore the original element order — concat emits groups in
+        # label-sorted order (xarray's _maybe_reorder).
+        if out.sizes.get(self._dim) == len(self._inverse):
+            grouped_pos = np.concatenate(
+                [
+                    np.flatnonzero(self._inverse == k)
+                    for k in range(len(self._labels))
+                ]
+            )
+            order = np.argsort(grouped_pos, kind="stable")
+            out = out.isel({self._dim: order})
+        return out
 
     def _wrap_scalars(self, values):
         DataArray = _data_array()
@@ -147,16 +164,50 @@ class DataArrayGroupBy:
         var = Variable(new_dims, result, obj.attrs)
         return DataArray._construct(var, coords, obj.name)
 
-    def count(self):
+    def _dispatch_reduce(self, name, dim, **kwargs):
+        """xarray groupby-reduce semantics over an explicit ``dim``:
+        the group dim (or None) collapses to one value per label; other
+        dims reduce inside each group, transform-like; Ellipsis or a
+        list containing the group dim reduces everything requested
+        within each group at once."""
+        group_dims = (None, self._dim, self._group_name)
+        if dim in group_dims:
+            if name == "count":
+                return self._count_groupwise()
+            return self._reduce(name, **kwargs)
+        if dim is Ellipsis:
+            return self.map(lambda sub: getattr(sub, name)(**kwargs))
+        dims = [dim] if isinstance(dim, str) else list(dim)
+        if self._dim in dims or self._group_name in dims:
+            inner = [
+                d for d in dims
+                if d not in (self._dim, self._group_name)
+            ]
+            return self.map(
+                lambda sub: getattr(sub, name)(
+                    inner + [self._dim], **kwargs
+                )
+            )
+        return self.map(
+            lambda sub: getattr(sub, name)(
+                dims[0] if len(dims) == 1 else dims, **kwargs
+            )
+        )
+
+    def count(self, dim=None):
+        return self._dispatch_reduce("count", dim)
+
+    def _count_groupwise(self):
         DataArray = _data_array()
         obj = self._obj
         axis = obj.dims.index(self._dim)
         data = np.asarray(obj.data)
-        valid = (
-            ~np.isnan(data)
-            if data.dtype.kind == "f"
-            else np.ones(data.shape, bool)
-        )
+        if data.dtype.kind in "fc":
+            valid = ~np.isnan(data)
+        elif data.dtype.kind in "mM":
+            valid = ~np.isnat(data)
+        else:
+            valid = np.ones(data.shape, bool)
         moved = np.moveaxis(valid, axis, 0)
         pieces = [
             moved[self._inverse == k].sum(axis=0)
@@ -186,7 +237,7 @@ class DataArrayGroupBy:
 for _name in _REDUCERS:
     def _make(n):
         def method(self, dim=None, **kwargs):
-            return self._reduce(n, **kwargs)
+            return self._dispatch_reduce(n, dim, **kwargs)
 
         method.__name__ = n
         return method
@@ -498,27 +549,36 @@ def _resample_bin_labels(times, freq):
     """Per-element bin label using pandas' own resample binning
     (pd.Grouper) — covers every pandas offset alias, including anchored
     ones (QS, W-SUN, YS) that ``to_period`` rejects, with the label
-    conventions xarray users expect (e.g. month-END labels for "ME")."""
+    conventions xarray users expect (e.g. month-END labels for "ME").
+
+    Returns ``(labels, full_bins)``: per-element labels plus the FULL
+    regular bin range including empty bins (pandas/xarray resample
+    emits NaN rows for gaps; observed groups alone would silently
+    misalign position-based consumers)."""
     import re
 
     import pandas as pd
 
-    def grouper_indices(f):
+    def grouper_bins(f):
         s = pd.Series(np.zeros(len(times)), index=times)
-        return s.groupby(pd.Grouper(freq=f)).indices
+        idx = s.groupby(pd.Grouper(freq=f)).indices
+        full = s.resample(f).size().index
+        return idx, full
 
     try:
-        idx = grouper_indices(freq)
+        idx, full = grouper_bins(freq)
     except ValueError:
         m = re.match(r"^(\d*)([A-Za-z]+)(-\w+)?$", str(freq))
         alias = _LEGACY_FREQ_ALIASES.get(m.group(2)) if m else None
         if alias is None:
             raise
-        idx = grouper_indices((m.group(1) or "") + alias + (m.group(3) or ""))
+        idx, full = grouper_bins(
+            (m.group(1) or "") + alias + (m.group(3) or "")
+        )
     labels = np.empty(len(times), dtype="datetime64[ns]")
     for lab, pos in idx.items():
         labels[np.asarray(pos)] = np.datetime64(lab)
-    return labels
+    return labels, np.asarray(full, dtype="datetime64[ns]")
 
 
 class DataArrayResample:
@@ -528,8 +588,7 @@ class DataArrayResample:
         self._obj = obj
         self._dim = dim
         times = pd.to_datetime(np.asarray(obj._coords[dim].data))
-        self._bins = _resample_bin_labels(times, freq)
-        key_name = f"__resample_{dim}"
+        self._bins, self._full_bins = _resample_bin_labels(times, freq)
         DataArray = _data_array()
         self._key = DataArray(
             np.asarray(self._bins), dims=(dim,), name=dim
@@ -547,9 +606,19 @@ class DataArrayResample:
 
             def method(*args, **kwargs):
                 out = getattr(grouped, name)(*args, **kwargs)
-                return out.rename(
-                    {grouped._group_name: self._dim}
-                ) if grouped._group_name != self._dim else out
+                if grouped._group_name != self._dim:
+                    out = out.rename({grouped._group_name: self._dim})
+                # Emit the FULL regular bin range: empty bins take NaN
+                # (0 for count), matching pandas/xarray resample.
+                if (
+                    self._dim in out.dims
+                    and out.sizes[self._dim] < len(self._full_bins)
+                ):
+                    fill = 0 if name == "count" else np.nan
+                    out = out.reindex(
+                        {self._dim: self._full_bins}, fill_value=fill
+                    )
+                return out
 
             return method
         raise AttributeError(name)

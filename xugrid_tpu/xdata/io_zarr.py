@@ -80,7 +80,9 @@ def _write_array(path: Path, var: Variable) -> None:
         # corrupt scalar variables (e.g. the UGRID topology dummy var).
         data = np.ascontiguousarray(data)
     if data.dtype.kind == "U":
-        data = data.astype("S")
+        # utf-8, not astype("S") (which is ASCII-only and raises on
+        # accented text); the reader decodes bytes back as utf-8.
+        data = np.char.encode(data, "utf-8")
     meta = {
         "zarr_format": 2,
         "shape": list(data.shape),

@@ -242,10 +242,13 @@ class Variable:
             axis = tuple(self.dims.index(d) for d in dim)
             new_dims = tuple(d for d in self.dims if d not in dim)
         data = self.data
+        dtype = getattr(data, "dtype", None)
+        if dtype is None:
+            dtype = np.asarray(data).dtype
         use_nan = skipna or (
             skipna is None
             and func_name in ("sum", "mean", "std", "var", "min", "max", "prod", "median")
-            and np.issubdtype(np.asarray(data).dtype if not is_jax_array(data) else data.dtype, np.floating)
+            and np.issubdtype(dtype, np.floating)
         )
         fname = f"nan{func_name}" if use_nan else func_name
         func = getattr(xp, fname, getattr(xp, func_name))
@@ -265,8 +268,12 @@ class Variable:
     def notnull(self) -> "Variable":
         xp = get_namespace(self.data)
         data = self.data
-        if np.issubdtype(self.dtype, np.floating):
+        if np.issubdtype(self.dtype, np.floating) or np.issubdtype(
+            self.dtype, np.complexfloating
+        ):
             return Variable(self.dims, ~xp.isnan(data))
+        if self.dtype.kind in "mM":  # datetime64/timedelta64: NaT
+            return Variable(self.dims, ~np.isnat(np.asarray(data)))
         return Variable(self.dims, xp.ones(self.shape, dtype=bool))
 
     def isnull(self) -> "Variable":
