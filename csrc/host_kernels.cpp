@@ -22,6 +22,39 @@
 #include <thread>
 #include <vector>
 
+// --- shared chunked thread fan-out ----------------------------------
+// Runs process(lo, hi) over [0, n) on up to 16 threads when n exceeds
+// threshold.  Thread-construction failure must not escape through the
+// extern "C" boundary (std::terminate): started threads are joined and
+// the unstarted tail runs serially.
+template <typename Fn>
+static void parallel_for(int64_t n, int64_t threshold, Fn&& process) {
+    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    if (n > threshold && hw > 1) {
+        const int64_t n_threads = std::min<int64_t>(hw, 16);
+        const int64_t per = (n + n_threads - 1) / n_threads;
+        std::vector<std::thread> threads;
+        threads.reserve(static_cast<size_t>(n_threads));
+        int64_t serial_from = n;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            const int64_t lo = t * per;
+            const int64_t hi = std::min(n, lo + per);
+            if (lo >= hi) break;
+            try {
+                threads.emplace_back(process, lo, hi);
+            } catch (...) {
+                serial_from = lo;
+                break;
+            }
+        }
+        for (auto& th : threads) th.join();
+        if (serial_from < n) process(serial_from, n);
+        return;
+    }
+    process(0, n);
+}
+
+
 extern "C" {
 
 // Order `n` 2D points by recursive alternating-axis splits. The split
@@ -143,20 +176,7 @@ void face_bbox(const int64_t* faces, int64_t n, int64_t nv, const double* x,
             out[4 * i + 3] = y1;
         }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (n > 100000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (n + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per;
-            const int64_t hi = std::min(n, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, n);
-    }
+    parallel_for(n, 100000, process);
 }
 
 // --- uniform grid-hash binning (counting sort over covered cells) -----
@@ -270,19 +290,7 @@ static void gh_points_pass(const double* pts, int64_t nq, double tol,
             if (!kEmit) counts[i] = n;
         }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (nq > 100000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (nq + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per, hi = std::min(nq, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, nq);
-    }
+    parallel_for(nq, 100000, process);
 }
 
 extern "C" {
@@ -373,19 +381,7 @@ static void gh_boxes_pass(const double* qb, int64_t nq, double xmin,
             if (!kEmit) counts[i] = n;
         }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (nq > 20000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (nq + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per, hi = std::min(nq, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, nq);
-    }
+    parallel_for(nq, 20000, process);
 }
 
 extern "C" {
@@ -426,7 +422,14 @@ void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
     for (int64_t i = i_lo; i < i_hi; ++i) {
         const int64_t* f = faces + nv * i;
         double* poly = poly_xy + 2 * nv * i;
-        const int64_t first = f[0];
+        // First VALID node: UGRID puts fill trailing, but malformed or
+        // reordered connectivity may lead with -1; deciding from f[0]
+        // alone silently dropped such faces (NaN bbox) while face_bbox
+        // kept them.
+        int64_t first = -1;
+        for (int64_t v = 0; v < nv; ++v) {
+            if (f[v] >= 0) { first = f[v]; break; }
+        }
         if (first < 0) {
             // Degenerate face (all-fill row): NaN bbox, zero polygon —
             // matches the pure-numpy face_bbox path this replaced.
@@ -470,20 +473,7 @@ void pad_and_bbox(const int64_t* faces, int64_t n, int64_t nv,
         b[3] = y1;
     }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (n > 100000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (n + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per;
-            const int64_t hi = std::min(n, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, n);
-    }
+    parallel_for(n, 100000, process);
 }
 
 }  // extern "C"
@@ -575,20 +565,7 @@ void polygon_clip_areas(const int64_t* pair_q, const int64_t* pair_p,
                                     tree_xy + 2 * mt * pair_p[i], mt);
         }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (n_pairs > 100000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (n_pairs + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per;
-            const int64_t hi = std::min(n_pairs, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, n_pairs);
-    }
+    parallel_for(n_pairs, 100000, process);
 }
 
 }  // extern "C"
@@ -1086,20 +1063,7 @@ void polygon_clip_areas_conn(const int64_t* pair_q, const int64_t* pair_p,
                                     poly, mt);
         }
     };
-    const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
-    if (n_pairs > 100000 && hw > 1) {
-        const int64_t n_threads = std::min<int64_t>(hw, 16);
-        const int64_t per = (n_pairs + n_threads - 1) / n_threads;
-        std::vector<std::thread> threads;
-        for (int64_t t = 0; t < n_threads; ++t) {
-            const int64_t lo = t * per;
-            const int64_t hi = std::min(n_pairs, lo + per);
-            if (lo < hi) threads.emplace_back(process, lo, hi);
-        }
-        for (auto& th : threads) th.join();
-    } else {
-        process(0, n_pairs);
-    }
+    parallel_for(n_pairs, 100000, process);
 }
 
 }  // extern "C"

@@ -17,12 +17,16 @@ def no_native(monkeypatch):
     """Disable every native entry point (forces fallbacks)."""
     for name in [
         "pad_and_bbox_native",
+        "face_bbox_native",
+        "kd_order_native",
         "grid_hash_bins_native",
         "grid_hash_query_points_native",
         "grid_hash_query_boxes_native",
         "polygon_clip_areas_native",
+        "polygon_clip_areas_conn_native",
         "points_in_polygons_native",
         "clip_segments_by_faces_native",
+        "locate_points_hash_native",
         "mean_value_weights_native",
     ]:
         monkeypatch.setattr(native_mod, name, lambda *a, **k: None)

@@ -35,8 +35,14 @@ def pad_polygons(face_node_connectivity, node_x, node_y):
     if native is not None:
         return native[0]
     conn = np.asarray(face_node_connectivity)
-    first = conn[:, :1]
-    filled = np.where(conn == -1, first, conn)
+    # first VALID node per row (a malformed row may lead with fill;
+    # conn[:, :1] would keep -1 and silently gather the LAST node)
+    valid = conn >= 0
+    rows = np.arange(len(conn))
+    first = np.where(
+        valid.any(axis=1), conn[rows, np.argmax(valid, axis=1)], 0
+    )[:, None]
+    filled = np.where(conn < 0, first, conn)
     x = np.asarray(node_x, dtype=np.float64)
     y = np.asarray(node_y, dtype=np.float64)
     out = np.empty(filled.shape + (2,), dtype=np.float64)

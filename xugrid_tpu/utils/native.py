@@ -27,11 +27,29 @@ _BUILD_DIR = Path(
 )
 
 
+#: -ffp-contract=off: the exact-geometry kernels (clip, PIP, mean-value
+#: weights) document bit-for-bit parity with their numpy/device
+#: fallbacks; FMA contraction under -O3 -march=native breaks it at
+#: 1 ulp on boundary-grazing inputs (inside/outside flips between
+#: native-present and fallback environments).
+_CFLAGS = (
+    "-O3", "-march=native", "-ffp-contract=off",
+    "-shared", "-fPIC", "-std=c++17", "-pthread",
+)
+
+
 def _compile() -> Path | None:
     if not _SOURCE.exists():
         return None
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    lib_path = _BUILD_DIR / "libhost_kernels.so"
+    # Flags participate in the cache name: a flags-only change must not
+    # keep serving a stale library (mtime covers the source only).
+    import hashlib
+
+    tag = hashlib.blake2b(
+        " ".join(_CFLAGS).encode(), digest_size=6
+    ).hexdigest()
+    lib_path = _BUILD_DIR / f"libhost_kernels-{tag}.so"
     if lib_path.exists() and lib_path.stat().st_mtime >= _SOURCE.stat().st_mtime:
         return lib_path
     # Compile to a process-unique temp path and publish with an atomic
@@ -40,12 +58,7 @@ def _compile() -> Path | None:
     tmp_path = lib_path.with_suffix(f".so.tmp{os.getpid()}")
     cmd = [
         "g++",
-        "-O3",
-        "-march=native",
-        "-shared",
-        "-fPIC",
-        "-std=c++17",
-        "-pthread",
+        *_CFLAGS,
         str(_SOURCE),
         "-o",
         str(tmp_path),
@@ -722,6 +735,13 @@ def contract_vertices_native(
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     keep = np.ascontiguousarray(keep, dtype=np.int64)
+    # The C kernel writes keep-flags with no bounds check: an
+    # out-of-range index corrupts the heap/segfaults instead of
+    # raising like the numpy fallback.
+    if len(keep) and (keep.min() < 0 or keep.max() >= m):
+        raise IndexError(
+            f"contract_vertices: keep indices out of range [0, {m})"
+        )
     _ip = ctypes.POINTER(ctypes.c_int64)
     cap = max(4 * len(indices), 4 * len(keep), 1024)
     while True:
