@@ -371,6 +371,97 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"dense path unavailable: {exc!r}", file=sys.stderr)
 
+    # --- Pallas target-aligned banded apply (round-3 latency attack) ----
+    aligned_apply_s = None
+    aligned_min_s = None
+    aligned_e128_s = None
+    aligned_dma_bytes = None
+    try:
+        from xugrid_tpu.regrid.aligned_apply import (
+            Q_PACK as _QP,
+            gather_aligned_apply,
+            plan_gather_aligned,
+            stage_source_aligned,
+        )
+        from xugrid_tpu.regrid.gather_apply import (
+            pad_sublanes as _pad_sub_a,
+        )
+
+        aplan = plan_gather_aligned(padded.indices, padded.weights)
+        if aplan is not None and jax.default_backend() == "tpu":
+            e_sub_a = _pad_sub_a(n_extra)
+            n_runs_a = int((np.diff(aplan.winc0) != 0).sum()) + 1
+            aligned_dma_bytes = int(
+                n_runs_a * aplan.w_chunks * e_sub_a * 128 * 4  # slabs
+                + (aplan.itab.size + aplan.wtab.size) * 4      # tables
+                + len(aplan.rwsum) * e_sub_a * 4               # output
+                + len(aplan.rwsum) * 4                         # rwsum
+            )
+
+            def time_aligned(src2d, method, n_reps):
+                srcE = stage_source_aligned(src2d, aplan)
+
+                @partial(
+                    jax.jit,
+                    static_argnames=(
+                        "method", "block", "r_step", "w_chunks",
+                        "n_blocks", "n_reps",
+                    ),
+                )
+                def reps_fn(srcE, blkid, wmeta, winc0, meta, itab,
+                            wtab, rw, method, block, r_step, w_chunks,
+                            n_blocks, n_reps):
+                    def body(i, carry):
+                        src, acc = carry
+                        out = gather_aligned_apply(
+                            src, blkid, wmeta, winc0, meta, itab,
+                            wtab, rw, method=method, has_nan=False,
+                            block=block, r_step=r_step,
+                            w_chunks=w_chunks, n_blocks=n_blocks,
+                        )
+                        acc = acc + jnp.nansum(out)
+                        src = src.at[0, 0].add(src.dtype.type(1e-12))
+                        return (src, acc)
+
+                    _, acc = jax.lax.fori_loop(
+                        0, n_reps, body, (srcE, jnp.float32(0.0))
+                    )
+                    return acc
+
+                aargs = (
+                    jnp.asarray(srcE), jnp.asarray(aplan.blkid),
+                    jnp.asarray(aplan.wmeta), jnp.asarray(aplan.winc0),
+                    jnp.asarray(aplan.meta), jnp.asarray(aplan.itab),
+                    jnp.asarray(aplan.wtab), jnp.asarray(aplan.rwsum),
+                )
+                statics = (
+                    method, aplan.block, aplan.r_step, aplan.w_chunks,
+                    len(aplan.rwsum) // aplan.block,
+                )
+                _ = float(reps_fn(*aargs, *statics, n_reps))
+                t0 = time.perf_counter()
+                _ = float(reps_fn(*aargs, *statics, n_reps))
+                return (time.perf_counter() - t0) / n_reps
+
+            aligned_apply_s = time_aligned(source, "mean", reps)
+            aligned_min_s = time_aligned(source, "min", reps)
+            if grid.n_face * 128 * 4 * 3 < 8e9:
+                try:
+                    src128a = rng.normal(
+                        size=(128, grid.n_face)
+                    ).astype(np.float32)
+                    aligned_e128_s = time_aligned(
+                        src128a, "mean", max(2, reps // 2)
+                    )
+                    del src128a
+                except Exception as exc:  # pragma: no cover
+                    print(
+                        f"aligned e128 variant unavailable: {exc!r}",
+                        file=sys.stderr,
+                    )
+    except Exception as exc:  # pragma: no cover - perf fallback only
+        print(f"aligned path unavailable: {exc!r}", file=sys.stderr)
+
     # --- Pallas one-hot slab apply (secondary kernel) -------------------
     pallas_apply_s = None
     try:
@@ -487,11 +578,15 @@ def main():
         print(f"select path unavailable: {exc!r}", file=sys.stderr)
 
     best_apply_s = xla_apply_s
-    for cand in (pallas_apply_s, gather_apply_s, dense_apply_s):
+    for cand in (
+        pallas_apply_s, gather_apply_s, dense_apply_s, aligned_apply_s
+    ):
         if cand is not None and cand < best_apply_s:
             best_apply_s = cand
     if dense_apply_s is not None and dense_apply_s == best_apply_s:
         dma_bytes = dense_dma_bytes
+    if aligned_apply_s is not None and aligned_apply_s == best_apply_s:
+        dma_bytes = aligned_dma_bytes
     apply_gbps = true_bytes / best_apply_s / 1e9
 
     # --- celltree locate throughput -------------------------------------
@@ -598,6 +693,29 @@ def main():
                 / dense_e128_s / 1e9, 1,
             )
             if dense_e128_s is not None
+            else None
+        ),
+        "aligned_apply_s_per_pass": (
+            round(aligned_apply_s, 4)
+            if aligned_apply_s is not None
+            else None
+        ),
+        "aligned_min_s_per_pass": (
+            round(aligned_min_s, 4)
+            if aligned_min_s is not None
+            else None
+        ),
+        "aligned_e128_s_per_pass": (
+            round(aligned_e128_s, 4)
+            if aligned_e128_s is not None
+            else None
+        ),
+        "aligned_e128_gbps_true": (
+            round(
+                (csr.nnz * 8 + (grid.n_face + target.n_face) * 128 * 4)
+                / aligned_e128_s / 1e9, 1,
+            )
+            if aligned_e128_s is not None
             else None
         ),
         "pallas_apply_s_per_pass": (

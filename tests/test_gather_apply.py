@@ -66,7 +66,7 @@ def oracle_apply(method, indices, weights, source):
 
 
 @pytest.mark.parametrize(
-    "engine", ["packet", "span", "pdot", "stream", "dense"]
+    "engine", ["packet", "span", "pdot", "stream", "dense", "aligned"]
 )
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
@@ -84,7 +84,7 @@ def test_gather_kernel_matches_oracle(method, nan_frac, engine):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("engine", ["stream", "dense"])
+@pytest.mark.parametrize("engine", ["stream", "dense", "aligned"])
 @pytest.mark.parametrize("method", ["mean", "min"])
 def test_engine_empty_blocks(method, engine):
     """Whole 512-target blocks without any window entry ride dummy
@@ -208,6 +208,128 @@ def test_dense_matvec_block_1024():
         "nw,enw->ne", weights, src[:, np.maximum(indices, 0)]
     )
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "shape", ["sparse_random", "longrun_spill", "wide_window"]
+)
+def test_aligned_engine_adversarial_shapes(shape):
+    """Aligned-engine parity on its hard structural paths: sparse
+    targets per chunk (low lane occupancy), per-(target, chunk) runs
+    longer than Q_PACK (spill rows accumulated through the combine),
+    and windows straddling more chunks than one resident slab."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    rng = np.random.default_rng(11)
+    if shape == "sparse_random":
+        n, m, w = 1400, 9000, 10
+        indices = rng.integers(0, m, (n, w))
+        keep = np.arange(w)[None] < rng.integers(0, w + 1, n)[:, None]
+        indices = np.where(keep, indices, -1)
+        weights = np.where(
+            keep, rng.uniform(0.1, 2, (n, w)), 0
+        ).astype(np.float32)
+    elif shape == "longrun_spill":
+        n, m, w = 600, 5000, 40
+        base = rng.integers(0, m // 128 - 1, n) * 128
+        offs = np.argsort(rng.random((n, w)), axis=1)
+        indices = base[:, None] + offs
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+    else:
+        n, w = 900, 90
+        indices = (
+            np.arange(w)[None] * (128 * 3)
+            + rng.integers(0, 100, (n, 1))
+        )
+        m = int(indices.max()) + 1
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+
+    src = rng.normal(size=(3, m)).astype(np.float32) + 2
+    src[rng.random(src.shape) < 0.12] = np.nan
+    plan = plan_gather_aligned(indices, weights)
+    assert plan is not None
+    for method in ("mean", "min"):
+        got = aligned_apply(src, plan, method, has_nan=True,
+                            interpret=True)
+        want = oracle_apply(method, indices, weights, src)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_aligned_geometric_mean_ignores_unselected_negatives():
+    """Invalid sub-slots gather lane-local index 0 of their chunk;
+    geometric_mean's negs chain is not weight-gated, so those garbage
+    gathers must be masked explicitly (mirror of the dense-engine
+    regression)."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    indices = np.array([[3], [4], [5], [6]])
+    weights = np.ones((4, 1), np.float32)
+    src = np.arange(1, 129, dtype=np.float32)[None]
+    src[0, 0] = -5.0
+    plan = plan_gather_aligned(indices, weights)
+    got = aligned_apply(
+        src, plan, "geometric_mean", has_nan=False, interpret=True
+    )
+    np.testing.assert_allclose(
+        got.ravel(), [4.0, 5.0, 6.0, 7.0], rtol=1e-5
+    )
+
+
+def test_aligned_matvec_block_1024():
+    """The aligned engine must honor non-default plan block widths
+    (plans auto-widen past the SMEM step floor)."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    rng = np.random.default_rng(4)
+    n, m, w = 2100, 2600, 5
+    base = (np.arange(n) * m) // n
+    indices = np.clip(
+        base[:, None] + rng.integers(-8, 9, (n, w)), 0, m - 1
+    )
+    weights = rng.uniform(-1, 2, (n, w)).astype(np.float32)
+    src = rng.normal(size=(2, m)).astype(np.float32)
+    plan = plan_gather_aligned(indices, weights, block=1024)
+    assert plan is not None and plan.block == 1024
+    got = aligned_apply(src, plan, "matvec", has_nan=False,
+                        interpret=True)
+    want = np.einsum(
+        "nw,enw->ne", weights, src[:, np.maximum(indices, 0)]
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_aligned_plan_roundtrip():
+    """The aligned plan decodes back to exactly the input (target,
+    source, weight) triplet set."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        plan_gather_aligned,
+        plan_triplets,
+    )
+
+    indices, weights, _ = make_case(n=2100, m=2500, w=8, seed=5)
+    plan = plan_gather_aligned(indices, weights)
+    assert plan is not None
+    ti, si, wi = plan_triplets(plan)
+    got = sorted(zip(ti.tolist(), si.tolist(), wi.tolist()))
+    rows, cols = np.nonzero(indices >= 0)
+    want = sorted(
+        zip(
+            rows.tolist(),
+            indices[rows, cols].tolist(),
+            weights[rows, cols].tolist(),
+        )
+    )
+    assert got == want
 
 
 def test_dense_plan_roundtrip():

@@ -1,0 +1,658 @@
+"""Target-aligned banded gather engine (round-3 latency attack).
+
+The dense quad-packed engine (dense_apply.py) spends ~8 serialized
+lane-gather ops per row: four sub-slot value gathers plus segment-end
+routing gathers per chain, and TPU ``dynamic_gather`` issue overhead
+(~20-80 ns/op regardless of sublane count — scripts/gather_microbench)
+dominates at bench widths.  This engine restructures the plan so a row
+needs ONE gather and ONE accumulator update (reference hot loop:
+/root/reference/xugrid/regrid/regridder.py:41-69):
+
+- **Target-aligned lanes**: a row covers one (128-target group, source
+  chunk) pair and lane L holds target ``group*128 + L``'s entries from
+  that chunk.  The row's partial IS positioned — the accumulator
+  update is a direct combine, with no end-lane gather, no segmented
+  Hillis-Steele scan, and no seg/ends ptab planes at all.
+- **Banded sub-slots**: the up-to-``Q_PACK=4`` entries of one
+  (target, chunk) run live in one lane as packed index bytes; the
+  kernel broadcasts the chunk row ``Q_PACK``× on the sublane axis and
+  resolves all four sub-slots with a single ``take_along_axis`` over
+  ``(Q_PACK*e_sub, 128)`` — four gathers collapse into one.
+- Runs longer than ``Q_PACK`` spill to extra rows of the same
+  (group, chunk) key; the accumulator combine absorbs them, so no
+  residual scan exists for ANY input shape.
+- Window DMA (double-buffered resident chunk slabs) and the step/grid
+  bookkeeping are shared with the dense engine.
+
+On the real 1M-config overlap matrix this plan costs 19.5k rows vs the
+dense engine's 13.5k, but each row retires ~3x fewer serialized VMEM
+ops; rows interleave groups (sorted chunk-major) so consecutive
+accumulator updates hit different groups and pipeline.
+
+Plan arrays are all-numpy and reusable across applies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xugrid_tpu.regrid.gather_apply import (
+    CHUNK,
+    GROUP,
+    _chains,
+    _finalize,
+    _lane_quantities,
+    pad_sublanes,
+)
+
+#: sub-entries packed per lane (one banded gather resolves all four).
+Q_PACK = 4
+
+#: chunks per resident source window (<= 64: the meta cid field is 6
+#: bits).
+W_CHUNKS = 64
+
+#: rows processed per grid step.
+R_STEP = 16
+
+#: targets per output block.
+A_BLOCK = 512
+
+#: methods with at least one chain not gated by weight==0 need the
+#: explicit bit-7 sub-slot mask (see dense_apply._RAW_VALUE_METHODS).
+_RAW_VALUE_METHODS = ("sum", "min", "max", "geometric_mean")
+
+
+class AlignedPlan(NamedTuple):
+    """Target-aligned banded plan (all numpy)."""
+
+    blkid: np.ndarray    # (nsteps,) i32 target block per step
+    winc0: np.ndarray    # (nsteps,) i32 absolute first chunk of the
+    #                      step's resident source window
+    wmeta: np.ndarray    # (nsteps,) i32: bit0 slab parity, bit1
+    #                      window-run start, bits 2.. next run's first
+    #                      chunk + 1 (0 = no next run)
+    meta: np.ndarray     # (nsteps*r_step//2,) i32 packed per-row pairs
+    #                      (16 bits each): cid (6) | group-in-block
+    itab: np.ndarray     # (nsteps*r_step, 128) i32 packed idx bytes
+    #                      (bit 7 = sub-slot valid, bits 0..6
+    #                      lane-local source idx), lane = target % 128
+    wtab: np.ndarray     # (nsteps*r_step*Q_PACK, 128) f32 weights,
+    #                      rows 4r..4r+3 = row r's sub-slots
+    rwsum: np.ndarray    # (n_pad,) f32 total window weight per target
+    n: int
+    block: int
+    r_step: int
+    w_chunks: int
+
+    @property
+    def nsteps(self) -> int:
+        return len(self.blkid)
+
+
+def _seg_propagate(values, starts):
+    """Per-element value at the most recent True in ``starts``."""
+    pos = np.arange(len(values), dtype=np.int64)
+    idx = np.maximum.accumulate(np.where(starts, pos, 0))
+    return values[idx]
+
+
+def plan_gather_aligned(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = A_BLOCK,
+    r_step: int = R_STEP,
+    w_chunks: int = W_CHUNKS,
+    max_plan_bytes: int = 1_500_000_000,
+) -> AlignedPlan | None:
+    """Build the target-aligned banded plan, or None when the problem
+    shape defeats it (the caller falls back to another engine)."""
+    n, _w = indices.shape
+    if n == 0:
+        return None
+    if block & (block - 1) or not GROUP <= block <= 2048:
+        raise ValueError("aligned engine: block must be 128..2048 pow2")
+    if r_step % 2 or w_chunks > 64:
+        raise ValueError("aligned engine: unsupported parameters")
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    # Steps floor at one per target block: skip straight to a wider
+    # block when the floor alone would blow the SMEM scalar budget.
+    while block < 2048 and (
+        (3 + r_step // 2) * 4 * (-(-n // block)) + 64 > 900_000
+    ):
+        block *= 2
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block
+    n_groups = block // GROUP
+    gbits = max(2, int(max(n_groups - 1, 1)).bit_length())
+    if 6 + gbits > 16:
+        return None
+
+    valid = indices >= 0
+    ti, _sl = np.nonzero(valid)
+    if len(ti) == 0:
+        return None
+    src = indices[valid]
+    wts = weights[valid]
+    if src.max() >= (1 << 24) * CHUNK:
+        return None
+
+    # Sort entries by (block, chunk, group, lane); stable keeps the
+    # input sub-slot order within each (target, chunk) run.
+    B = (ti // block).astype(np.int64)
+    g = ((ti % block) // GROUP).astype(np.int64)
+    lane = (ti % GROUP).astype(np.int64)
+    chunk = src >> 7
+    cmax = int(chunk.max()) + 1
+    key = (((B * cmax + chunk) * n_groups + g) << 7) | lane
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ew = wts[order]
+    idx7 = (src[order] & 127).astype(np.int64)
+    del order, ti, src, wts, B, g, lane, chunk
+    nnz = len(key)
+    pos = np.arange(nnz, dtype=np.int64)
+
+    # Rank within each (target, chunk) run -> sub-slot and spill row.
+    newt = np.empty(nnz, bool)
+    newt[0] = True
+    np.not_equal(key[1:], key[:-1], out=newt[1:])
+    rank = pos - np.maximum.accumulate(np.where(newt, pos, 0))
+    s_sub = rank % Q_PACK
+    spill = rank // Q_PACK
+    n_spill = int(spill.max()) + 1
+
+    # Rows: unique (block, chunk, group, spill), chunk-major so the
+    # window cover sees monotone chunks and consecutive rows usually
+    # target different groups (accumulator updates pipeline).
+    rowkey = (key >> 7) * n_spill + spill
+    newr = np.empty(nnz, bool)
+    newr[0] = True
+    np.not_equal(rowkey[1:], rowkey[:-1], out=newr[1:])
+    rid = np.cumsum(newr) - 1
+    n_rows = int(rid[-1]) + 1
+    bcg = (key >> 7)[newr]
+    B_r = bcg // (cmax * n_groups)
+    c_r = (bcg // n_groups) % cmax
+    g_r = bcg % n_groups
+
+    # Greedy window cover per block over the rows' chunks (chunks are
+    # non-decreasing within a block by construction).
+    firstB = np.empty(n_rows, bool)
+    firstB[0] = True
+    np.not_equal(B_r[1:], B_r[:-1], out=firstB[1:])
+    start = firstB.copy()
+    while True:
+        c0 = _seg_propagate(c_r, start)
+        over = (c_r - c0) >= w_chunks
+        if not over.any():
+            break
+        cand = over & ~start
+        prev_over = np.empty(n_rows, bool)
+        prev_over[0] = False
+        prev_over[1:] = over[:-1] & ~start[1:]
+        newstart = cand & ~prev_over
+        start |= newstart
+    winc0_r = _seg_propagate(c_r, start)
+    cid_r = c_r - winc0_r
+
+    # Buckets (rows already (block, window)-sorted): each pads its
+    # rows to a multiple of r_step.
+    bucket_start = start | firstB
+    bid_r = np.cumsum(bucket_start) - 1
+    n_buckets = int(bid_r[-1]) + 1
+    rows_b = np.bincount(bid_r, minlength=n_buckets)
+    steps_b = -(-rows_b // r_step)
+    B_b = B_r[bucket_start]
+    w_b = winc0_r[bucket_start]
+
+    # One neutral step per entry-less block (flushes NaN via the zero
+    # rwsum), then pow2-granular grid padding for compile-key reuse.
+    present = np.zeros(n_blocks, bool)
+    present[B_b] = True
+    missing = np.flatnonzero(~present)
+    n_filled = int(steps_b.sum())
+    n_real = n_filled + len(missing)
+    gran = 1 << max(4, n_real.bit_length() - 5)
+    nsteps = -(-n_real // gran) * gran
+    if nsteps * r_step * (1 + Q_PACK) * 128 * 4 > max_plan_bytes:
+        return None
+    if (3 * nsteps + nsteps * r_step // 2) * 4 + 64 > 900_000:
+        # SMEM scalar-prefetch budget (~1 MB per core): retry with
+        # wider target blocks (fewer steps).
+        if block < 2048:
+            return plan_gather_aligned(
+                indices, weights, block * 2, r_step, w_chunks,
+                max_plan_bytes,
+            )
+        return None
+
+    blkid = np.empty(nsteps, np.int32)
+    winc0 = np.empty(nsteps, np.int32)
+    blkid[:n_filled] = np.repeat(B_b, steps_b)
+    winc0[:n_filled] = np.repeat(w_b, steps_b)
+    blkid[n_filled:n_real] = missing.astype(np.int32)
+    winc0[n_filled:n_real] = winc0[n_filled - 1] if n_filled else 0
+    blkid[n_real:] = blkid[n_real - 1]
+    winc0[n_real:] = winc0[n_real - 1]
+
+    # Window-run bookkeeping for the double-buffered DMA.
+    wchg = np.empty(nsteps, bool)
+    wchg[0] = True
+    np.not_equal(winc0[1:], winc0[:-1], out=wchg[1:])
+    runid = np.cumsum(wchg) - 1
+    run_c0 = winc0[wchg].astype(np.int64)
+    nxt = np.full(len(run_c0), -1, np.int64)
+    nxt[:-1] = run_c0[1:]
+    slot = np.arange(len(run_c0), dtype=np.int64) & 1
+    wmeta = (
+        slot[runid]
+        | (wchg.astype(np.int64) << 1)
+        | ((nxt[runid] + 1) << 2)
+    ).astype(np.int32)
+
+    # Row placement: global row slot per (bucket, row-within-bucket).
+    step_b0 = np.cumsum(steps_b) - steps_b
+    row_in_b = np.arange(n_rows) - _seg_propagate(
+        np.arange(n_rows, dtype=np.int64), bucket_start
+    )
+    rslot = step_b0[bid_r] * r_step + row_in_b
+
+    # meta: per row 16 bits (cid 6 | group), two rows per word.
+    mrow = cid_r | (g_r << 6)
+    meta_arr = np.zeros(nsteps * r_step, np.int64)
+    meta_arr[rslot] = mrow
+    meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
+
+    # itab / wtab assembly.
+    erow = rslot[rid]
+    elane = (key & 127).astype(np.int64)
+    itab64 = np.zeros((nsteps * r_step, 128), np.int64)
+    np.bitwise_or.at(itab64, (erow, elane), (idx7 | 128) << (8 * s_sub))
+    itab = (itab64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    del itab64
+    wtab = np.zeros((nsteps * r_step * Q_PACK, 128), np.float32)
+    wtab[erow * Q_PACK + s_sub, elane] = ew
+
+    rwsum = np.zeros(n_pad, np.float32)
+    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
+
+    return AlignedPlan(
+        blkid=blkid,
+        winc0=winc0,
+        wmeta=wmeta,
+        meta=meta,
+        itab=itab,
+        wtab=wtab,
+        rwsum=rwsum,
+        n=n,
+        block=block,
+        r_step=r_step,
+        w_chunks=w_chunks,
+    )
+
+
+def plan_triplets(plan: AlignedPlan):
+    """Decode the plan back into (target, source, weight) triplets —
+    the round-trip oracle for plan-correctness tests."""
+    r_step = plan.r_step
+    nrows = plan.itab.shape[0]
+    meta16 = np.empty(nrows, np.int64)
+    meta = plan.meta.astype(np.int64) & 0xFFFFFFFF
+    meta16[0::2] = meta & 0xFFFF
+    meta16[1::2] = meta >> 16
+    cid = meta16 & 63
+    grp = meta16 >> 6
+    step = np.arange(nrows) // r_step
+    c0 = plan.winc0.astype(np.int64)[step]
+    blk = plan.blkid.astype(np.int64)[step]
+
+    idxw = plan.itab.view(np.uint32).astype(np.int64)
+    tis, sis, ws = [], [], []
+    for k in range(Q_PACK):
+        byte = (idxw >> (8 * k)) & 255
+        ok = byte >= 128
+        r, lane = np.nonzero(ok)
+        src = (c0[r] + cid[r]) * CHUNK + (byte[r, lane] & 127)
+        tgt = blk[r] * plan.block + grp[r] * GROUP + lane
+        w = plan.wtab[r * Q_PACK + k, lane]
+        tis.append(tgt)
+        sis.append(src)
+        ws.append(w)
+    return (
+        np.concatenate(tis),
+        np.concatenate(sis),
+        np.concatenate(ws),
+    )
+
+
+def _combine(kind, a, b):
+    if kind == "sum":
+        return a + b
+    if kind == "max":
+        return jnp.maximum(a, b)
+    return jnp.minimum(a, b)
+
+
+def _neutral(kind):
+    return {"sum": 0.0, "max": -jnp.inf, "min": jnp.inf}[kind]
+
+
+def _make_aligned_kernel(
+    method: str,
+    has_nan: bool,
+    e_sub: int,
+    block: int,
+    r_step: int,
+    w_chunks: int,
+    interpret: bool,
+):
+    chains = _chains(method, has_nan)
+    nc = len(chains)
+    kinds = [kind for _, kind in chains]
+    n_groups = block // GROUP
+    need_mask = method in _RAW_VALUE_METHODS
+
+    def kernel(
+        blkid_ref, wmeta_ref, winc0_ref, meta_ref,  # SMEM prefetch
+        itab_ref, wtab_ref, rwsum_ref,
+        src_hbm, out_ref,
+        slabs, acc, sem0, sem1,
+    ):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        cur_b = blkid_ref[i]
+        prev = blkid_ref[jnp.maximum(i - 1, 0)]
+        nxt_b = blkid_ref[jnp.minimum(i + 1, nsteps - 1)]
+        is_first = jnp.logical_or(i == 0, prev != cur_b)
+        is_last = jnp.logical_or(i == nsteps - 1, nxt_b != cur_b)
+
+        wm = wmeta_ref[i]
+        slot = wm & 1
+        wchg = ((wm >> 1) & 1) == 1
+        nxt_c0 = (wm >> 2) - 1
+
+        # Double-buffered window DMA: run k computes from slab half
+        # k&1 while run k+1 streams into the other half (same scheme
+        # as dense_apply).
+        @pl.when(i == 0)
+        def _boot():
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(winc0_ref[0], w_chunks)],
+                slabs.at[pl.ds(0, w_chunks)],
+                sem0,
+            ).start()
+
+        @pl.when(jnp.logical_and(wchg, slot == 0))
+        def _wait0():
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(0, w_chunks)],
+                slabs.at[pl.ds(0, w_chunks)],
+                sem0,
+            ).wait()
+
+        @pl.when(jnp.logical_and(wchg, slot == 1))
+        def _wait1():
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(0, w_chunks)],
+                slabs.at[pl.ds(w_chunks, w_chunks)],
+                sem1,
+            ).wait()
+
+        @pl.when(
+            jnp.logical_and(
+                wchg, jnp.logical_and(nxt_c0 >= 0, slot == 0)
+            )
+        )
+        def _prefetch1():
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(nxt_c0, w_chunks)],
+                slabs.at[pl.ds(w_chunks, w_chunks)],
+                sem1,
+            ).start()
+
+        @pl.when(
+            jnp.logical_and(
+                wchg, jnp.logical_and(nxt_c0 >= 0, slot == 1)
+            )
+        )
+        def _prefetch0():
+            pltpu.make_async_copy(
+                src_hbm.at[pl.ds(nxt_c0, w_chunks)],
+                slabs.at[pl.ds(0, w_chunks)],
+                sem0,
+            ).start()
+
+        initrow = jnp.concatenate(
+            [
+                jnp.full((e_sub, 128), _neutral(kind), jnp.float32)
+                for kind in kinds
+            ],
+            axis=0,
+        )
+
+        @pl.when(is_first)
+        def _init():
+            acc[...] = jnp.broadcast_to(
+                initrow[None], (n_groups, nc * e_sub, 128)
+            )
+
+        sbase = slot * w_chunks
+        mbase = i * (r_step // 2)
+        bshift = jax.lax.broadcasted_iota(
+            jnp.int32, (Q_PACK, 128), 0
+        ) * 8
+        if len(set(kinds)) > 1:
+            # Mixed combine kinds (min rides a (min, max) chain pair):
+            # select per chain band.  Only {min, max} mixes occur.
+            bandc = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (nc * e_sub, 128), 0
+                )
+                // e_sub
+            )
+            minmask = jnp.zeros((nc * e_sub, 128), bool)
+            for ci, kind in enumerate(kinds):
+                if kind == "min":
+                    minmask = jnp.logical_or(minmask, bandc == ci)
+
+        def expand(x):
+            """(Q_PACK, 128) -> (Q_PACK*e_sub, 128): each row repeated
+            e_sub times consecutively (band-major)."""
+            return jnp.broadcast_to(
+                x[:, None, :], (Q_PACK, e_sub, 128)
+            ).reshape(Q_PACK * e_sub, 128)
+
+        for r in range(r_step):
+            mw = meta_ref[mbase + (r >> 1)]
+            mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
+            cid = mrow & 63
+            grp = mrow >> 6
+
+            row = slabs[pl.ds(sbase + cid, 1)].reshape(e_sub, 128)
+            rowQ = jnp.broadcast_to(
+                row[None], (Q_PACK, e_sub, 128)
+            ).reshape(Q_PACK * e_sub, 128)
+            idxw = itab_ref[r:r + 1, :]               # (1, 128)
+            byte4 = (
+                jnp.right_shift(
+                    jnp.broadcast_to(idxw, (Q_PACK, 128)), bshift
+                )
+                & 255
+            )
+            idxQ = expand(byte4 & 127)
+            val = jnp.take_along_axis(rowQ, idxQ, axis=1)
+            wQ = expand(wtab_ref[r * Q_PACK:(r + 1) * Q_PACK, :])
+            qs = _lane_quantities(method, has_nan, val, wQ)
+            if need_mask:
+                okQ = expand(byte4 >= 128)
+                qs = [
+                    jnp.where(okQ, q, jnp.float32(_neutral(kind)))
+                    for q, kind in zip(qs, kinds)
+                ]
+            # Band-reduce the four sub-slots, then stack chains.
+            parts = []
+            for q, kind in zip(qs, kinds):
+                x = q.reshape(Q_PACK, e_sub, 128)
+                parts.append(
+                    _combine(
+                        kind,
+                        _combine(kind, x[0], x[1]),
+                        _combine(kind, x[2], x[3]),
+                    )
+                )
+            tot = (
+                jnp.concatenate(parts, axis=0) if nc > 1 else parts[0]
+            )
+            cur = acc[pl.ds(grp, 1)].reshape(nc * e_sub, 128)
+            if len(set(kinds)) == 1:
+                new = _combine(kinds[0], cur, tot)
+            else:
+                new = jnp.where(
+                    minmask,
+                    jnp.minimum(cur, tot),
+                    jnp.maximum(cur, tot),
+                )
+            acc[pl.ds(grp, 1)] = new.reshape(1, nc * e_sub, 128)
+
+        @pl.when(is_last)
+        def _flush():
+            for gi in range(n_groups):
+                den = rwsum_ref[:, gi * GROUP:(gi + 1) * GROUP]
+                stacked = acc[pl.ds(gi, 1)].reshape(nc * e_sub, 128)
+                parts = [
+                    stacked[ci * e_sub:(ci + 1) * e_sub]
+                    for ci in range(nc)
+                ]
+                out_ref[:, gi * GROUP:(gi + 1) * GROUP] = _finalize(
+                    method, has_nan, parts, den
+                )
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "method", "has_nan", "block", "r_step", "w_chunks",
+        "n_blocks", "interpret",
+    ),
+)
+def gather_aligned_apply(
+    srcE, blkid, wmeta, winc0, meta, itab, wtab, rwsum,
+    method: str = "mean",
+    has_nan: bool = True,
+    block: int = A_BLOCK,
+    r_step: int = R_STEP,
+    w_chunks: int = W_CHUNKS,
+    n_blocks: int = 1,
+    interpret: bool = False,
+):
+    """Target-aligned banded apply: plan arrays from
+    ``plan_gather_aligned``; srcE staged by ``stage_source_aligned``."""
+    e_sub, m_pad = srcE.shape
+    ctot = m_pad // CHUNK
+    chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
+    nsteps = blkid.shape[0]
+    n_pad = n_blocks * block
+    nc = len(_chains(method, has_nan))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((r_step, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec(
+                (r_step * Q_PACK, 128), lambda i, *_: (i, 0)
+            ),
+            pl.BlockSpec(
+                (1, block), lambda i, blk, *_: (0, blk[i])
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (e_sub, block), lambda i, blk, *_: (0, blk[i])
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * w_chunks, e_sub, 128), jnp.float32),
+            pltpu.VMEM(
+                (block // GROUP, nc * e_sub, 128), jnp.float32
+            ),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    kernel = _make_aligned_kernel(
+        method, has_nan, e_sub, block, r_step, w_chunks, interpret
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        blkid, wmeta, winc0, meta, itab, wtab,
+        rwsum.reshape(1, -1), chunks,
+    )
+
+
+def stage_source_aligned(
+    source2d: np.ndarray, plan: AlignedPlan
+) -> np.ndarray:
+    """(n_extra, m) -> (e_sub, m_pad) staged for the aligned kernel."""
+    n_extra, m = source2d.shape
+    e_sub = pad_sublanes(n_extra)
+    c_needed = (
+        int(plan.winc0.max()) + plan.w_chunks if len(plan.winc0) else 1
+    )
+    ctot = max(-(-m // CHUNK), c_needed)
+    out = np.zeros((e_sub, ctot * CHUNK), np.float32)
+    out[:n_extra, :m] = source2d
+    return out
+
+
+def aligned_apply(
+    source2d: np.ndarray,
+    plan: AlignedPlan,
+    method: str = "mean",
+    has_nan: bool | None = None,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Stage + run the aligned kernel; returns (n_target, n_extra)."""
+    if has_nan is None:
+        has_nan = bool(np.isnan(source2d).any())
+    srcE = stage_source_aligned(source2d, plan)
+    out = gather_aligned_apply(
+        jnp.asarray(srcE),
+        jnp.asarray(plan.blkid),
+        jnp.asarray(plan.wmeta),
+        jnp.asarray(plan.winc0),
+        jnp.asarray(plan.meta),
+        jnp.asarray(plan.itab),
+        jnp.asarray(plan.wtab),
+        jnp.asarray(plan.rwsum),
+        method=method,
+        has_nan=bool(has_nan),
+        block=plan.block,
+        r_step=plan.r_step,
+        w_chunks=plan.w_chunks,
+        n_blocks=len(plan.rwsum) // plan.block,
+        interpret=interpret,
+    )
+    return np.asarray(out)[: source2d.shape[0], : plan.n].T

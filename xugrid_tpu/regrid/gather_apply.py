@@ -1944,6 +1944,13 @@ def plan_default(
         if plan is not None:
             return plan
         engine = "stream"
+    if engine == "aligned":
+        from xugrid_tpu.regrid.aligned_apply import plan_gather_aligned
+
+        plan = plan_gather_aligned(indices, weights)
+        if plan is not None:
+            return plan
+        engine = "stream"
     if engine == "dense":
         from xugrid_tpu.regrid.dense_apply import plan_gather_dense
 
@@ -1984,6 +1991,11 @@ def apply_windowed_gather(
     """
     if method not in GATHER_METHODS:
         return None
+    from xugrid_tpu.regrid.aligned_apply import (
+        AlignedPlan,
+        aligned_apply,
+        plan_gather_aligned,
+    )
     from xugrid_tpu.regrid.dense_apply import (
         DensePlan,
         dense_apply,
@@ -1993,6 +2005,8 @@ def apply_windowed_gather(
     if plan is not None:
         if isinstance(plan, PdotPlan):
             engine = "pdot"
+        elif isinstance(plan, AlignedPlan):
+            engine = "aligned"
         elif isinstance(plan, DensePlan):
             engine = "dense"
         elif isinstance(plan, StreamPlan):
@@ -2009,6 +2023,19 @@ def apply_windowed_gather(
         # min/max chains need the scan engines; replan there.
         engine = "stream"
         plan = None
+    if engine == "aligned":
+        if plan is None:
+            plan = plan_gather_aligned(indices, weights)
+        if plan is None:
+            engine = "stream"
+        else:
+            return aligned_apply(
+                source2d,
+                plan,
+                method=method,
+                has_nan=bool(has_nan),
+                interpret=interpret,
+            )
     if engine == "dense":
         if plan is None:
             plan = plan_gather_dense(indices, weights)
