@@ -262,7 +262,7 @@ def test_windowed_cg_matches_coo(monkeypatch):
     np.testing.assert_allclose(coo, direct, atol=1e-6)
 
 
-@pytest.mark.parametrize("engine", ["stream", "dense"])
+@pytest.mark.parametrize("engine", ["stream", "dense", "aligned"])
 def test_gather_cg_matches_direct(monkeypatch, engine):
     """The Pallas gather CG (interpret mode on CPU) reproduces the
     direct solve to f32 accuracy, for each gather engine.  The DIA

@@ -82,9 +82,10 @@ def _make_pcg_gather():
             "engine", "n_blocks", "blk", "interpret",
         ),
     )
-    def solve(chunk0, npk, meta, ptab, page, minv_row, bE, x0E, rtol,
-              atol, lmax, maxiter, degree, scan_steps, maxc, span, mxu,
-              engine, n_blocks=0, blk=512, interpret=False):
+    def solve(chunk0, npk, meta, ptab, page, wtab, minv_row, bE, x0E,
+              rtol, atol, lmax, maxiter, degree, scan_steps, maxc, span,
+              mxu, engine, n_blocks=0, blk=512, interpret=False):
+        from xugrid_tpu.regrid.aligned_apply import gather_aligned_apply
         from xugrid_tpu.regrid.dense_apply import gather_dense_apply
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
@@ -94,7 +95,7 @@ def _make_pcg_gather():
         )
 
         N = bE.shape[1]
-        if engine in ("stream", "dense"):
+        if engine in ("stream", "dense", "aligned"):
             # chunk0/npk carry blkid/spanblk (one row per superpacket,
             # not per block) — the output block count rides the static
             # n_blocks * blk instead (dense plans auto-widen blocks to
@@ -106,7 +107,17 @@ def _make_pcg_gather():
         rw = jnp.zeros(n512, jnp.float32)  # unused by method="matvec"
 
         def matvec(xE):  # (E_sub, N) -> (E_sub, N)
-            if engine == "dense":
+            if engine == "aligned":
+                # Array slots repurposed: chunk0=blkid, npk=wmeta,
+                # page=winc0, ptab=itab; statics: maxc=w_chunks,
+                # span=r_step.
+                out = gather_aligned_apply(
+                    xE, chunk0, npk, page, meta, ptab, wtab, rw,
+                    method="matvec", has_nan=False,
+                    block=blk, r_step=span, w_chunks=maxc,
+                    n_blocks=n_blocks, interpret=interpret,
+                )
+            elif engine == "dense":
                 # Array slots repurposed: chunk0=blkid, npk=wmeta,
                 # page=winc0; statics: maxc=w_chunks, span=r_step.
                 out = gather_dense_apply(
@@ -640,9 +651,32 @@ def cg_solve(
         dummy_page = np.zeros((8, 128), np.int32)
         maxc = 0
         stream_blocks = 0
+        from xugrid_tpu.regrid.aligned_apply import AlignedPlan
         from xugrid_tpu.regrid.dense_apply import DensePlan
 
-        if isinstance(plan, DensePlan):
+        ptab_arr = None
+        wtab_arr = np.zeros((8, 128), np.float32)
+        if isinstance(plan, AlignedPlan):
+            engine = "aligned"
+            mxu = False
+            first = plan.blkid
+            count = plan.wmeta
+            meta = plan.meta
+            span = plan.r_step           # statics repurposed (see
+            maxc = plan.w_chunks         # _make_pcg_gather.matvec)
+            page = plan.winc0
+            ptab_arr = plan.itab
+            wtab_arr = plan.wtab
+            scan_steps = 0
+            stream_blocks = len(plan.rwsum) // plan.block
+            n512 = stream_blocks * plan.block
+            c_needed = (
+                (int(plan.winc0.max()) + plan.w_chunks) * 128
+                if len(plan.winc0)
+                else 128
+            )
+            N = -(-max(n_pad, n512, c_needed) // 128) * 128
+        elif isinstance(plan, DensePlan):
             engine = "dense"
             mxu = False
             first = plan.blkid
@@ -721,8 +755,9 @@ def cg_solve(
         )
         x, k = _PCG_GATHER(
             jnp.asarray(first), jnp.asarray(count),
-            jnp.asarray(meta), jnp.asarray(plan.ptab),
-            jnp.asarray(page),
+            jnp.asarray(meta),
+            jnp.asarray(ptab_arr if ptab_arr is not None else plan.ptab),
+            jnp.asarray(page), jnp.asarray(wtab_arr),
             jnp.asarray(minv_row), jnp.asarray(bE), jnp.asarray(x0E),
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
