@@ -192,27 +192,54 @@ def plan_gather_aligned(
     firstB = np.empty(n_rows, bool)
     firstB[0] = True
     np.not_equal(B_r[1:], B_r[:-1], out=firstB[1:])
-    start = firstB.copy()
-    while True:
-        c0 = _seg_propagate(c_r, start)
-        over = (c_r - c0) >= w_chunks
-        if not over.any():
+
+    def _cover(w):
+        start = firstB.copy()
+        while True:
+            c0 = _seg_propagate(c_r, start)
+            over = (c_r - c0) >= w
+            if not over.any():
+                break
+            cand = over & ~start
+            prev_over = np.empty(n_rows, bool)
+            prev_over[0] = False
+            prev_over[1:] = over[:-1] & ~start[1:]
+            newstart = cand & ~prev_over
+            start |= newstart
+        return start
+
+    # Adaptive window width: the DMA streams w_chunks whole chunks per
+    # bucket run, so a 64-chunk window over ~16-chunk real spans wastes
+    # 4x HBM traffic.  Pick the narrowest width whose extra bucket
+    # padding stays under 15% of the widest-window step count.
+    def _steps_of(start):
+        bucket_start = start | firstB
+        bid = np.cumsum(bucket_start) - 1
+        rows_b = np.bincount(bid, minlength=int(bid[-1]) + 1)
+        return bucket_start, bid, rows_b, int(
+            (-(-rows_b // r_step)).sum()
+        )
+
+    cands = {}
+    for w in (w_chunks, w_chunks // 2, w_chunks // 4):
+        if w < 4:
+            continue
+        start_w = _cover(w)
+        cands[w] = (start_w, *_steps_of(start_w))
+    base_steps = cands[w_chunks][4]
+    best_w = w_chunks
+    for w, (_, _, _, _, st) in sorted(cands.items()):
+        if st <= base_steps * 1.15:
+            best_w = w
             break
-        cand = over & ~start
-        prev_over = np.empty(n_rows, bool)
-        prev_over[0] = False
-        prev_over[1:] = over[:-1] & ~start[1:]
-        newstart = cand & ~prev_over
-        start |= newstart
+    w_chunks = best_w
+    start, bucket_start, bid_r, rows_b, _ = cands[w_chunks]
     winc0_r = _seg_propagate(c_r, start)
     cid_r = c_r - winc0_r
 
     # Buckets (rows already (block, window)-sorted): each pads its
     # rows to a multiple of r_step.
-    bucket_start = start | firstB
-    bid_r = np.cumsum(bucket_start) - 1
     n_buckets = int(bid_r[-1]) + 1
-    rows_b = np.bincount(bid_r, minlength=n_buckets)
     steps_b = -(-rows_b // r_step)
     B_b = B_r[bucket_start]
     w_b = winc0_r[bucket_start]
