@@ -85,6 +85,9 @@ def main():
     if ENGINE == "dense":
         run_dense(padded, source, true_bytes, grid)
         return
+    if ENGINE == "aligned":
+        run_aligned(padded, source, true_bytes, grid)
+        return
 
     t0 = time.perf_counter()
     if ENGINE == "pdot":
@@ -367,6 +370,84 @@ def run_dense(padded, source, true_bytes, grid):
     gbps = true_bytes / dt / 1e9
     print(
         f"dense kernel [{METHOD} E={N_EXTRA} r_step={plan.r_step}]: "
+        f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
+        f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
+    )
+    check_against_xla(source, padded, plan, grid)
+
+
+def run_aligned(padded, source, true_bytes, grid):
+    """Time the target-aligned banded engine.  Env knobs for on-chip
+    sweeps (each combo is one kernel compile):
+      ABLOCK=512|1024|2048  R_STEP=8|16|32  WCHUNKS=16|32|64
+    """
+    from xugrid_tpu.regrid.aligned_apply import (
+        gather_aligned_apply,
+        plan_gather_aligned,
+        stage_source_aligned,
+    )
+
+    t0 = time.perf_counter()
+    plan = plan_gather_aligned(
+        padded.indices, padded.weights,
+        block=int(os.environ.get("ABLOCK", "512")),
+        r_step=int(os.environ.get("R_STEP", "16")),
+        w_chunks=int(os.environ.get("WCHUNKS", "64")),
+    )
+    print(f"plan[aligned]: {time.perf_counter()-t0:.2f}s",
+          file=sys.stderr)
+    if plan is None:
+        print("PLAN REJECTED")
+        return
+    nnz = int((padded.indices >= 0).sum())
+    runs = int((np.diff(plan.winc0) != 0).sum()) + 1
+    print(
+        f"plan: nsteps={plan.nsteps} block={plan.block} "
+        f"r_step={plan.r_step} w_chunks={plan.w_chunks} "
+        f"runs={runs} nnz={nnz} "
+        f"lane_eff={nnz/(plan.nsteps*plan.r_step*128*4):.2f}",
+        file=sys.stderr,
+    )
+    srcE = stage_source_aligned(source, plan)
+    n_blocks = len(plan.rwsum) // plan.block
+
+    @partial(jax.jit, static_argnames=(
+        "method", "block", "r_step", "w_chunks", "n_blocks", "n_reps"))
+    def aligned_reps(srcE, blkid, wmeta, winc0, meta, itab, wtab,
+                     rwsum, method, block, r_step, w_chunks, n_blocks,
+                     n_reps):
+        def body(i, acc):
+            out = gather_aligned_apply(
+                srcE + i.astype(srcE.dtype) * 1e-12,
+                blkid, wmeta, winc0, meta, itab, wtab, rwsum,
+                method=method, has_nan=False,
+                block=block, r_step=r_step, w_chunks=w_chunks,
+                n_blocks=n_blocks,
+            )
+            return acc + jnp.nansum(out)
+
+        import jax.lax as lax
+        return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
+
+    reps = 10
+    dargs = (
+        jnp.asarray(srcE), jnp.asarray(plan.blkid),
+        jnp.asarray(plan.wmeta), jnp.asarray(plan.winc0),
+        jnp.asarray(plan.meta), jnp.asarray(plan.itab),
+        jnp.asarray(plan.wtab), jnp.asarray(plan.rwsum),
+    )
+    statics = (METHOD, plan.block, plan.r_step, plan.w_chunks, n_blocks)
+    t0 = time.perf_counter()
+    cs = float(aligned_reps(*dargs, *statics, reps))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    cs = float(aligned_reps(*dargs, *statics, reps))
+    dt = (time.perf_counter() - t0) / reps
+    gbps = true_bytes / dt / 1e9
+    print(
+        f"aligned kernel [{METHOD} E={N_EXTRA} block={plan.block} "
+        f"r_step={plan.r_step} w={plan.w_chunks}]: "
         f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
         f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )

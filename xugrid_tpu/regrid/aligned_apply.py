@@ -172,6 +172,21 @@ def plan_gather_aligned(
     s_sub = rank % Q_PACK
     spill = rank // Q_PACK
     n_spill = int(spill.max()) + 1
+    if n_spill > 1:
+        # Entry order interleaves spill levels within a row's lanes
+        # (lane 0's spill-1 entry sits before lane 1's spill-0 entry),
+        # which would fragment each spilled row into per-lane pieces —
+        # re-sort so every (row, lane) is contiguous.
+        order2 = np.argsort(
+            (((key >> 7) * n_spill + spill) << 7) | (key & 127),
+            kind="stable",
+        )
+        key = key[order2]
+        ew = ew[order2]
+        idx7 = idx7[order2]
+        s_sub = s_sub[order2]
+        spill = spill[order2]
+        del order2
 
     # Rows: unique (block, chunk, group, spill), chunk-major so the
     # window cover sees monotone chunks and consecutive rows usually
