@@ -398,6 +398,7 @@ def _make_aligned_kernel(
     block: int,
     r_step: int,
     w_chunks: int,
+    rb: int,
     interpret: bool,
 ):
     chains = _chains(method, has_nan)
@@ -405,6 +406,8 @@ def _make_aligned_kernel(
     kinds = [kind for _, kind in chains]
     n_groups = block // GROUP
     need_mask = method in _RAW_VALUE_METHODS
+    if r_step % rb:
+        raise ValueError("aligned engine: r_step must be a multiple of rb")
 
     def kernel(
         blkid_ref, wmeta_ref, winc0_ref, meta_ref,  # SMEM prefetch
@@ -492,8 +495,14 @@ def _make_aligned_kernel(
 
         sbase = slot * w_chunks
         mbase = i * (r_step // 2)
-        bshift = jax.lax.broadcasted_iota(
-            jnp.int32, (Q_PACK, 128), 0
+        # Shift table for rb rows x Q_PACK sub-slots (row-major: the
+        # j-th batched row's four sub-slot bytes sit at rows
+        # j*Q_PACK..j*Q_PACK+3).
+        bshift = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (rb * Q_PACK, 128), 0
+            )
+            % Q_PACK
         ) * 8
         if len(set(kinds)) > 1:
             # Mixed combine kinds (min rides a (min, max) chain pair):

@@ -396,17 +396,19 @@ def _make_pcg_dia():
 #: max distinct unknown-unknown index offsets for the DIA solver.
 _DIA_MAX_K = 64
 
+#: cached DIA assemblies keyed by (W bytes, solve_mask, notnull, dtype)
+#: content hash — interpolate_na solves the same Laplacian for every
+#: time slice, and at 1M nodes the host-side COO fold + diagonal fills
+#: + the ~30 MB device transfer cost more than the fused solve itself.
+_DIA_ASSEMBLY: dict = {}
 
-def _try_dia_solve(
-    W, solve_mask, notnull, matrix2d, rtol, atol, maxiter, degree
-):
-    """Attempt the DIA stencil solve on the full-size system; returns
-    (solutions (E, n_unknown), iters) or None when the graph is not
-    banded (more than _DIA_MAX_K distinct unknown-unknown offsets)."""
-    mode = os.environ.get("XUGRID_TPU_CG_DIA", "auto")
-    if mode == "0":
-        return None
-    import jax
+
+def _dia_assemble(W, solve_mask, notnull, dt):
+    """Matrix-dependent part of the DIA solve (cacheable across
+    right-hand sides): banded layout, Gershgorin bound, and the
+    device-resident dia/diag arrays.  Returns None when the
+    unknown-unknown graph is not banded."""
+    import jax.numpy as jnp
 
     n = W.shape[0]
     coo = W.tocoo()
@@ -423,11 +425,6 @@ def _try_dia_solve(
         return None
 
     n_pad = _next_pow2(n)
-    # Assemble in the dtype the device will compute in: with x64 off
-    # (the TPU default) f64 staging would double every host fill and
-    # tunnel transfer (the dominant cost at 1M nodes) only for jax to
-    # downcast on arrival.
-    dt = np.float64 if jax.config.read("jax_enable_x64") else np.float32
     # Full diagonal: row sums over ALL neighbors for unknowns (the
     # Laplacian D), identity elsewhere; self-loops fold in (D - W).
     diag_full = np.ones(n_pad, dt)
@@ -447,15 +444,66 @@ def _try_dia_solve(
     safe = np.where(diag_full != 0.0, diag_full, 1.0)
     lmax = float(np.max(1.0 + offabs / np.abs(safe), initial=1.0))
 
-    # RHS: known-neighbor mass for unknown rows; identity for knowns.
+    # RHS ingredients: known-neighbor entries of the unknown rows.
     ukn = solve_mask[r] & notnull[c]
+    return {
+        "offsets": tuple(int(o) for o in offsets),
+        "m_pad": int(np.abs(offsets).max()),
+        "n_pad": n_pad,
+        "unk": unk,
+        "lmax": lmax,
+        "dia_dev": jnp.asarray(dia),
+        "diag_dev": jnp.asarray(diag_full),
+        "r_ukn": r[ukn],
+        "c_ukn": c[ukn],
+        "v_ukn": v[ukn],
+    }
+
+
+def _try_dia_solve(
+    W, solve_mask, notnull, matrix2d, rtol, atol, maxiter, degree
+):
+    """Attempt the DIA stencil solve on the full-size system; returns
+    (solutions (E, n_unknown), iters) or None when the graph is not
+    banded (more than _DIA_MAX_K distinct unknown-unknown offsets)."""
+    mode = os.environ.get("XUGRID_TPU_CG_DIA", "auto")
+    if mode == "0":
+        return None
+    import hashlib
+
+    import jax
+
+    n = W.shape[0]
+    # Assemble in the dtype the device will compute in: with x64 off
+    # (the TPU default) f64 staging would double every host fill and
+    # tunnel transfer (the dominant cost at 1M nodes) only for jax to
+    # downcast on arrival.
+    dt = np.float64 if jax.config.read("jax_enable_x64") else np.float32
+    Wc = W.tocsr()
+    h = hashlib.blake2b(digest_size=16)
+    for part in (Wc.indptr, Wc.indices, Wc.data, solve_mask, notnull):
+        h.update(np.ascontiguousarray(part).tobytes())
+    key = (Wc.shape, h.hexdigest(), dt)
+    asm = _DIA_ASSEMBLY.get(key, "miss")
+    if asm == "miss":
+        asm = _dia_assemble(Wc, solve_mask, notnull, dt)
+        if len(_DIA_ASSEMBLY) > 4:
+            _DIA_ASSEMBLY.clear()
+        _DIA_ASSEMBLY[key] = asm
+    if asm is None:
+        return None
+    offsets = np.asarray(asm["offsets"], np.int64)
+    n_pad = asm["n_pad"]
+    unk = asm["unk"]
+    lmax = asm["lmax"]
+    r_ukn, c_ukn, v_ukn = asm["r_ukn"], asm["c_ukn"], asm["v_ukn"]
     E = matrix2d.shape[0]
     b = np.zeros((E, n_pad), dt)
     x0 = np.zeros((E, n_pad), dt)
     means = np.nanmean(matrix2d, axis=1)
     for k in range(E):
         bk = np.zeros(n)
-        np.add.at(bk, r[ukn], v[ukn] * matrix2d[k, c[ukn]])
+        np.add.at(bk, r_ukn, v_ukn * matrix2d[k, c_ukn])
         bk[notnull] = matrix2d[k, notnull]
         b[k, :n] = bk
         # Unknowns start at the known mean; identity rows (known and
@@ -467,7 +515,6 @@ def _try_dia_solve(
         _PCG_DIA = _make_pcg_dia()
     import jax.numpy as jnp
 
-    m_pad = int(np.abs(offsets).max())
     squeeze = E == 1
     bj = jnp.asarray(b[0] if squeeze else b)
     x0j = jnp.asarray(x0[0] if squeeze else x0)
@@ -478,9 +525,9 @@ def _try_dia_solve(
     bnorm = np.linalg.norm(b[:, unk], axis=1).astype(dt)
     bnj = jnp.asarray(bnorm[0] if squeeze else bnorm)
     x, k = _PCG_DIA(
-        jnp.asarray(dia), jnp.asarray(diag_full), bj, x0j, bnj,
+        asm["dia_dev"], asm["diag_dev"], bj, x0j, bnj,
         float(rtol), float(atol), float(lmax),
-        offsets=tuple(int(o) for o in offsets), m_pad=m_pad,
+        offsets=asm["offsets"], m_pad=asm["m_pad"],
         maxiter=int(maxiter), degree=int(degree),
     )
     x = np.atleast_2d(np.asarray(x))
