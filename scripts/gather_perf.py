@@ -379,7 +379,7 @@ def run_dense(padded, source, true_bytes, grid):
 def run_aligned(padded, source, true_bytes, grid):
     """Time the target-aligned banded engine.  Env knobs for on-chip
     sweeps (each combo is one kernel compile):
-      ABLOCK=512|1024|2048  R_STEP=8|16|32  WCHUNKS=16|32|64
+      ABLOCK=512|1024|2048  R_STEP=8|16|32  WCHUNKS=16|32|64  RB=1|2|4
     """
     from xugrid_tpu.regrid.aligned_apply import (
         gather_aligned_apply,
@@ -410,19 +410,21 @@ def run_aligned(padded, source, true_bytes, grid):
     )
     srcE = stage_source_aligned(source, plan)
     n_blocks = len(plan.rwsum) // plan.block
+    rb = int(os.environ.get("RB", "4"))
 
     @partial(jax.jit, static_argnames=(
-        "method", "block", "r_step", "w_chunks", "n_blocks", "n_reps"))
+        "method", "block", "r_step", "w_chunks", "n_blocks", "rb",
+        "n_reps"))
     def aligned_reps(srcE, blkid, wmeta, winc0, meta, itab, wtab,
                      rwsum, method, block, r_step, w_chunks, n_blocks,
-                     n_reps):
+                     rb, n_reps):
         def body(i, acc):
             out = gather_aligned_apply(
                 srcE + i.astype(srcE.dtype) * 1e-12,
                 blkid, wmeta, winc0, meta, itab, wtab, rwsum,
                 method=method, has_nan=False,
                 block=block, r_step=r_step, w_chunks=w_chunks,
-                n_blocks=n_blocks,
+                n_blocks=n_blocks, rb=rb,
             )
             return acc + jnp.nansum(out)
 
@@ -436,7 +438,8 @@ def run_aligned(padded, source, true_bytes, grid):
         jnp.asarray(plan.meta), jnp.asarray(plan.itab),
         jnp.asarray(plan.wtab), jnp.asarray(plan.rwsum),
     )
-    statics = (METHOD, plan.block, plan.r_step, plan.w_chunks, n_blocks)
+    statics = (METHOD, plan.block, plan.r_step, plan.w_chunks,
+               n_blocks, rb)
     t0 = time.perf_counter()
     cs = float(aligned_reps(*dargs, *statics, reps))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s",
@@ -447,7 +450,7 @@ def run_aligned(padded, source, true_bytes, grid):
     gbps = true_bytes / dt / 1e9
     print(
         f"aligned kernel [{METHOD} E={N_EXTRA} block={plan.block} "
-        f"r_step={plan.r_step} w={plan.w_chunks}]: "
+        f"r_step={plan.r_step} w={plan.w_chunks} rb={rb}]: "
         f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
         f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )

@@ -63,6 +63,12 @@ W_CHUNKS = 64
 #: rows processed per grid step.
 R_STEP = 16
 
+#: rows retired per kernel iteration (one fused gather covers all rb).
+#: On-chip sweep at the 1M config (E=20): rb=1 ~5.9, rb=4 5.28,
+#: rb=8 5.09 ms/pass — the residual bound is the per-row slab read +
+#: accumulator read-modify-write, which rb cannot batch.
+R_BATCH = 8
+
 #: targets per output block.
 A_BLOCK = 512
 
@@ -519,32 +525,49 @@ def _make_aligned_kernel(
                     minmask = jnp.logical_or(minmask, bandc == ci)
 
         def expand(x):
-            """(Q_PACK, 128) -> (Q_PACK*e_sub, 128): each row repeated
-            e_sub times consecutively (band-major)."""
+            """(K, 128) -> (K*e_sub, 128): each row repeated e_sub
+            times consecutively (band-major)."""
+            k = x.shape[0]
             return jnp.broadcast_to(
-                x[:, None, :], (Q_PACK, e_sub, 128)
-            ).reshape(Q_PACK * e_sub, 128)
+                x[:, None, :], (k, e_sub, 128)
+            ).reshape(k * e_sub, 128)
 
-        for r in range(r_step):
-            mw = meta_ref[mbase + (r >> 1)]
-            mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
-            cid = mrow & 63
-            grp = mrow >> 6
+        # rb rows retire per iteration: their Q_PACK sub-slot bytes,
+        # weights, and value gathers fuse into ONE shift/mask chain and
+        # ONE take_along_axis over (rb*Q_PACK*e_sub, 128) — the
+        # serialized per-row VMEM op count (the latency bound at bench
+        # widths) drops ~rb-fold; only the slab reads and the
+        # accumulator read-modify-writes stay per-row.
+        for r0 in range(0, r_step, rb):
+            cids = []
+            grps = []
+            for j in range(rb):
+                r = r0 + j
+                mw = meta_ref[mbase + (r >> 1)]
+                mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
+                cids.append(mrow & 63)
+                grps.append(mrow >> 6)
 
-            row = slabs[pl.ds(sbase + cid, 1)].reshape(e_sub, 128)
-            rowQ = jnp.broadcast_to(
-                row[None], (Q_PACK, e_sub, 128)
-            ).reshape(Q_PACK * e_sub, 128)
-            idxw = itab_ref[r:r + 1, :]               # (1, 128)
-            byte4 = (
-                jnp.right_shift(
-                    jnp.broadcast_to(idxw, (Q_PACK, 128)), bshift
-                )
-                & 255
+            rowQ = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        slabs[pl.ds(sbase + cids[j], 1)].reshape(
+                            1, e_sub, 128
+                        ),
+                        (Q_PACK, e_sub, 128),
+                    ).reshape(Q_PACK * e_sub, 128)
+                    for j in range(rb)
+                ],
+                axis=0,
             )
+            idxw = itab_ref[r0:r0 + rb, :]            # (rb, 128)
+            idxR = jnp.broadcast_to(
+                idxw[:, None, :], (rb, Q_PACK, 128)
+            ).reshape(rb * Q_PACK, 128)
+            byte4 = jnp.right_shift(idxR, bshift) & 255
             idxQ = expand(byte4 & 127)
             val = jnp.take_along_axis(rowQ, idxQ, axis=1)
-            wQ = expand(wtab_ref[r * Q_PACK:(r + 1) * Q_PACK, :])
+            wQ = expand(wtab_ref[r0 * Q_PACK:(r0 + rb) * Q_PACK, :])
             qs = _lane_quantities(method, has_nan, val, wQ)
             if need_mask:
                 okQ = expand(byte4 >= 128)
@@ -552,30 +575,40 @@ def _make_aligned_kernel(
                     jnp.where(okQ, q, jnp.float32(_neutral(kind)))
                     for q, kind in zip(qs, kinds)
                 ]
-            # Band-reduce the four sub-slots, then stack chains.
-            parts = []
-            for q, kind in zip(qs, kinds):
-                x = q.reshape(Q_PACK, e_sub, 128)
-                parts.append(
-                    _combine(
-                        kind,
-                        _combine(kind, x[0], x[1]),
-                        _combine(kind, x[2], x[3]),
+            for j in range(rb):
+                # Band-reduce row j's four sub-slots, stack chains.
+                parts = []
+                for q, kind in zip(qs, kinds):
+                    x = q[
+                        j * Q_PACK * e_sub:(j + 1) * Q_PACK * e_sub
+                    ].reshape(Q_PACK, e_sub, 128)
+                    parts.append(
+                        _combine(
+                            kind,
+                            _combine(kind, x[0], x[1]),
+                            _combine(kind, x[2], x[3]),
+                        )
                     )
+                tot = (
+                    jnp.concatenate(parts, axis=0)
+                    if nc > 1
+                    else parts[0]
                 )
-            tot = (
-                jnp.concatenate(parts, axis=0) if nc > 1 else parts[0]
-            )
-            cur = acc[pl.ds(grp, 1)].reshape(nc * e_sub, 128)
-            if len(set(kinds)) == 1:
-                new = _combine(kinds[0], cur, tot)
-            else:
-                new = jnp.where(
-                    minmask,
-                    jnp.minimum(cur, tot),
-                    jnp.maximum(cur, tot),
+                # Same-group rows within a batch stay correct: the
+                # sequential dynamic-index RMWs below alias through
+                # VMEM and Mosaic orders them.
+                cur = acc[pl.ds(grps[j], 1)].reshape(nc * e_sub, 128)
+                if len(set(kinds)) == 1:
+                    new = _combine(kinds[0], cur, tot)
+                else:
+                    new = jnp.where(
+                        minmask,
+                        jnp.minimum(cur, tot),
+                        jnp.maximum(cur, tot),
+                    )
+                acc[pl.ds(grps[j], 1)] = new.reshape(
+                    1, nc * e_sub, 128
                 )
-            acc[pl.ds(grp, 1)] = new.reshape(1, nc * e_sub, 128)
 
         @pl.when(is_last)
         def _flush():
@@ -597,7 +630,7 @@ def _make_aligned_kernel(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "block", "r_step", "w_chunks",
-        "n_blocks", "interpret",
+        "n_blocks", "rb", "interpret",
     ),
 )
 def gather_aligned_apply(
@@ -608,6 +641,7 @@ def gather_aligned_apply(
     r_step: int = R_STEP,
     w_chunks: int = W_CHUNKS,
     n_blocks: int = 1,
+    rb: int = R_BATCH,
     interpret: bool = False,
 ):
     """Target-aligned banded apply: plan arrays from
@@ -646,7 +680,7 @@ def gather_aligned_apply(
     )
 
     kernel = _make_aligned_kernel(
-        method, has_nan, e_sub, block, r_step, w_chunks, interpret
+        method, has_nan, e_sub, block, r_step, w_chunks, rb, interpret
     )
 
     return pl.pallas_call(

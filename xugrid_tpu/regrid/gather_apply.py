@@ -75,7 +75,7 @@ PAYLOAD = 127
 #: engine used when XUGRID_TPU_GATHER_ENGINE is unset — the single
 #: source of truth (plan_default, apply_windowed_gather, and the CG
 #: plan-cache key in ugrid/interpolate.py all read this).
-DEFAULT_ENGINE = "stream"
+DEFAULT_ENGINE = "aligned"
 
 #: VMEM budget for the chunk slab (bytes) — bounds MAXC per plan.
 _SLAB_BYTES = 6 * 1024 * 1024
