@@ -363,6 +363,36 @@ class TestDiaStencilSolve:
             out2[1], out0 * 2.0 + 1.0, rtol=1e-4, atol=1e-5
         )
 
+    def test_assembly_cache_hit_and_no_false_sharing(self, monkeypatch):
+        # The matrix-dependent assembly is cached by content hash
+        # (1M-node solves were dominated by re-assembly).  A repeat
+        # solve must be bit-identical, and a DIFFERENT matrix with the
+        # same shape/NaN pattern must not reuse the wrong entry.
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        interpolate._DIA_ASSEMBLY.clear()
+        conn = _grid_adjacency(12, 12)
+        rng = np.random.default_rng(11)
+        data = rng.normal(size=conn.shape[0])
+        data[rng.random(conn.shape[0]) < 0.4] = np.nan
+        out1 = interpolate.laplace_interpolate(
+            data, conn, direct_solve=False, atol=1e-9
+        )
+        assert len(interpolate._DIA_ASSEMBLY) == 1
+        out2 = interpolate.laplace_interpolate(
+            data, conn, direct_solve=False, atol=1e-9
+        )
+        assert np.array_equal(out1, out2, equal_nan=True)
+        conn2 = conn.copy()
+        conn2.data = conn2.data * 3.0
+        out3 = interpolate.laplace_interpolate(
+            data, conn2, direct_solve=False, atol=1e-9
+        )
+        oracle3 = interpolate.laplace_interpolate(
+            data, conn2, direct_solve=True
+        )
+        np.testing.assert_allclose(out3, oracle3, rtol=1e-5, atol=1e-6)
+        assert len(interpolate._DIA_ASSEMBLY) == 2
+
     def test_dia_engages_on_structured(self, monkeypatch):
         # On a banded graph the auto mode must pick DIA (the gather/COO
         # branches would otherwise hide regressions in this test file).
