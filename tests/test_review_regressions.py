@@ -471,11 +471,13 @@ class TestRound3ReviewFindings:
         )
 
     def test_cg_gather_handles_stream_plan(self, monkeypatch):
-        # plan_default defaults to the stream engine; cg_solve's gather
-        # branch crashed with AttributeError on StreamPlan (no .npk).
+        # cg_solve's gather branch crashed with AttributeError on
+        # StreamPlan (no .npk).  DEFAULT_ENGINE is "aligned" since r3,
+        # so the scenario must be pinned via the engine env var.
         monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
         monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
         monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+        monkeypatch.setenv("XUGRID_TPU_GATHER_ENGINE", "stream")
         from xugrid_tpu.regrid.gather_apply import StreamPlan, plan_default
         from xugrid_tpu.ugrid.interpolate import laplace_interpolate
 
@@ -498,6 +500,39 @@ class TestRound3ReviewFindings:
         assert isinstance(
             plan_default(padded.indices, padded.weights), StreamPlan
         )
+
+        out = laplace_interpolate(data, conn, direct_solve=False)
+        known = ~np.isnan(data)
+        assert not np.isnan(out).any()
+        np.testing.assert_allclose(out[known], data[known])
+
+    def test_cg_gather_handles_aligned_plan(self, monkeypatch):
+        # Same scenario as above for the r3 default engine: the CG
+        # matvec must accept an AlignedPlan (plan/apply protocol, not
+        # packet-count attributes).
+        monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+        monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+        monkeypatch.setenv("XUGRID_TPU_GATHER_ENGINE", "aligned")
+        from xugrid_tpu.regrid.aligned_apply import plan_gather_aligned
+        from xugrid_tpu.ugrid.interpolate import laplace_interpolate
+
+        grid = self._jittered_quads()
+        conn = grid.face_face_connectivity
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=grid.n_face)
+        data[rng.random(grid.n_face) < 0.5] = np.nan
+
+        from xugrid_tpu.core.sparse import MatrixCSR, PaddedCSR
+
+        coo = conn.tocoo()
+        padded = PaddedCSR.from_csr(
+            MatrixCSR.from_triplet(
+                coo.row, coo.col, coo.data.astype(np.float64),
+                n=conn.shape[0], m=conn.shape[1],
+            )
+        )
+        assert plan_gather_aligned(padded.indices, padded.weights) is not None
 
         out = laplace_interpolate(data, conn, direct_solve=False)
         known = ~np.isnan(data)

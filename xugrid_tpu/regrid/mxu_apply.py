@@ -99,6 +99,7 @@ class MxuPlan(NamedTuple):
     base: AlignedPlan
     ohc: np.ndarray   # (nsteps*r_step, 128) bf16 chunk-select one-hot
     ohg: np.ndarray   # (nsteps*n_groups, 128) bf16 scatter one-hot
+    wabs_max: float   # max over targets of sum(|w|): staging overflow guard
 
     @property
     def n(self) -> int:
@@ -106,6 +107,13 @@ class MxuPlan(NamedTuple):
 
 
 def mxu_supported(method: str, has_nan: bool) -> bool:
+    # matvec's lane quantities gate only on weight != 0 (finite-data
+    # SpMV contract, gather_apply._lane_quantities): a decoded NaN
+    # would enter the scatter matmul where 0*NaN poisons every group
+    # in the step — unlike the aligned engine, where it stays on the
+    # owning target.  Reject and let the aligned engine take it.
+    if method == "matvec" and has_nan:
+        return False
     return method in MXU_METHODS
 
 
@@ -146,9 +154,20 @@ def plan_gather_mxu(
     ohg32 = np.zeros((nsteps * n_groups, 128), np.float32)
     ohg32[step * n_groups + grp, np.arange(nrows) % r_step] = 1.0
 
+    # Per-target Σ|w| bound for the staging overflow guard: an inf
+    # partial would turn into 0*inf = NaN inside the scatter matmul and
+    # corrupt every group in its step (not just the overflowing target
+    # as on the aligned engine).
+    if weights is None:
+        wabs_max = 0.0
+    else:
+        wabs_max = float(
+            np.abs(np.where(indices >= 0, weights, 0.0)).sum(axis=1).max()
+        )
+
     bf16 = jnp.bfloat16
     return MxuPlan(base=base, ohc=ohc32.astype(bf16),
-                   ohg=ohg32.astype(bf16))
+                   ohg=ohg32.astype(bf16), wabs_max=wabs_max)
 
 
 def _split3(x):
@@ -413,8 +432,17 @@ def stage_source_mxu(
             np.abs(sl[~nanm]) >= NAN_SENTINEL
         ).any():
             return None
+        vmax = float(np.abs(sl[~nanm]).max()) if (~nanm).any() else 0.0
         sl[nanm] = NAN_SENTINEL
-    elif not np.isfinite(source2d).all():
+    else:
+        if not np.isfinite(source2d).all():
+            return None
+        vmax = float(np.abs(source2d).max()) if source2d.size else 0.0
+    # Overflow guard: a single f32-inf partial (w*val, or a target's
+    # running sum) becomes 0*inf = NaN inside the scatter matmul and
+    # poisons the whole step.  Σ|w|·max|v| bounds every partial; keep a
+    # 8x margin under f32 max.
+    if plan.wabs_max * vmax > 3.4e38 / 8.0:
         return None
     return out
 

@@ -1,10 +1,15 @@
 """
-Unstructured grid adapter for regridding.
+Unstructured-grid adapters for regridding.
 
-Parity: xugrid/regrid/unstructured.py:60-221.  Weight builds run on the
-BVH celltree (device kernels); the barycentric exterior-weight
-redistribution is vectorized numpy instead of the reference's serial
-numba loop (unstructured.py:17-57).
+These adapters expose the geometric joins the regridders consume —
+every method returns flat COO triplets ``(source_index, target_index,
+weights)`` sorted by target (the triplet protocol is fixed by
+``regrid/regridder.py``; see the reference contract at
+xugrid/regrid/unstructured.py:109-201).  The geometry itself runs on
+this repo's own machinery: BVH celltree queries (host C++ / device
+kernels, ``spatial/``), the dense-candidate voronoi tessellation
+(``ugrid/voronoi.py``), and vectorized numpy weight fix-ups instead of
+the reference's serial numba loops (unstructured.py:17-57).
 """
 
 from __future__ import annotations
@@ -13,10 +18,28 @@ from typing import Optional
 
 import numpy as np
 
-from xugrid_tpu import xdata
+from xugrid_tpu import xdata  # noqa: F401  (re-exported for serialization)
 from xugrid_tpu.constants import FloatDType
 from xugrid_tpu.ugrid import voronoi
 from xugrid_tpu.ugrid.ugrid2d import Ugrid2d
+
+
+def _topology_of(obj, allowed, options):
+    from xugrid_tpu.core.wrap import UgridDataArray, UgridDataset
+
+    if isinstance(obj, (UgridDataArray, UgridDataset)):
+        return obj.grid
+    if isinstance(obj, allowed):
+        return obj
+    raise TypeError(
+        f"Expected one of {options}, received: {type(obj).__name__}"
+    )
+
+
+def _by_target(source_index, target_index, weights):
+    """Canonical triplet ordering: stable sort on the target column."""
+    order = np.argsort(target_index, kind="stable")
+    return source_index[order], target_index[order], weights[order]
 
 
 def replace_interpolated_weights(
@@ -64,17 +87,9 @@ class UnstructuredGrid2d:
     """Weight-building adapter around a Ugrid2d topology."""
 
     def __init__(self, obj):
-        from xugrid_tpu.core.wrap import UgridDataArray, UgridDataset
-
-        if isinstance(obj, (UgridDataArray, UgridDataset)):
-            self.ugrid_topology = obj.grid
-        elif isinstance(obj, Ugrid2d):
-            self.ugrid_topology = obj
-        else:
-            options = {"Ugrid2d", "UgridDataArray", "UgridDataset"}
-            raise TypeError(
-                f"Expected one of {options}, received: {type(obj).__name__}"
-            )
+        self.ugrid_topology = _topology_of(
+            obj, Ugrid2d, {"Ugrid2d", "UgridDataArray", "UgridDataset"}
+        )
 
     @property
     def ndim(self):
@@ -105,116 +120,106 @@ class UnstructuredGrid2d:
 
     def overlap(self, other, relative: bool):
         """
-        Area-of-overlap join (self = source; tree on the source grid).
-
-        Returns (source_index, target_index, weights).
+        Area-of-overlap join.  The BVH tree lives on this (source) grid;
+        the probes are ``other``'s (target's) polygons, so the celltree
+        hands back (probe, tree) pairs = (target, source) pairs.  With
+        ``relative=True`` each area is normalized by its SOURCE cell
+        area (first-order conservative weighting).
         """
-        (
-            target_index,
-            source_index,
-            weights,
-        ) = self.ugrid_topology.celltree.intersect_faces(
-            vertices=other.ugrid_topology.node_coordinates,
-            faces=other.ugrid_topology.face_node_connectivity,
-            fill_value=other.ugrid_topology.fill_value,
+        topo = other.ugrid_topology
+        tgt, src, area = self.ugrid_topology.celltree.intersect_faces(
+            vertices=topo.node_coordinates,
+            faces=topo.face_node_connectivity,
+            fill_value=topo.fill_value,
         )
         if relative:
-            weights = weights / self.area[source_index]
-        return source_index, target_index, weights
+            area = area / self.area[src]
+        return src, tgt, area
 
     def locate_centroids(self, other, tolerance: Optional[float] = None):
-        """Locate target centroids in the source grid."""
-        tree = self.ugrid_topology.celltree
-        source_index = tree.locate_points(
+        """Point-in-cell join at the target centroids (weight 1 each)."""
+        homes = self.ugrid_topology.celltree.locate_points(
             other.ugrid_topology.centroids, tolerance
         )
-        inside = source_index != -1
-        source_index = source_index[inside]
-        target_index = np.arange(other.size, dtype=source_index.dtype)[inside]
-        weight_values = np.ones_like(source_index, dtype=FloatDType)
-        return source_index, target_index, weight_values
+        hit = np.flatnonzero(homes >= 0)
+        return (
+            homes[hit],
+            hit.astype(homes.dtype),
+            np.ones(hit.size, dtype=FloatDType),
+        )
+
+    def _voronoi_support(self):
+        """Centroidal voronoi tessellation of this grid, as a Ugrid2d,
+        plus the voronoi-node -> source-face map and the interpolated
+        exterior-node bookkeeping."""
+        grid = self.ugrid_topology
+        vertices, faces, node_to_face_index, node_to_node_map = (
+            voronoi.voronoi_topology(
+                grid.node_face_connectivity,
+                grid.node_coordinates,
+                grid.centroids,
+                edge_face_connectivity=grid.edge_face_connectivity,
+                edge_node_connectivity=grid.edge_node_connectivity,
+                add_exterior=True,
+                add_vertices=True,
+                skip_concave=True,
+            )
+        )
+        tess = Ugrid2d(vertices[:, 0], vertices[:, 1], -1, faces)
+        return tess, vertices, node_to_face_index, node_to_node_map
 
     def barycentric(self, other, tolerance: Optional[float] = None):
         """
-        Barycentric (smooth) interpolation weights at target centroids via
-        the source's centroidal voronoi tessellation.
+        Smooth-interpolation join: barycentric weights of each target
+        centroid within the source's centroidal voronoi tessellation.
+        Voronoi nodes ARE source centroids, so a weight on a voronoi
+        node is a weight on a source face.
         """
         points = other.ugrid_topology.centroids
-        grid = self.ugrid_topology
+        tess, vertices, node_to_face, node_pairs = self._voronoi_support()
 
-        (
-            vertices,
-            faces,
-            node_to_face_index,
-            node_to_node_map,
-        ) = voronoi.voronoi_topology(
-            grid.node_face_connectivity,
-            grid.node_coordinates,
-            grid.centroids,
-            edge_face_connectivity=grid.edge_face_connectivity,
-            edge_node_connectivity=grid.edge_node_connectivity,
-            add_exterior=True,
-            add_vertices=True,
-            skip_concave=True,
-        )
-        voronoi_grid = Ugrid2d(vertices[:, 0], vertices[:, 1], -1, faces)
-        face_index, weights = voronoi_grid.compute_barycentric_weights(
-            points, tolerance
-        )
-        weights = np.array(weights)  # mutable copy (kernel output is read-only)
+        cell_of, table = tess.compute_barycentric_weights(points, tolerance)
+        table = np.array(table)  # mutable copy (kernel output read-only)
 
-        n_interpolated = (
-            len(node_to_node_map) if node_to_node_map is not None else 0
-        )
-        if n_interpolated:
+        # Exterior voronoi nodes interpolated between two projections
+        # carry no source face: push their weight onto the projections.
+        n_interp = 0 if node_pairs is None else len(node_pairs)
+        if n_interp:
             replace_interpolated_weights(
                 vertices=vertices,
-                faces=faces,
-                face_index=face_index,
-                weights=weights,
-                node_to_node_map=node_to_node_map,
-                node_index_threshold=len(vertices) - n_interpolated,
+                faces=tess.face_node_connectivity,
+                face_index=cell_of,
+                weights=table,
+                node_to_node_map=node_pairs,
+                node_index_threshold=len(vertices) - n_interp,
             )
 
-        # Discard zero weights and points outside the original grid.
-        outside = grid.locate_points(points) == -1
-        weights[outside] = 0
-        keep = weights.ravel() > 0
-        source_index = node_to_face_index[
-            np.where(
-                voronoi_grid.face_node_connectivity[face_index] == -1,
-                0,
-                voronoi_grid.face_node_connectivity[face_index],
-            )
-        ].ravel()[keep]
-
-        n_points, n_max_node = weights.shape
-        target_index = np.repeat(np.arange(n_points), n_max_node)[keep]
-        weights = weights.ravel()[keep]
-        order = np.argsort(target_index, kind="stable")
-        return source_index[order], target_index[order], weights[order]
+        # Kill rows whose point missed the original grid, then collapse
+        # the dense (point, slot) table to triplets on positive weight.
+        table[self.ugrid_topology.locate_points(points) < 0] = 0.0
+        point_ix, slot = np.nonzero(table > 0)
+        slot_nodes = tess.face_node_connectivity[cell_of[point_ix], slot]
+        return _by_target(
+            node_to_face[np.maximum(slot_nodes, 0)],  # -1 pads: w=0 rows never reach here
+            point_ix,
+            table[point_ix, slot],
+        )
 
     def intersection_length(self, other, relative: bool):
         """
-        Length-of-intersection join with a 1D network (self's celltree is
-        built on the 2D faces; queries are the network edges).
-
-        Returns (network_edge_index, face_index, length).
+        Length-of-intersection join with a 1D network: probes are the
+        network edges, the tree holds this grid's faces.  Returns
+        (network_edge_index, face_index, length).
         """
-        (
-            edge_index,
-            face_index,
-            intersections,
-        ) = self.ugrid_topology.celltree.intersect_edges(
+        edge_ix, face_ix, segs = self.ugrid_topology.celltree.intersect_edges(
             other.ugrid_topology.edge_node_coordinates
         )
-        length = np.linalg.norm(
-            np.diff(intersections, axis=1)[:, 0, :], axis=-1
-        )
+        delta = segs[:, 1, :] - segs[:, 0, :]
+        length = np.hypot(delta[:, 0], delta[:, 1])
         if relative:
-            length = length / other.length[edge_index]
-        order = np.argsort(edge_index, kind="stable")
-        return edge_index[order], face_index[order], length[order]
+            length = length / other.length[edge_ix]
+        face_s, edge_s, length_s = _by_target(face_ix, edge_ix, length)
+        return edge_s, face_s, length_s
 
     def to_dataset(self, name: str):
         ds = self.ugrid_topology.rename(name).to_dataset()
@@ -226,18 +231,11 @@ class Network1d:
     """Weight-building adapter around a Ugrid1d network."""
 
     def __init__(self, obj):
-        from xugrid_tpu.core.wrap import UgridDataArray, UgridDataset
         from xugrid_tpu.ugrid.ugrid1d import Ugrid1d
 
-        if isinstance(obj, (UgridDataArray, UgridDataset)):
-            self.ugrid_topology = obj.grid
-        elif isinstance(obj, Ugrid1d):
-            self.ugrid_topology = obj
-        else:
-            options = {"Ugrid1d", "UgridDataArray", "UgridDataset"}
-            raise TypeError(
-                f"Expected one of {options}, received: {type(obj).__name__}"
-            )
+        self.ugrid_topology = _topology_of(
+            obj, Ugrid1d, {"Ugrid1d", "UgridDataArray", "UgridDataset"}
+        )
 
     @property
     def ndim(self):

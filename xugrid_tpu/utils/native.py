@@ -35,7 +35,7 @@ _BUILD_DIR = Path(
 _CFLAGS = (
     "-O3", "-march=native", "-ffp-contract=off",
     "-shared", "-fPIC", "-std=c++17", "-pthread",
-)
+) + tuple(os.environ.get("XUGRID_TPU_NATIVE_CFLAGS", "").split())
 
 
 def _compile() -> Path | None:
