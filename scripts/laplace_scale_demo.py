@@ -32,11 +32,32 @@ import xugrid_tpu as xu  # noqa: E402
 from xugrid_tpu.ugrid import interpolate  # noqa: E402
 
 
-def main():
-    n_side = int(os.environ.get("LAPLACE_SIDE", "1000"))
+def build_grid(kind: str, n_side: int):
+    if kind == "delaunay":
+        # Genuinely unstructured: random points, scipy Delaunay, node
+        # order shuffled so no incidental bandedness survives — the
+        # solver must earn its locality (RCM) itself.
+        from scipy.spatial import Delaunay
+
+        rng = np.random.default_rng(11)
+        n_pts = (n_side + 1) ** 2
+        pts = rng.uniform(0.0, 100.0, (n_pts, 2))
+        tri = Delaunay(pts)
+        perm = rng.permutation(n_pts)
+        inv = np.empty(n_pts, np.int64)
+        inv[perm] = np.arange(n_pts)
+        shuffled = pts[perm]
+        faces = inv[tri.simplices]
+        return xu.Ugrid2d(shuffled[:, 0], shuffled[:, 1], -1, faces)
     x = np.linspace(0.0, 100.0, n_side + 1)
     quad = xu.Ugrid2d.from_structured_intervals1d(x, x)
-    grid = quad.triangulate()
+    return quad.triangulate()
+
+
+def main():
+    n_side = int(os.environ.get("LAPLACE_SIDE", "1000"))
+    mesh_kind = os.environ.get("LAPLACE_MESH", "structured")
+    grid = build_grid(mesh_kind, n_side)
     n = grid.n_node
     W = grid.node_node_connectivity.astype(np.float64)
     W.data = np.ones_like(W.data, dtype=np.float64)
@@ -70,7 +91,34 @@ def main():
         }
         assert np.isfinite(out).all()
 
+    # Multi-RHS amortization: 20 time slices sharing one NaN pattern
+    # batch on the sublane axis and reuse plan + assembly — one solve.
+    if os.environ.get("LAPLACE_MULTI_RHS") == "1":
+        n_extra = 20
+        scales = 1.0 + 0.05 * np.arange(n_extra)
+        stack = np.where(known[None, :], truth[None, :] * scales[:, None],
+                         np.nan)
+        interpolate.laplace_interpolate(  # warm
+            stack, W, maxiter=2000, atol=1e-6, rtol=0.0,
+            precondition_degree=4,
+        )
+        t0 = time.perf_counter()
+        out = interpolate.laplace_interpolate(
+            stack, W, maxiter=2000, atol=1e-6, rtol=0.0,
+            precondition_degree=4,
+        )
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        single = results["degree_4"]["solve_s"]
+        results["multi_rhs_20"] = {
+            "solve_s": round(dt, 3),
+            "slices": n_extra,
+            "s_per_slice": round(dt / n_extra, 4),
+            "amortization_vs_single_x20": round(single * n_extra / dt, 2),
+        }
+
     print(json.dumps({
+        "mesh": mesh_kind,
         "n_node": int(n),
         "n_unknown": int((~known).sum()),
         "device": str(jax.devices()[0]),

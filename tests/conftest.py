@@ -42,3 +42,33 @@ matplotlib.use("Agg")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import gc
+
+import pytest
+
+# The kernel-heavy tests retain jax arrays in reference cycles
+# (jaxpr/closure cycles) that CPython's refcounting cannot free; each
+# awaiting buffer holds one anon mmap, and a full suite run crosses the
+# kernel's vm.max_map_count (65530) around 69% — at which point mmap
+# fails inside XLA executable deserialization and the process SEGFAULTS
+# (diagnosed round 4: /proc/self/maps hit 65470 right before the
+# crash; a gc pass reclaims nearly all of them).  Collect cycles
+# whenever the VMA count crosses a safety threshold.
+_VMA_LIMIT = int(os.environ.get("XUGRID_TEST_VMA_LIMIT", "30000"))
+
+
+def _n_vmas() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_vma_count():
+    yield
+    if _n_vmas() > _VMA_LIMIT:
+        jax.clear_caches()
+        gc.collect()

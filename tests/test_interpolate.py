@@ -393,6 +393,57 @@ class TestDiaStencilSolve:
         np.testing.assert_allclose(out3, oracle3, rtol=1e-5, atol=1e-6)
         assert len(interpolate._DIA_ASSEMBLY) == 2
 
+    def test_rcm_bands_shuffled_graph_into_dia(self, monkeypatch):
+        # A randomly relabeled banded graph has arbitrary raw offsets;
+        # the RCM retry must band it back into the DIA budget and
+        # return solutions in the ORIGINAL node order.
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "force")
+        interpolate._DIA_ASSEMBLY.clear()
+        conn = _grid_adjacency(20, 10)
+        n = conn.shape[0]
+        rng = np.random.default_rng(8)
+        perm = rng.permutation(n)
+        shuffled = conn[perm, :][:, perm].tocsr()
+        data = rng.normal(size=n)
+        data[rng.random(n) < 0.4] = np.nan
+
+        # Raw offsets exceed the DIA budget on the shuffled labels.
+        coo = shuffled.tocoo()
+        mask = np.isnan(data)
+        uu = mask[coo.row] & mask[coo.col] & (coo.row != coo.col)
+        assert len(np.unique(coo.col[uu] - coo.row[uu])) > interpolate._DIA_MAX_K
+
+        out = interpolate.laplace_interpolate(
+            data, shuffled, direct_solve=False, atol=1e-9
+        )
+        assert interpolate.last_solve_info["mode"] == "dia"
+        oracle = interpolate.laplace_interpolate(
+            data, shuffled, direct_solve=True
+        )
+        np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-6)
+
+    def test_rcm_gather_path_matches_direct(self, monkeypatch):
+        # Shuffled graph, DIA disabled, unknown system above the RCM
+        # threshold: the CG path permutes for locality and must
+        # un-permute the solutions.
+        monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+        monkeypatch.setenv("XUGRID_TPU_CG_RCM", "1")
+        conn = _grid_adjacency(90, 90)
+        n = conn.shape[0]
+        rng = np.random.default_rng(9)
+        perm = rng.permutation(n)
+        shuffled = conn[perm, :][:, perm].tocsr()
+        data = rng.normal(size=n)
+        data[rng.random(n) < 0.8] = np.nan
+        assert np.isnan(data).sum() > 4096  # crosses the RCM gate
+        out = interpolate.laplace_interpolate(
+            data, shuffled, direct_solve=False, atol=1e-9, maxiter=2000
+        )
+        oracle = interpolate.laplace_interpolate(
+            data, shuffled, direct_solve=True
+        )
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
     def test_dia_engages_on_structured(self, monkeypatch):
         # On a banded graph the auto mode must pick DIA (the gather/COO
         # branches would otherwise hide regressions in this test file).

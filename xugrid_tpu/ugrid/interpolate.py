@@ -403,6 +403,32 @@ _DIA_MAX_K = 64
 _DIA_ASSEMBLY: dict = {}
 
 
+def _rcm_banded_perm(W, solve_mask):
+    """Reverse-Cuthill-McKee permutation of the full node graph when it
+    bands the unknown-unknown offsets into the DIA budget, else None.
+    The offset census runs on the raw COO through the inverse
+    permutation — no permuted matrix is materialized for the (common)
+    reject case."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    try:
+        perm = np.asarray(
+            reverse_cuthill_mckee(W.tocsr(), symmetric_mode=False),
+            dtype=np.int64,
+        )
+    except Exception:  # pragma: no cover - csgraph edge failures
+        return None
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    coo = W.tocoo()
+    d = inv[coo.col] - inv[coo.row]
+    uu = solve_mask[coo.row] & solve_mask[coo.col] & (d != 0)
+    n_off = len(np.unique(d[uu]))
+    if n_off == 0 or n_off > _DIA_MAX_K:
+        return None
+    return perm
+
+
 def _dia_assemble(W, solve_mask, notnull, dt):
     """Matrix-dependent part of the DIA solve (cacheable across
     right-hand sides): banded layout, Gershgorin bound, and the
@@ -487,11 +513,29 @@ def _try_dia_solve(
     asm = _DIA_ASSEMBLY.get(key, "miss")
     if asm == "miss":
         asm = _dia_assemble(Wc, solve_mask, notnull, dt)
+        if asm is None and mode != "norcm":
+            # Not banded as given: an RCM relabeling bands narrow /
+            # quasi-1D unstructured graphs into the DIA budget (wide 2D
+            # meshes reject cheaply inside the census and ride the
+            # gather SpMV instead).
+            perm = _rcm_banded_perm(Wc, solve_mask)
+            if perm is not None:
+                Wp = Wc[perm, :][:, perm].tocsr()
+                asm = _dia_assemble(
+                    Wp, solve_mask[perm], notnull[perm], dt
+                )
+                if asm is not None:
+                    asm["perm"] = perm
         if len(_DIA_ASSEMBLY) > 4:
             _DIA_ASSEMBLY.clear()
         _DIA_ASSEMBLY[key] = asm
     if asm is None:
         return None
+    perm = asm.get("perm")
+    if perm is not None:
+        matrix2d = matrix2d[:, perm]
+        solve_mask = solve_mask[perm]
+        notnull = notnull[perm]
     offsets = np.asarray(asm["offsets"], np.int64)
     n_pad = asm["n_pad"]
     unk = asm["unk"]
@@ -531,7 +575,12 @@ def _try_dia_solve(
         maxiter=int(maxiter), degree=int(degree),
     )
     x = np.atleast_2d(np.asarray(x))
-    return x[:, unk], np.atleast_1d(np.asarray(k))
+    sols = x[:, unk]
+    if perm is not None:
+        # unk indexes the RCM-relabeled system; the caller assigns to
+        # the ORIGINAL unknown ids in ascending order.
+        sols = sols[:, np.argsort(perm[unk])]
+    return sols, np.atleast_1d(np.asarray(k))
 
 
 _PCG_COO = None
@@ -952,10 +1001,38 @@ def laplace_interpolate(
         # Initial guess: mean of known values per row.
         means = np.nanmean(matrix2d, axis=1)
         x0 += means[:, None]
+        # RCM-relabel large unknown systems before planning: the TPU
+        # gather SpMV keys its plan rows on (128-target group, source
+        # chunk) pairs, so bandwidth = locality = fewer rows.  A
+        # shuffled Delaunay graph plans ~10x more rows unpermuted; the
+        # permutation is a similarity transform (iterations unchanged).
+        nu = len(unknown)
+        perm_cg = None
+        if nu > 4096 and os.environ.get("XUGRID_TPU_CG_RCM", "1") != "0":
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            A_uu = scipy.sparse.coo_matrix(
+                (vals_uu, (rows_uu, cols_uu)), shape=(nu, nu)
+            ).tocsr()
+            perm_cg = np.asarray(
+                reverse_cuthill_mckee(A_uu, symmetric_mode=True),
+                dtype=np.int64,
+            )
+            pinv = np.empty(nu, np.int64)
+            pinv[perm_cg] = np.arange(nu)
+            m_off = len(vals) - nu
+            rows = np.concatenate([pinv[rows[:m_off]], np.arange(nu)])
+            cols = np.concatenate([pinv[cols[:m_off]], np.arange(nu)])
+            vals = np.concatenate([vals[:m_off], diag[perm_cg]])
+            diag = diag[perm_cg]
+            b = b[:, perm_cg]
+            x0 = x0[:, perm_cg]
         solutions, iters = cg_solve(
             rows, cols, vals, diag, b, x0, rtol, atol, maxiter,
             degree=precondition_degree,
         )
+        if perm_cg is not None:
+            solutions = np.atleast_2d(solutions)[:, pinv]
         last_solve_info.update(
             iterations=int(np.max(iters)),
             n_unknown=len(unknown),
