@@ -165,6 +165,63 @@ class TestShardedRegrid:
 
 
 @requires_8_devices
+@requires_8_devices
+class TestShardedCG:
+    def _system(self, nx=24, ny=18, seed=0):
+        # Laplacian + identity over a raster adjacency: SPD, windowed.
+        import scipy.sparse as sp
+
+        idx = np.arange(nx * ny).reshape(ny, nx)
+        pairs = np.concatenate([
+            np.column_stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()]),
+            np.column_stack([idx[:-1, :].ravel(), idx[1:, :].ravel()]),
+        ])
+        i = np.concatenate([pairs[:, 0], pairs[:, 1]])
+        j = np.concatenate([pairs[:, 1], pairs[:, 0]])
+        n = nx * ny
+        W = sp.coo_matrix((np.ones(len(i)), (i, j)), shape=(n, n)).tocsr()
+        deg = np.asarray(W.sum(axis=1)).ravel()
+        rng = np.random.default_rng(seed)
+        b = rng.normal(size=n)
+        # Windowed off-diagonal layout: (n, w_max) global indices, -1 pad.
+        w_max = int(np.diff(W.indptr).max())
+        indices = np.full((n, w_max), -1, np.int64)
+        weights = np.zeros((n, w_max), np.float64)
+        for r in range(n):
+            sl = slice(W.indptr[r], W.indptr[r + 1])
+            k = sl.stop - sl.start
+            indices[r, :k] = W.indices[sl]
+            weights[r, :k] = -W.data[sl]
+        diag = deg + 1.0  # Laplacian + I
+        A = sp.diags(diag) - W
+        return indices, weights, diag, b, A
+
+    def test_matches_scipy(self):
+        from scipy.sparse.linalg import spsolve
+
+        from xugrid_tpu.parallel import sharded_cg_solve
+
+        indices, weights, diag, b, A = self._system()
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        x, k = sharded_cg_solve(
+            mesh, indices, weights, diag, b, atol=1e-10, maxiter=2000
+        )
+        expected = spsolve(A.tocsr(), b)
+        assert 0 < k < 2000
+        np.testing.assert_allclose(x, expected, rtol=1e-6, atol=1e-8)
+
+    def test_moves_only_boundary_rows(self):
+        # Row-contiguous partitions of a raster: the exchange volume per
+        # matvec must be far below a full all_gather of the field.
+        from xugrid_tpu.parallel import NeighborExchangePlan
+
+        indices, weights, diag, b, A = self._system(nx=40, ny=40)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+        plan = NeighborExchangePlan(mesh, indices)
+        allgather_bytes = 8 * len(b) * 4
+        assert plan.exchanged_bytes_f32 < allgather_bytes / 4
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 

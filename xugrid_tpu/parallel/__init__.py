@@ -3,6 +3,7 @@ from xugrid_tpu.parallel.sharding import (
     ShardedRegrid,
     halo_exchange,
     partition_order,
+    sharded_cg_solve,
     sharded_laplace_smooth,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ShardedRegrid",
     "halo_exchange",
     "partition_order",
+    "sharded_cg_solve",
     "sharded_laplace_smooth",
 ]

@@ -442,3 +442,108 @@ def sharded_laplace_smooth(
     for _ in range(n_steps):
         out = fn(out, idx_d)
     return np.asarray(out)[:n]
+
+
+def sharded_cg_solve(
+    mesh: Mesh,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    diag: np.ndarray,
+    b: np.ndarray,
+    x0: Optional[np.ndarray] = None,
+    rtol: float = 0.0,
+    atol: float = 1e-6,
+    maxiter: int = 500,
+    axis: Optional[str] = None,
+):
+    """
+    Distributed Jacobi-preconditioned CG over the mesh.
+
+    The system is windowed: row i is ``diag[i] * x[i] +
+    sum_j weights[i, j] * x[indices[i, j]]`` (``indices`` global,
+    -1-padded).  Rows, diagonal, and right-hand side are block-sharded
+    on ``axis``; each matvec moves only the referenced boundary rows
+    via the NeighborExchangePlan's single ``all_to_all`` (O(perimeter)
+    with Hilbert-ordered rows), and the CG dot products ride ``psum``.
+    The whole iteration runs device-side in one jitted while_loop.
+
+    Returns (solution (n,), iterations).  Reference counterpart: the
+    serial scipy ILU0-CG in xugrid/ugrid/interpolate.py:308-317 —
+    single-process there, SPMD here.
+    """
+    axis = axis or mesh.axis_names[0]
+    n_devices = mesh.shape[axis]
+    n = len(b)
+    idxp = _pad_to_multiple(np.asarray(indices, np.int64), n_devices, -1)
+    wp = _pad_to_multiple(
+        np.asarray(weights, np.float64), n_devices, 0.0
+    )
+    diagp = _pad_to_multiple(np.asarray(diag, np.float64), n_devices, 1.0)
+    bp = _pad_to_multiple(np.asarray(b, np.float64), n_devices, 0.0)
+    x0p = (
+        np.zeros_like(bp)
+        if x0 is None
+        else _pad_to_multiple(np.asarray(x0, np.float64), n_devices, 0.0)
+    )
+    plan = NeighborExchangePlan(mesh, idxp, axis=axis)
+
+    vec = NamedSharding(mesh, P(axis))
+    row = NamedSharding(mesh, P(axis, None))
+    b_d = jax.device_put(bp, vec)
+    x0_d = jax.device_put(x0p, vec)
+    diag_d = jax.device_put(diagp, vec)
+    w_d = jax.device_put(wp, row)
+    tol = max(float(atol), float(rtol) * float(np.linalg.norm(bp)))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=(P(axis), P()),
+        check_rep=False,
+    )
+    def solve(b_l, x_l, diag_l, w_l, send_l, lookup_l):
+        def matvec(v_l):
+            neigh = plan.gather_neighbors(v_l, send_l, lookup_l)
+            neigh = jnp.where(jnp.isnan(neigh), 0.0, neigh)
+            return diag_l * v_l + jnp.sum(w_l * neigh, axis=1)
+
+        def pdot(u_l, v_l):
+            return jax.lax.psum(jnp.vdot(u_l, v_l), axis)
+
+        minv = jnp.where(diag_l != 0.0, 1.0 / diag_l, 1.0)
+        r = b_l - matvec(x_l)
+        z = minv * r
+        p = z
+        rz = pdot(r, z)
+
+        def cond(state):
+            x, r, z, p, rz, k = state
+            return (jnp.sqrt(pdot(r, r)) > tol) & (k < maxiter)
+
+        def body(state):
+            x, r, z, p, rz, k = state
+            Ap = matvec(p)
+            pAp = pdot(p, Ap)
+            alpha = jnp.where(
+                pAp != 0.0, rz / jnp.where(pAp == 0.0, 1.0, pAp), 0.0
+            )
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = minv * r
+            rz_new = pdot(r, z)
+            beta = jnp.where(
+                rz != 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0
+            )
+            return x, r, z, p * beta + z, rz_new, k + 1
+
+        x, _, _, _, _, k = jax.lax.while_loop(
+            cond, body, (x_l, r, z, p, rz, jnp.int32(0))
+        )
+        return x, k[None]
+
+    x, k = jax.jit(solve)(
+        b_d, x0_d, diag_d, w_d, plan.send_slots, plan.lookup
+    )
+    return np.asarray(x)[:n], int(np.asarray(k)[0])
