@@ -197,3 +197,55 @@ def test_select_seed_sweep_median_vs_oracle():
                 got, want, rtol=2e-5, atol=1e-5,
                 err_msg=f"seed={seed} {method}",
             )
+
+
+class TestSplitPlan:
+    def _tail_case(self, seed=0, nan_frac=0.0):
+        # 2000 targets with 4-6 entry windows plus a ~1% tail of
+        # 17-20 entry windows: the planner must split at a padding
+        # class instead of taxing every step with the tail's dmax.
+        rng = np.random.default_rng(seed)
+        n, m = 2000, 2600
+        w_wide = 20
+        base = (np.arange(n) * m) // n
+        offs = rng.integers(-12, 13, size=(n, w_wide))
+        indices = np.clip(base[:, None] + offs, 0, m - 1).astype(np.int32)
+        keep = rng.integers(4, 7, size=n)
+        wide = rng.random(n) < 0.01
+        keep[wide] = rng.integers(17, w_wide + 1, size=wide.sum())
+        mask = np.arange(w_wide)[None, :] < keep[:, None]
+        # wide windows must have distinct slots (duplicates are fine
+        # for the kernel; keep it simple)
+        indices = np.where(mask, indices, -1)
+        weights = rng.uniform(0.1, 2.0, size=(n, w_wide)).astype(np.float32)
+        weights[~mask] = 0.0
+        source = rng.normal(size=(3, m)).astype(np.float32)
+        if nan_frac:
+            source[rng.random(source.shape) < nan_frac] = np.nan
+        return indices, weights, source
+
+    @pytest.mark.parametrize("method", ["median", "mode", "p90"])
+    @pytest.mark.parametrize("nan_frac", [0.0, 0.2])
+    def test_split_matches_oracle(self, method, nan_frac):
+        from xugrid_tpu.regrid.select_apply import SplitSelectPlan
+
+        indices, weights, source = self._tail_case(
+            seed=hash(method) % 100, nan_frac=nan_frac
+        )
+        plan = plan_gather_select(indices, weights)
+        assert isinstance(plan, SplitSelectPlan), "split expected"
+        assert plan.small.dmax < plan.big.dmax
+        got = apply_windowed_select(
+            source, indices, weights, method, plan=plan, interpret=True
+        )
+        assert got is not None
+        want = oracle_apply(method, indices, weights, source)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    def test_split_disabled_by_env(self, monkeypatch):
+        from xugrid_tpu.regrid.select_apply import SelectPlan
+
+        monkeypatch.setenv("XUGRID_TPU_SELECT_SPLIT", "0")
+        indices, weights, _ = self._tail_case()
+        plan = plan_gather_select(indices, weights)
+        assert isinstance(plan, SelectPlan)

@@ -124,7 +124,95 @@ class SelectPlan(NamedTuple):
     block: int
 
 
+class SplitSelectPlan(NamedTuple):
+    """Two-kernel plan partitioned by window size.
+
+    The all-pairs roll pass costs O(dmax) full-width VPU work per step,
+    and dmax is the GLOBAL max window size — a 1% tail of wide windows
+    taxes every step.  Splitting targets at a padding-class boundary
+    runs ~97% of the rows at the typical dmax and only the tail at the
+    global one (the one-hot extraction makes target coverage per call
+    arbitrary, so the merge is a plain mask select)."""
+
+    small: "SelectPlan"
+    big: "SelectPlan"
+    big_mask: np.ndarray  # (n,) bool: targets the `big` plan covers
+    n: int
+
+
+#: tail fraction above which a dmax split stops paying for its second
+#: kernel launch + plan stream.
+_SPLIT_TAIL_FRAC = 0.05
+
+
 def plan_gather_select(
+    indices: np.ndarray,
+    weights: np.ndarray | None = None,
+    block: int = BLOCK,
+    rows_per_step: int = ROWS,
+    pair: int = PAIR,
+    span: int = PAIR_SPAN,
+    max_plan_bytes: int = 1_500_000_000,
+) -> "SelectPlan | SplitSelectPlan | None":
+    """Plan with an automatic dmax split: when a small tail of wide
+    windows inflates the global all-pairs bound, targets partition into
+    a typical-dmax plan plus a tail plan (``SplitSelectPlan``)."""
+    if os.environ.get("XUGRID_TPU_SELECT_SPLIT", "1") == "0":
+        return _plan_select_single(
+            indices, weights, block, rows_per_step, pair, span,
+            max_plan_bytes,
+        )
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    counts = (indices >= 0).sum(axis=1)
+    present = counts > 0
+    if not present.any() or int(counts.max()) > MAX_WINDOW:
+        return _plan_select_single(
+            indices, weights, block, rows_per_step, pair, span,
+            max_plan_bytes,
+        )
+    wmax = int(counts.max())
+    pad4 = lambda w: max(1, -(-(w - 1) // 4) * 4)  # noqa: E731
+    dmax_all = pad4(wmax)
+    n_present = int(present.sum())
+    # Smallest padding class whose tail stays under the split budget.
+    split_w = None
+    for c in range(4, dmax_all, 4):
+        tail = int((counts > c + 1).sum())
+        if tail and tail <= n_present * _SPLIT_TAIL_FRAC:
+            split_w = c + 1
+            break
+    if split_w is None:
+        return _plan_select_single(
+            indices, weights, block, rows_per_step, pair, span,
+            max_plan_bytes,
+        )
+    big_mask = counts > split_w
+    if weights is None:
+        weights = np.zeros(indices.shape, np.float32)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    idx_small = np.where(big_mask[:, None], -1, indices)
+    w_small = np.where(big_mask[:, None], 0.0, weights).astype(np.float32)
+    idx_big = np.where(big_mask[:, None], indices, -1)
+    w_big = np.where(big_mask[:, None], weights, 0.0).astype(np.float32)
+    small = _plan_select_single(
+        idx_small, w_small, block, rows_per_step, pair, span,
+        max_plan_bytes,
+    )
+    big = _plan_select_single(
+        idx_big, w_big, block, rows_per_step, pair, span,
+        max_plan_bytes,
+    )
+    if small is None or big is None:
+        return _plan_select_single(
+            indices, weights, block, rows_per_step, pair, span,
+            max_plan_bytes,
+        )
+    return SplitSelectPlan(
+        small=small, big=big, big_mask=big_mask, n=len(indices)
+    )
+
+
+def _plan_select_single(
     indices: np.ndarray,
     weights: np.ndarray | None = None,
     block: int = BLOCK,
@@ -750,6 +838,20 @@ def apply_windowed_select(
         plan = plan_gather_select(indices, weights)
     if plan is None:
         return None
+    if isinstance(plan, SplitSelectPlan):
+        out_s = apply_windowed_select(
+            source2d, indices, weights, method,
+            has_nan=has_nan, plan=plan.small, interpret=interpret,
+        )
+        if out_s is None:
+            return None
+        out_b = apply_windowed_select(
+            source2d, indices, weights, method,
+            has_nan=has_nan, plan=plan.big, interpret=interpret,
+        )
+        if out_b is None:
+            return None
+        return np.where(plan.big_mask[: plan.n, None], out_b, out_s)
     if has_nan is None:
         has_nan = bool(np.isnan(source2d).any())
         if np.isinf(source2d).any():
