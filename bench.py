@@ -523,10 +523,18 @@ def main():
         )
 
         splan = plan_gather_select(padded.indices, padded.weights)
-        if splan is not None and jax.default_backend() == "tpu":
+        # A SplitSelectPlan runs two kernels per apply (typical-dmax +
+        # wide-tail); time each and report the sum.
+        subplans = (
+            list(splan.plans())
+            if splan is not None and hasattr(splan, "plans")
+            else ([splan] if splan is not None else [])
+        )
+        if subplans and jax.default_backend() == "tpu":
             e_sub_s = _pad_sub(n_extra)
-            c_needed = (
-                int(splan.bases.max()) + 1 if len(splan.bases) else 1
+            c_needed = max(
+                int(sp.bases.max()) + 1 if len(sp.bases) else 1
+                for sp in subplans
             )
             m_pad = max(-(-grid.n_face // _CHUNK), c_needed) * _CHUNK
             srcE_s = np.zeros((e_sub_s, m_pad), np.float32)
@@ -559,21 +567,24 @@ def main():
                 )
                 return acc
 
-            sargs = (
-                jnp.asarray(srcE_s), jnp.asarray(splan.blkid),
-                jnp.asarray(splan.bases), jnp.asarray(splan.ptab),
-                jnp.asarray(splan.rwraw),  # percentile-family gate
-            )
-            n_blk_s = len(splan.rwsum) // splan.block
-            _ = float(select_reps(*sargs, "median", splan.dmax,
-                                  splan.pair, splan.span, splan.rows,
-                                  n_blk_s, reps))
-            t0 = time.perf_counter()
-            _ = float(select_reps(*sargs, "median", splan.dmax,
-                                  splan.pair, splan.span, splan.rows,
-                                  n_blk_s, reps))
-            select_median_s = (time.perf_counter() - t0) / reps
-            del sargs, srcE_s
+            select_median_s = 0.0
+            for sp in subplans:
+                sargs = (
+                    jnp.asarray(srcE_s), jnp.asarray(sp.blkid),
+                    jnp.asarray(sp.bases), jnp.asarray(sp.ptab),
+                    jnp.asarray(sp.rwraw),  # percentile-family gate
+                )
+                n_blk_s = len(sp.rwsum) // sp.block
+                _ = float(select_reps(*sargs, "median", sp.dmax,
+                                      sp.pair, sp.span, sp.rows,
+                                      n_blk_s, reps))
+                t0 = time.perf_counter()
+                _ = float(select_reps(*sargs, "median", sp.dmax,
+                                      sp.pair, sp.span, sp.rows,
+                                      n_blk_s, reps))
+                select_median_s += (time.perf_counter() - t0) / reps
+                del sargs
+            del srcE_s
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"select path unavailable: {exc!r}", file=sys.stderr)
 

@@ -472,11 +472,14 @@ def run_mxu(padded, source, true_bytes, grid):
     )
 
     t0 = time.perf_counter()
+    widths = tuple(
+        int(w) for w in os.environ.get("WCHUNKS", "16,32,64").split(",")
+    )
     plan = plan_gather_mxu(
         padded.indices, padded.weights,
-        block=int(os.environ.get("ABLOCK", "2048")),
-        r_step=int(os.environ.get("R_STEP", "32")),
-        w_chunks=int(os.environ.get("WCHUNKS", "64")),
+        block=int(os.environ.get("ABLOCK", "1024")),
+        r_step=int(os.environ.get("R_STEP", "64")),
+        widths=widths,
     )
     print(f"plan[mxu]: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
     if plan is None:
@@ -497,13 +500,13 @@ def run_mxu(padded, source, true_bytes, grid):
 
     @partial(jax.jit, static_argnames=(
         "method", "block", "r_step", "w_chunks", "n_blocks", "n_reps"))
-    def mxu_reps(srcE, blkid, wmeta, winc0, itab, wtab, ohc, ohg,
+    def mxu_reps(srcE, blkid, wmeta, winc0, cidvec, itab, wtab,
                  rwsum, method, block, r_step, w_chunks, n_blocks,
                  n_reps):
         def body(i, acc):
             out = gather_mxu_apply(
                 srcE + i.astype(srcE.dtype) * 1e-12,
-                blkid, wmeta, winc0, itab, wtab, ohc, ohg, rwsum,
+                blkid, wmeta, winc0, cidvec, itab, wtab, rwsum,
                 method=method, has_nan=False,
                 block=block, r_step=r_step, w_chunks=w_chunks,
                 n_blocks=n_blocks,
@@ -517,8 +520,8 @@ def run_mxu(padded, source, true_bytes, grid):
     dargs = (
         jnp.asarray(srcE), jnp.asarray(base.blkid),
         jnp.asarray(base.wmeta), jnp.asarray(base.winc0),
+        jnp.asarray(plan.cidvec),
         jnp.asarray(base.itab), jnp.asarray(base.wtab),
-        jnp.asarray(plan.ohc), jnp.asarray(plan.ohg),
         jnp.asarray(base.rwsum),
     )
     statics = (METHOD, base.block, base.r_step, base.w_chunks, n_blocks)

@@ -4,7 +4,9 @@ against the reduce-registry oracle — the same pattern as the aligned /
 select engine suites (ADVICE r3: the engine previously had no unit
 coverage).  Covers every MXU_METHODS entry, NaN sources (sentinel
 staging), spill rows (per-(target, chunk) runs longer than Q_PACK),
-multi-block plans, and the staging rejection paths.
+multi-block plans, the staging rejection paths, and bit-exactness vs
+the aligned engine (v2's static scatter and Precision.HIGHEST select
+must reproduce the aligned combine order exactly).
 """
 
 import numpy as np
@@ -13,6 +15,11 @@ import pytest
 import jax.numpy as jnp
 
 from xugrid_tpu.regrid import reduce as reductions
+from xugrid_tpu.regrid.aligned_apply import (
+    aligned_apply,
+    plan_gather_aligned,
+    plan_triplets,
+)
 from xugrid_tpu.regrid.mxu_apply import (
     MXU_METHODS,
     NAN_SENTINEL,
@@ -27,6 +34,10 @@ ORACLES = {
     "sum": reductions.sum,
     "first_order_conservative": reductions.first_order_conservative,
     "conductance": reductions.conductance,
+    "harmonic_mean": reductions.harmonic_mean,
+    "geometric_mean": reductions.geometric_mean,
+    "min": reductions.minimum,
+    "max": reductions.maximum,
 }
 
 
@@ -73,17 +84,65 @@ def test_mxu_matches_oracle(method, nan_frac):
     )
     plan = plan_gather_mxu(indices, weights)
     assert plan is not None
+    assert mxu_supported(method, bool(nan_frac))
     got = mxu_apply(source, plan, method, interpret=True)
-    if method == "matvec" and nan_frac:
-        # NaN matvec is rejected (scatter matmul would spread the NaN
-        # to unrelated targets); callers fall back to the aligned
-        # engine.
-        assert got is None
-        assert not mxu_supported("matvec", True)
-        return
     assert got is not None
+    if method == "matvec" and nan_frac:
+        # NaN stays on its owning targets (static scatter — no
+        # cross-target poisoning); compare against the aligned engine,
+        # whose matvec chain has the same finite-data contract.
+        ap = plan_gather_aligned(indices, weights)
+        want = aligned_apply(source, ap, method, interpret=True)
+        np.testing.assert_array_equal(
+            np.isnan(got), np.isnan(want)
+        )
+        np.testing.assert_allclose(
+            np.nan_to_num(got), np.nan_to_num(want), rtol=0, atol=0
+        )
+        return
     want = oracle_apply(method, indices, weights, source)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", MXU_METHODS)
+def test_mxu_bitexact_vs_aligned(method):
+    # The select matmul (one-hot, Precision.HIGHEST) and static quad
+    # scatter must reproduce the aligned engine's f32 results exactly:
+    # both engines combine the same per-(target, chunk) partials.
+    indices, weights, source = make_case(seed=42, nan_frac=0.1)
+    mplan = plan_gather_mxu(indices, weights)
+    aplan = plan_gather_aligned(indices, weights)
+    got = mxu_apply(source, mplan, method, interpret=True)
+    want = aligned_apply(source, aplan, method, interpret=True)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_array_equal(
+        np.nan_to_num(got), np.nan_to_num(want)
+    )
+
+
+def test_mxu_plan_roundtrip():
+    # The quad-interleaved plan must decode back to the exact triplet
+    # set (plan_triplets is the oracle for row re-grouping bugs).
+    indices, weights, _ = make_case(seed=5)
+    plan = plan_gather_mxu(indices, weights)
+    ti, si, ws = plan_triplets(plan.base)
+    order = np.lexsort((ws, si, ti))
+    got = np.stack([ti[order], si[order]], axis=1)
+    t_ref, s_ref, w_ref = [], [], []
+    for t in range(len(indices)):
+        for j in range(indices.shape[1]):
+            if indices[t, j] >= 0:
+                t_ref.append(t)
+                s_ref.append(indices[t, j])
+                w_ref.append(weights[t, j])
+    t_ref = np.asarray(t_ref)
+    s_ref = np.asarray(s_ref)
+    w_ref = np.asarray(w_ref, np.float32)
+    order2 = np.lexsort((w_ref, s_ref, t_ref))
+    np.testing.assert_array_equal(
+        got, np.stack([t_ref[order2], s_ref[order2]], axis=1)
+    )
+    np.testing.assert_array_equal(ws[order], w_ref[order2])
 
 
 def test_mxu_spill_rows():
@@ -98,8 +157,8 @@ def test_mxu_spill_rows():
 
 
 def test_mxu_multi_block_plan():
-    # n > the 2048-target MXU block: multiple output blocks, including
-    # an entirely empty one (targets 2048..4095) flushed NaN.
+    # n > the MXU block: multiple output blocks, including entirely
+    # empty ones flushed NaN.
     indices, weights, source = make_case(n=5000, m=4000, seed=11,
                                          nan_frac=0.1)
     indices[2048:4096] = -1
@@ -118,7 +177,8 @@ def test_mxu_staging_rejections():
     plan = plan_gather_mxu(indices, weights)
     assert plan is not None
 
-    # ±inf rejects with or without NaN.
+    # ±inf rejects with or without NaN (0*inf = NaN inside the select
+    # matmul would poison whole tiles).
     s_inf = source.copy()
     s_inf[0, 0] = np.inf
     assert stage_source_mxu(s_inf, plan, True) is None
@@ -131,17 +191,17 @@ def test_mxu_staging_rejections():
     s_sent[0, 2] = float(NAN_SENTINEL)
     assert stage_source_mxu(s_sent, plan, True) is None
 
-    # Σ|w|·max|v| near f32 max rejects (an inf partial would poison
-    # the scatter matmul step).
-    s_big = np.nan_to_num(source, nan=0.0) * np.float32(1e37)
-    assert stage_source_mxu(s_big, plan, False) is None
-    assert mxu_apply(s_big, plan, "mean", interpret=True) is None
+    # Large finite data is FINE in v2 (quantities never enter a
+    # matmul; overflow stays on the owning lane as on aligned).
+    s_big = np.nan_to_num(source, nan=0.0) * np.float32(1e30)
+    assert stage_source_mxu(s_big, plan, False) is not None
 
 
 def test_mxu_sentinel_roundtrip_exact():
-    # The sentinel must survive the 3-term bf16 split bit-exact so the
-    # decode-to-NaN comparison fires: staged NaNs come back as NaN in
-    # the output when they own the whole window.
+    # The sentinel (a power of two) must survive the Precision.HIGHEST
+    # select matmul bit-exact so the decode-to-NaN comparison fires:
+    # staged NaNs come back as NaN in the output when they own the
+    # whole window.
     indices = np.array([[0, 1], [2, -1]], np.int32)
     weights = np.array([[1.0, 1.0], [1.0, 0.0]], np.float32)
     source = np.array([[np.nan, np.nan, 5.0]], np.float32)

@@ -1,40 +1,43 @@
-"""Row-matmul (MXU) gather engine: O(1) serialized ops per grid step.
+"""Row-matmul (MXU) gather engine v2: O(1) serialized ops per step.
 
 The aligned engine (aligned_apply.py) retires one (128-target group,
 source chunk) row with one dynamic slab read plus one accumulator
 read-modify-write; batching (rb=8) fuses the gathers but the ~190 ns
 slab-read/RMW pair per row floors the 1M-config pass at ~3-4 ms.  This
-engine removes BOTH per-row serialized ops by turning them into two
-one-hot MXU matmuls per grid step of ``r_step`` rows (reference hot
-loop being matched: /root/reference/xugrid/regrid/regridder.py:41-69):
+engine removes BOTH per-row serialized ops (reference hot loop being
+matched: /root/reference/xugrid/regrid/regridder.py:41-69):
 
 - **Chunk-select matmul**: ``(r_step, W) one-hot @ (W, e_sub, 128)
   slab -> (r_step, e_sub, 128)`` replaces ``r_step`` dynamic VMEM slab
-  reads with one rank-3 ``dot_general`` (verified on-chip:
-  scripts/mxu_probe.py).
-- **Scatter matmul**: ``(G, r_step) one-hot @ (r_step, nc*e_sub, 128)
-  partials -> (G, nc*e_sub, 128)`` replaces ``r_step`` accumulator
-  RMWs with one matmul plus a single static full-accumulator add.
-- Mosaic's DEFAULT matmul precision silently rounds f32 inputs to
-  bf16; a 3-term hi/mid/lo bf16 split (8+8+8 mantissa bits = f32's 24)
-  makes one-hot selection EXACT and scatter sums f32-reorder-accurate,
-  at 3 one-pass matmuls instead of HIGHEST's 6.
+  reads with one rank-3 ``dot_general`` (semantics verified on-chip:
+  scripts/mxu_probe.py).  ``Precision.HIGHEST`` makes the select exact
+  for f32 payloads (the 6-pass f32 emulation reconstructs one-hot
+  selections bit-exactly) with no hi/mid/lo pre-split of the slab —
+  the v1 engine re-split the whole resident window EVERY step, which
+  is where the matmul formulation lost to the aligned engine.
+- **Static scatter**: the planner interleaves rows so step row ``r``
+  belongs to target group ``r % n_groups`` ("quads"); the scatter is
+  a compile-time ``reshape(qs, n_groups, ...)`` reduction plus ONE
+  full-accumulator combine — no per-row RMW, no scatter matmul, and
+  exact f32 (v1's bf16 3-term scatter is gone).  This also frees the
+  engine from sum-only chains: min/max and the division-derived
+  quantities ride the same static reduce with their own combine kind,
+  so v2 covers every aligned-engine method.
+- The one-hot is built in-kernel from a per-step cid lane vector
+  (lane->sublane reshape + iota compare, both verified Mosaic ops) —
+  no host one-hot stream.
 - MXU matmuls cannot carry NaN payloads (0*NaN poisons whole tiles),
   so NaN sources are staged with a power-of-two **sentinel**
-  (bf16-exact, survives the split untouched) and decoded back to NaN
-  after the select, before the NaN-aware lane quantities.  Sources
-  containing ±inf (or the sentinel itself) reject at staging and fall
-  back to the aligned engine.
-- Only sum-kind chains scatter through a matmul, and division-derived
-  quantities (harmonic/geometric mean) could overflow to inf and
-  poison the scatter — the engine covers mean / matvec / sum /
-  first_order_conservative / conductance; min/max and the rest stay
-  on the aligned engine.
+  (survives the select untouched) and decoded back to NaN right after
+  the select matmul.  Sources containing ±inf (or the sentinel
+  itself) reject at staging and fall back to the aligned engine.
+  Quantity overflow (harmonic/geometric inf) stays on the owning
+  lane exactly as on the aligned engine — quantities never enter a
+  matmul here.
 
-The plan IS an aligned plan (same row structure, wider defaults:
-2048-target blocks, 32 rows/step) plus two host-prebuilt one-hot
-streams; pad rows carry zero weights/sub-slots so their partials are
-exactly zero and need no masking in either matmul.
+The plan IS an aligned plan (same itab/wtab row payloads, re-grouped
+into group-aligned quads) plus the per-step cid vector; pad rows carry
+zero weights/sub-slots so every chain's masked quantities are neutral.
 """
 
 from __future__ import annotations
@@ -51,7 +54,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xugrid_tpu.regrid.aligned_apply import (
     Q_PACK,
+    _RAW_VALUE_METHODS,
     AlignedPlan,
+    _combine,
+    _neutral,
     plan_gather_aligned,
 )
 from xugrid_tpu.regrid.gather_apply import (
@@ -63,43 +69,45 @@ from xugrid_tpu.regrid.gather_apply import (
     pad_sublanes,
 )
 
-#: targets per output block (16 groups -> the scatter matmul's M dim).
-M_BLOCK = 2048
+#: targets per output block.
+M_BLOCK = 1024
 
-#: rows per grid step (the matmuls' shared R dim).
-M_RSTEP = 32
+#: rows per grid step (the chunk-select matmul's M dim; must be a
+#: multiple of block//128 and <= 128 for the in-kernel one-hot build).
+M_RSTEP = 64
 
-#: chunks per resident source window.
-M_WCHUNKS = 64
+#: window-width candidates for the greedy quad cover (<= 64: the meta
+#: cid field is 6 bits).
+M_WIDTHS = (16, 32, 64)
 
-#: NaN staging sentinel: a power of two is exactly bf16-representable,
-#: so the 3-term split carries it through the select matmul bit-exact.
+#: NaN staging sentinel: a power of two survives the select matmul's
+#: f32 emulation bit-exact.
 NAN_SENTINEL = np.float32(2.0 ** 100)
 
-#: methods this engine covers (all-sum chains, overflow-safe
-#: quantities; see module docstring).
+#: methods this engine covers — the full aligned-engine set (static
+#: scatter: nothing method-specific rides the MXU).
 MXU_METHODS = (
     "mean",
     "matvec",
     "sum",
     "first_order_conservative",
     "conductance",
+    "harmonic_mean",
+    "geometric_mean",
+    "min",
+    "max",
 )
-
-#: methods with chains not gated by weight==0 need the explicit
-#: sub-slot validity mask (mirrors aligned_apply._RAW_VALUE_METHODS).
-_RAW_VALUE_METHODS = ("sum",)
 
 _DIMS = (((1,), (0,)), ((), ()))
 
 
 class MxuPlan(NamedTuple):
-    """Aligned plan + prebuilt one-hot matmul streams (all numpy)."""
+    """Quad-interleaved aligned plan + per-step cid lanes (all numpy)."""
 
-    base: AlignedPlan
-    ohc: np.ndarray   # (nsteps*r_step, 128) bf16 chunk-select one-hot
-    ohg: np.ndarray   # (nsteps*n_groups, 128) bf16 scatter one-hot
-    wabs_max: float   # max over targets of sum(|w|): staging overflow guard
+    base: AlignedPlan     # rows group-aligned: step row r -> group
+    #                       r % n_groups; plan_triplets decodes as usual
+    cidvec: np.ndarray    # (nsteps, 128) i32 window-relative chunk per
+    #                       step row (lanes >= r_step unused)
 
     @property
     def n(self) -> int:
@@ -107,14 +115,69 @@ class MxuPlan(NamedTuple):
 
 
 def mxu_supported(method: str, has_nan: bool) -> bool:
-    # matvec's lane quantities gate only on weight != 0 (finite-data
-    # SpMV contract, gather_apply._lane_quantities): a decoded NaN
-    # would enter the scatter matmul where 0*NaN poisons every group
-    # in the step — unlike the aligned engine, where it stays on the
-    # owning target.  Reject and let the aligned engine take it.
-    if method == "matvec" and has_nan:
-        return False
+    # NaN sources are sentinel-staged and decoded before the lane
+    # quantities, and the scatter is static — a NaN stays on its owning
+    # target for every method, matching the aligned engine.
     return method in MXU_METHODS
+
+
+def _decode_rows(base: AlignedPlan):
+    """Per-row (real, blk, c_abs, grp) from a built aligned plan."""
+    nrows = base.itab.shape[0]
+    meta16 = np.empty(nrows, np.int64)
+    meta = base.meta.astype(np.int64) & 0xFFFFFFFF
+    meta16[0::2] = meta & 0xFFFF
+    meta16[1::2] = meta >> 16
+    cid = meta16 & 63
+    grp = meta16 >> 6
+    step = np.arange(nrows) // base.r_step
+    c_abs = base.winc0.astype(np.int64)[step] + cid
+    blk = base.blkid.astype(np.int64)[step]
+    real = (base.itab.view(np.uint32) != 0).any(axis=1)
+    return real, blk, c_abs, grp
+
+
+def _quad_cover(blocks, w, n_groups, qs):
+    """Greedy quad/run cover at window width ``w``.
+
+    ``blocks``: list of (blk, per-group [sorted (c_abs, rid) arrays]).
+    Returns (steps_total, layout) where layout is a list of per-run
+    dicts {blk, c0, quads: [members (n_groups,) rid-or--1]} in step
+    order.
+    """
+    layout = []
+    steps_total = 0
+    for blk, glists in blocks:
+        ptr = [0] * n_groups
+        rem = sum(len(g) for g in glists)
+        c0 = None
+        run = None
+        while rem:
+            if c0 is None:
+                c0 = min(
+                    int(glists[g][ptr[g]][0])
+                    for g in range(n_groups)
+                    if ptr[g] < len(glists[g])
+                )
+                run = {"blk": blk, "c0": c0, "quads": []}
+                layout.append(run)
+            members = np.full(n_groups, -1, np.int64)
+            took = False
+            for g in range(n_groups):
+                if ptr[g] < len(glists[g]) and (
+                    int(glists[g][ptr[g]][0]) < c0 + w
+                ):
+                    members[g] = int(glists[g][ptr[g]][1])
+                    ptr[g] += 1
+                    rem -= 1
+                    took = True
+            if not took:
+                c0 = None
+                continue
+            run["quads"].append(members)
+    for run in layout:
+        steps_total += -(-len(run["quads"]) // qs)
+    return steps_total, layout
 
 
 def plan_gather_mxu(
@@ -122,61 +185,165 @@ def plan_gather_mxu(
     weights: np.ndarray | None = None,
     block: int = M_BLOCK,
     r_step: int = M_RSTEP,
-    w_chunks: int = M_WCHUNKS,
+    widths: tuple = M_WIDTHS,
     max_plan_bytes: int = 1_500_000_000,
 ) -> MxuPlan | None:
-    """Aligned plan with MXU-engine defaults plus one-hot streams, or
+    """Quad-interleaved plan via the aligned planner's row payloads, or
     None when the aligned planner rejects the shape."""
     base = plan_gather_aligned(
-        indices, weights, block, r_step, w_chunks, max_plan_bytes
+        indices, weights, block, max(r_step, 16), 64, max_plan_bytes
     )
     if base is None:
         return None
-    r_step = base.r_step
-    n_groups = base.block // GROUP
-    nrows = base.itab.shape[0]
-    nsteps = base.nsteps
+    block = base.block
+    n_groups = block // GROUP
+    if r_step % n_groups or not 1 <= r_step <= 128:
+        r_step = max(n_groups, min(128, r_step - r_step % n_groups))
+        if r_step % n_groups:
+            return None
+    qs = r_step // n_groups
 
-    # Decode per-row (cid, group) from the packed step meta.  Pad rows
-    # decode to (0, 0); their zero weights/sub-slots already make their
-    # partials exact zeros, so treating them as real rows is harmless
-    # (and keeps the one-hot build branch-free).
-    meta16 = np.empty(nrows, np.int64)
-    meta = base.meta.astype(np.int64) & 0xFFFFFFFF
-    meta16[0::2] = meta & 0xFFFF
-    meta16[1::2] = meta >> 16
-    cid = (meta16 & 63).astype(np.int64)
-    grp = (meta16 >> 6).astype(np.int64)
+    real, blk_all, c_all, grp_all = _decode_rows(base)
+    rids = np.flatnonzero(real)
+    if len(rids) == 0:
+        return None
+    blk_r = blk_all[rids]
+    c_r = c_all[rids]
+    grp_r = grp_all[rids]
+    # c_abs lookup by ORIGINAL row id (quad members carry rids).
+    c_of = np.zeros(base.itab.shape[0], np.int64)
+    c_of[rids] = c_r
 
-    ohc32 = np.zeros((nrows, 128), np.float32)
-    ohc32[np.arange(nrows), cid] = 1.0
-    step = np.arange(nrows) // r_step
-    ohg32 = np.zeros((nsteps * n_groups, 128), np.float32)
-    ohg32[step * n_groups + grp, np.arange(nrows) % r_step] = 1.0
+    n_blocks = len(base.rwsum) // block
+    # Per (block, group) sorted row lists.
+    order = np.lexsort((rids, c_r, grp_r, blk_r))
+    sblk, sgrp, sc, srid = (
+        blk_r[order], grp_r[order], c_r[order], rids[order]
+    )
+    blocks = []
+    present = np.zeros(n_blocks, bool)
+    bstart = np.flatnonzero(
+        np.concatenate(([True], sblk[1:] != sblk[:-1]))
+    )
+    bend = np.concatenate((bstart[1:], [len(sblk)]))
+    for s, e in zip(bstart, bend):
+        b = int(sblk[s])
+        present[b] = True
+        glists = []
+        for g in range(n_groups):
+            m = sgrp[s:e] == g
+            glists.append(
+                np.stack([sc[s:e][m], srid[s:e][m]], axis=1)
+                if m.any()
+                else np.zeros((0, 2), np.int64)
+            )
+        blocks.append((b, glists))
 
-    # Per-target Σ|w| bound for the staging overflow guard: an inf
-    # partial would turn into 0*inf = NaN inside the scatter matmul and
-    # corrupt every group in its step (not just the overflowing target
-    # as on the aligned engine).
-    if weights is None:
-        wabs_max = 0.0
-    else:
-        wabs_max = float(
-            np.abs(np.where(indices >= 0, weights, 0.0)).sum(axis=1).max()
+    # Narrowest width whose step count stays within 15% of the widest's
+    # (same rule as the aligned planner's adaptive window).
+    cands = {}
+    for w in widths:
+        cands[w] = _quad_cover(blocks, w, n_groups, qs)
+    base_steps = cands[max(widths)][0]
+    w_chunks = max(widths)
+    for w in sorted(cands):
+        if cands[w][0] <= base_steps * 1.15:
+            w_chunks = w
+            break
+    steps_filled, layout = cands[w_chunks]
+
+    missing = np.flatnonzero(~present)
+    n_real = steps_filled + len(missing)
+    gran = 1 << max(4, n_real.bit_length() - 5)
+    nsteps = -(-n_real // gran) * gran
+    if nsteps * r_step * (2 + Q_PACK) * 128 * 4 > max_plan_bytes:
+        return None
+
+    blkid = np.empty(nsteps, np.int32)
+    winc0 = np.empty(nsteps, np.int32)
+    wchg = np.zeros(nsteps, bool)
+    cidvec = np.zeros((nsteps, 128), np.int32)
+    itab = np.zeros((nsteps * r_step, 128), np.int32)
+    wtab = np.zeros((nsteps * r_step * Q_PACK, 128), np.float32)
+    meta_arr = np.zeros(nsteps * r_step, np.int64)
+
+    s = 0
+    run_c0s = []
+    run_first_step = []
+    for run in layout:
+        nq = len(run["quads"])
+        nst = -(-nq // qs)
+        run_c0s.append(run["c0"])
+        run_first_step.append(s)
+        blkid[s:s + nst] = run["blk"]
+        winc0[s:s + nst] = run["c0"]
+        wchg[s] = True
+        members = np.full((nst * qs, n_groups), -1, np.int64)
+        members[:nq] = np.stack(run["quads"])
+        rows = members.reshape(-1)            # step-row order
+        slots = np.arange(s * r_step, (s + nst) * r_step)
+        realm = rows >= 0
+        rr = rows[realm]
+        ss = slots[realm]
+        itab[ss] = base.itab[rr]
+        wq = (
+            rr[:, None] * Q_PACK + np.arange(Q_PACK)[None, :]
+        ).reshape(-1)
+        sq = (
+            ss[:, None] * Q_PACK + np.arange(Q_PACK)[None, :]
+        ).reshape(-1)
+        wtab[sq] = base.wtab[wq]
+        # window-relative cid for the one-hot + meta (oracle decode)
+        c_abs_rows = np.zeros(len(rows), np.int64)
+        c_abs_rows[realm] = c_of[rr]
+        cidr = np.where(realm, c_abs_rows - run["c0"], 0)
+        cidvec[s:s + nst, :r_step] = cidr.reshape(nst, r_step).astype(
+            np.int32
         )
+        grp_rows = np.tile(np.arange(n_groups), nst * qs)
+        meta_arr[slots] = np.where(
+            realm, cidr | (grp_rows << 6), grp_rows << 6
+        )
+        s += nst
+    # Neutral steps for entry-less blocks (flush NaN via zero rwsum).
+    prev_c0 = run_c0s[-1] if run_c0s else 0
+    for b in missing:
+        blkid[s] = b
+        winc0[s] = prev_c0
+        s += 1
+    blkid[s:] = blkid[s - 1]
+    winc0[s:] = winc0[s - 1]
 
-    bf16 = jnp.bfloat16
-    return MxuPlan(base=base, ohc=ohc32.astype(bf16),
-                   ohg=ohg32.astype(bf16), wabs_max=wabs_max)
+    # Double-buffer run bookkeeping (same encoding as the aligned plan).
+    runid = np.cumsum(wchg) - 1
+    if not wchg.any():
+        return None
+    run_c0 = winc0[wchg].astype(np.int64)
+    nxt = np.full(len(run_c0), -1, np.int64)
+    nxt[:-1] = run_c0[1:]
+    slot = np.arange(len(run_c0), dtype=np.int64) & 1
+    runid = np.maximum(runid, 0)
+    wmeta = (
+        slot[runid]
+        | (wchg.astype(np.int64) << 1)
+        | ((nxt[runid] + 1) << 2)
+    ).astype(np.int32)
 
-
-def _split3(x):
-    """Exact 3-term bf16 decomposition of f32 (8+8+8 mantissa bits)."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
+    newbase = AlignedPlan(
+        blkid=blkid,
+        winc0=winc0,
+        wmeta=wmeta,
+        meta=meta,
+        itab=itab,
+        wtab=wtab,
+        rwsum=base.rwsum,
+        n=base.n,
+        block=block,
+        r_step=r_step,
+        w_chunks=w_chunks,
+    )
+    return MxuPlan(base=newbase, cidvec=cidvec)
 
 
 def _make_mxu_kernel(
@@ -190,14 +357,14 @@ def _make_mxu_kernel(
 ):
     chains = _chains(method, has_nan)
     nc = len(chains)
-    if any(kind != "sum" for _, kind in chains):
-        raise ValueError(f"mxu engine: non-sum chains in {method!r}")
+    kinds = [kind for _, kind in chains]
     n_groups = block // GROUP
+    qs = r_step // n_groups
     need_mask = method in _RAW_VALUE_METHODS
 
     def kernel(
         blkid_ref, wmeta_ref, winc0_ref,          # SMEM prefetch
-        itab_ref, wtab_ref, ohc_ref, ohg_ref, rwsum_ref,
+        cid_ref, itab_ref, wtab_ref, rwsum_ref,
         src_hbm, out_ref,
         slabs, acc, sem0, sem1,
     ):
@@ -261,19 +428,36 @@ def _make_mxu_kernel(
                 sem0,
             ).start()
 
+        initrow = jnp.concatenate(
+            [
+                jnp.full((e_sub, 128), _neutral(kind), jnp.float32)
+                for kind in kinds
+            ],
+            axis=0,
+        )
+
         @pl.when(is_first)
         def _init():
-            acc[...] = jnp.zeros(
-                (n_groups, nc * e_sub, 128), jnp.float32
+            acc[...] = jnp.broadcast_to(
+                initrow[None], (n_groups, nc * e_sub, 128)
             )
 
-        # --- chunk-select matmul: r_step slab rows in one op ---------
+        # --- in-kernel one-hot + chunk-select matmul ------------------
+        cidcol = cid_ref[...].reshape(1, 128).reshape(128, 1)
+        #                                             # lane -> sublane
+        iota_w = jax.lax.broadcasted_iota(
+            jnp.int32, (128, w_chunks), 1
+        )
+        ohf = (cidcol == iota_w).astype(jnp.float32)[:r_step]
         slab_cur = slabs[pl.ds(slot * w_chunks, w_chunks)]
-        oh = ohc_ref[:, :w_chunks]                    # (R, W) bf16
-        sel = jnp.zeros((r_step, e_sub, 128), jnp.float32)
-        for part in _split3(slab_cur):
-            sel = sel + jax.lax.dot_general(
-                oh, part, _DIMS, preferred_element_type=jnp.float32
+        sel = jax.lax.dot_general(
+            ohf, slab_cur, _DIMS,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )                                             # (R, e_sub, 128)
+        if has_nan:
+            sel = jnp.where(
+                sel == NAN_SENTINEL, jnp.float32(jnp.nan), sel
             )
 
         # --- fused sub-slot gather over all rows ----------------------
@@ -300,32 +484,51 @@ def _make_mxu_kernel(
 
         idxQ = expand(byte4 & 127)
         val = jnp.take_along_axis(rowsQ, idxQ, axis=1)
-        if has_nan:
-            val = jnp.where(
-                val == NAN_SENTINEL, jnp.float32(jnp.nan), val
-            )
         wQ = expand(wtab_ref[...])
-        qs = _lane_quantities(method, has_nan, val, wQ)
+        qlist = _lane_quantities(method, has_nan, val, wQ)
         if need_mask:
             okQ = expand(byte4 >= 128)
-            qs = [jnp.where(okQ, q, 0.0) for q in qs]
+            qlist = [
+                jnp.where(okQ, q, jnp.float32(_neutral(kind)))
+                for q, kind in zip(qlist, kinds)
+            ]
 
-        # --- Q-reduce + scatter matmul --------------------------------
+        # --- static Q-reduce + quad scatter ---------------------------
         parts = []
-        for q in qs:
-            x = q.reshape(r_step, Q_PACK * e_sub, 128)
-            tot = x[:, :e_sub]
-            for k in range(1, Q_PACK):
-                tot = tot + x[:, k * e_sub:(k + 1) * e_sub]
-            parts.append(tot)                         # (R, e_sub, 128)
-        P = jnp.concatenate(parts, axis=1) if nc > 1 else parts[0]
-        ohg = ohg_ref[:, :r_step]                     # (G, R) bf16
-        scat = jnp.zeros((n_groups, nc * e_sub, 128), jnp.float32)
-        for part in _split3(P):
-            scat = scat + jax.lax.dot_general(
-                ohg, part, _DIMS, preferred_element_type=jnp.float32
+        for q, kind in zip(qlist, kinds):
+            x = q.reshape(r_step, Q_PACK, e_sub, 128)
+            tot = _combine(
+                kind,
+                _combine(kind, x[:, 0], x[:, 1]),
+                _combine(kind, x[:, 2], x[:, 3]),
+            )                                         # (R, e_sub, 128)
+            quad = tot.reshape(qs, n_groups, e_sub, 128)
+            red = quad[0]
+            for k in range(1, qs):
+                red = _combine(kind, red, quad[k])
+            parts.append(red)                         # (G, e_sub, 128)
+        scat = jnp.concatenate(parts, axis=1) if nc > 1 else parts[0]
+
+        cur = acc[...]
+        if len(set(kinds)) == 1:
+            new = _combine(kinds[0], cur, scat)
+        else:
+            bandc = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (n_groups, nc * e_sub, 128), 1
+                )
+                // e_sub
             )
-        acc[...] = acc[...] + scat
+            minmask = jnp.zeros((n_groups, nc * e_sub, 128), bool)
+            for ci, kind in enumerate(kinds):
+                if kind == "min":
+                    minmask = jnp.logical_or(minmask, bandc == ci)
+            new = jnp.where(
+                minmask,
+                jnp.minimum(cur, scat),
+                jnp.maximum(cur, scat),
+            )
+        acc[...] = new
 
         @pl.when(is_last)
         def _flush():
@@ -351,12 +554,12 @@ def _make_mxu_kernel(
     ),
 )
 def gather_mxu_apply(
-    srcE, blkid, wmeta, winc0, itab, wtab, ohc, ohg, rwsum,
+    srcE, blkid, wmeta, winc0, cidvec, itab, wtab, rwsum,
     method: str = "mean",
     has_nan: bool = True,
     block: int = M_BLOCK,
     r_step: int = M_RSTEP,
-    w_chunks: int = M_WCHUNKS,
+    w_chunks: int = 64,
     n_blocks: int = 1,
     interpret: bool = False,
 ):
@@ -374,10 +577,11 @@ def gather_mxu_apply(
         num_scalar_prefetch=3,
         grid=(nsteps,),
         in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((r_step, 128), lambda i, *_: (i, 0)),
-            pl.BlockSpec((r_step * Q_PACK, 128), lambda i, *_: (i, 0)),
-            pl.BlockSpec((r_step, 128), lambda i, *_: (i, 0)),
-            pl.BlockSpec((n_groups, 128), lambda i, *_: (i, 0)),
+            pl.BlockSpec(
+                (r_step * Q_PACK, 128), lambda i, *_: (i, 0)
+            ),
             pl.BlockSpec((1, block), lambda i, blk, *_: (0, blk[i])),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -405,8 +609,8 @@ def gather_mxu_apply(
         ),
         interpret=interpret,
     )(
-        blkid, wmeta, winc0, itab, wtab, ohc, ohg,
-        rwsum.reshape(1, -1), chunks,
+        blkid, wmeta, winc0, cidvec.reshape(nsteps, 1, 128),
+        itab, wtab, rwsum.reshape(1, -1), chunks,
     )
 
 
@@ -414,8 +618,9 @@ def stage_source_mxu(
     source2d: np.ndarray, plan: MxuPlan, has_nan: bool
 ) -> np.ndarray | None:
     """(n_extra, m) -> (e_sub, m_pad) staged with NaNs sentinel-encoded,
-    or None when the source defeats the matmul path (±inf, or real data
-    colliding with the sentinel)."""
+    or None when the source defeats the select matmul (±inf, or real
+    data colliding with the sentinel: 0*inf = NaN would poison whole
+    tiles)."""
     base = plan.base
     n_extra, m = source2d.shape
     e_sub = pad_sublanes(n_extra)
@@ -432,18 +637,10 @@ def stage_source_mxu(
             np.abs(sl[~nanm]) >= NAN_SENTINEL
         ).any():
             return None
-        vmax = float(np.abs(sl[~nanm]).max()) if (~nanm).any() else 0.0
         sl[nanm] = NAN_SENTINEL
     else:
         if not np.isfinite(source2d).all():
             return None
-        vmax = float(np.abs(source2d).max()) if source2d.size else 0.0
-    # Overflow guard: a single f32-inf partial (w*val, or a target's
-    # running sum) becomes 0*inf = NaN inside the scatter matmul and
-    # poisons the whole step.  Σ|w|·max|v| bounds every partial; keep a
-    # 8x margin under f32 max.
-    if plan.wabs_max * vmax > 3.4e38 / 8.0:
-        return None
     return out
 
 
@@ -469,10 +666,9 @@ def mxu_apply(
         jnp.asarray(base.blkid),
         jnp.asarray(base.wmeta),
         jnp.asarray(base.winc0),
+        jnp.asarray(plan.cidvec),
         jnp.asarray(base.itab),
         jnp.asarray(base.wtab),
-        jnp.asarray(plan.ohc),
-        jnp.asarray(plan.ohg),
         jnp.asarray(base.rwsum),
         method=method,
         has_nan=bool(has_nan),

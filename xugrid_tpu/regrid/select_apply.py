@@ -139,6 +139,10 @@ class SplitSelectPlan(NamedTuple):
     big_mask: np.ndarray  # (n,) bool: targets the `big` plan covers
     n: int
 
+    def plans(self):
+        """The component single plans, in apply order."""
+        return (self.small, self.big)
+
 
 #: tail fraction above which a dmax split stops paying for its second
 #: kernel launch + plan stream.
