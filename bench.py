@@ -282,95 +282,6 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"gather path unavailable: {exc!r}", file=sys.stderr)
 
-    # --- Pallas dense quad-packed apply (round-3 flagship) ---------------
-    dense_apply_s = None
-    dense_min_s = None
-    dense_e128_s = None
-    dense_dma_bytes = None
-    try:
-        from xugrid_tpu.regrid.dense_apply import (
-            gather_dense_apply,
-            plan_gather_dense,
-            stage_source_dense,
-        )
-        from xugrid_tpu.regrid.gather_apply import (
-            pad_sublanes as _pad_sub_d,
-        )
-
-        dplan = plan_gather_dense(padded.indices, padded.weights)
-        if dplan is not None and jax.default_backend() == "tpu":
-            e_sub_d = _pad_sub_d(n_extra)
-            n_runs = int((np.diff(dplan.winc0) != 0).sum()) + 1
-            dense_dma_bytes = int(
-                n_runs * dplan.w_chunks * e_sub_d * 128 * 4  # window slabs
-                + dplan.ptab.size * 4                        # row tables
-                + len(dplan.rwsum) * e_sub_d * 4             # output
-                + len(dplan.rwsum) * 4                       # rwsum rows
-            )
-
-            def time_dense(src2d, method, n_reps):
-                srcE = stage_source_dense(src2d, dplan)
-
-                @partial(
-                    jax.jit,
-                    static_argnames=(
-                        "method", "scan_steps", "block", "r_step",
-                        "w_chunks", "n_blocks", "n_reps",
-                    ),
-                )
-                def reps_fn(srcE, blkid, wmeta, winc0, meta, ptab, rw,
-                            method, scan_steps, block, r_step, w_chunks,
-                            n_blocks, n_reps):
-                    def body(i, carry):
-                        src, acc = carry
-                        out = gather_dense_apply(
-                            src, blkid, wmeta, winc0, meta, ptab, rw,
-                            method=method, has_nan=False,
-                            scan_steps=scan_steps, block=block,
-                            r_step=r_step, w_chunks=w_chunks,
-                            n_blocks=n_blocks,
-                        )
-                        acc = acc + jnp.nansum(out)
-                        src = src.at[0, 0].add(src.dtype.type(1e-12))
-                        return (src, acc)
-
-                    _, acc = jax.lax.fori_loop(
-                        0, n_reps, body, (srcE, jnp.float32(0.0))
-                    )
-                    return acc
-
-                dargs = (
-                    jnp.asarray(srcE), jnp.asarray(dplan.blkid),
-                    jnp.asarray(dplan.wmeta), jnp.asarray(dplan.winc0),
-                    jnp.asarray(dplan.meta), jnp.asarray(dplan.ptab),
-                    jnp.asarray(dplan.rwsum),
-                )
-                statics = (
-                    method, dplan.scan_steps, dplan.block, dplan.r_step,
-                    dplan.w_chunks, len(dplan.rwsum) // dplan.block,
-                )
-                _ = float(reps_fn(*dargs, *statics, n_reps))
-                t0 = time.perf_counter()
-                _ = float(reps_fn(*dargs, *statics, n_reps))
-                return (time.perf_counter() - t0) / n_reps
-
-            dense_apply_s = time_dense(source, "mean", reps)
-            dense_min_s = time_dense(source, "min", reps)
-            if grid.n_face * 128 * 4 * 3 < 8e9:
-                try:
-                    src128d = rng.normal(
-                        size=(128, grid.n_face)
-                    ).astype(np.float32)
-                    dense_e128_s = time_dense(
-                        src128d, "mean", max(2, reps // 2)
-                    )
-                    del src128d
-                except Exception as exc:  # pragma: no cover
-                    print(f"dense e128 variant unavailable: {exc!r}",
-                          file=sys.stderr)
-    except Exception as exc:  # pragma: no cover - perf fallback only
-        print(f"dense path unavailable: {exc!r}", file=sys.stderr)
-
     # --- Pallas target-aligned banded apply (round-3 latency attack) ----
     aligned_apply_s = None
     aligned_min_s = None
@@ -462,54 +373,6 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"aligned path unavailable: {exc!r}", file=sys.stderr)
 
-    # --- Pallas one-hot slab apply (secondary kernel) -------------------
-    pallas_apply_s = None
-    try:
-        from xugrid_tpu.regrid.pallas_apply import (
-            pad_for_plan,
-            pallas_windowed_apply,
-            plan_auto,
-        )
-
-        plan = plan_auto(padded.indices, padded.weights)
-        if plan is not None and jax.default_backend() == "tpu":
-            E_pallas = 128
-            srcT_pallas = np.zeros((grid.n_face, E_pallas), np.float32)
-            srcT_pallas[:, :n_extra] = source.T
-            srcT_p = pad_for_plan(srcT_pallas, plan)
-
-            @partial(jax.jit, static_argnums=(7, 8, 9))
-            def pallas_reps(srcT, idx, w, st, ns, jl, jh, blk, meth, n_reps):
-                def body(i, carry):
-                    src, acc = carry
-                    out = pallas_windowed_apply(
-                        src, idx, w, st, ns, jl, jh, blk, meth, False,
-                    )
-                    acc = acc + jnp.nansum(out)
-                    src = src.at[0, 0].add(jnp.float32(1e-12))
-                    return (src, acc)
-
-                _, acc = jax.lax.fori_loop(
-                    0, n_reps, body, (srcT, jnp.float32(0.0))
-                )
-                return acc
-
-            dargs = (
-                jnp.asarray(srcT_p),
-                jnp.asarray(plan.indices),
-                jnp.asarray(plan.weights),
-                jnp.asarray(plan.starts),
-                jnp.asarray(plan.n_subs),
-                jnp.asarray(plan.j_lo),
-                jnp.asarray(plan.j_hi),
-            )
-            _ = float(pallas_reps(*dargs, plan.block, "mean", reps))
-            t0 = time.perf_counter()
-            _ = float(pallas_reps(*dargs, plan.block, "mean", reps))
-            pallas_apply_s = (time.perf_counter() - t0) / reps
-    except Exception as exc:  # pragma: no cover - perf fallback only
-        print(f"pallas path unavailable: {exc!r}", file=sys.stderr)
-
     # --- Pallas selection kernel (median: order-statistic family) -------
     select_median_s = None
     try:
@@ -589,13 +452,9 @@ def main():
         print(f"select path unavailable: {exc!r}", file=sys.stderr)
 
     best_apply_s = xla_apply_s
-    for cand in (
-        pallas_apply_s, gather_apply_s, dense_apply_s, aligned_apply_s
-    ):
+    for cand in (gather_apply_s, aligned_apply_s):
         if cand is not None and cand < best_apply_s:
             best_apply_s = cand
-    if dense_apply_s is not None and dense_apply_s == best_apply_s:
-        dma_bytes = dense_dma_bytes
     if aligned_apply_s is not None and aligned_apply_s == best_apply_s:
         dma_bytes = aligned_dma_bytes
     apply_gbps = true_bytes / best_apply_s / 1e9
@@ -689,23 +548,6 @@ def main():
             if gather_e128_s is not None
             else None
         ),
-        "dense_apply_s_per_pass": (
-            round(dense_apply_s, 4) if dense_apply_s is not None else None
-        ),
-        "dense_min_s_per_pass": (
-            round(dense_min_s, 4) if dense_min_s is not None else None
-        ),
-        "dense_e128_s_per_pass": (
-            round(dense_e128_s, 4) if dense_e128_s is not None else None
-        ),
-        "dense_e128_gbps_true": (
-            round(
-                (csr.nnz * 8 + (grid.n_face + target.n_face) * 128 * 4)
-                / dense_e128_s / 1e9, 1,
-            )
-            if dense_e128_s is not None
-            else None
-        ),
         "aligned_apply_s_per_pass": (
             round(aligned_apply_s, 4)
             if aligned_apply_s is not None
@@ -728,9 +570,6 @@ def main():
             )
             if aligned_e128_s is not None
             else None
-        ),
-        "pallas_apply_s_per_pass": (
-            round(pallas_apply_s, 4) if pallas_apply_s is not None else None
         ),
         "select_median_s_per_pass": (
             round(select_median_s, 4)

@@ -82,9 +82,6 @@ def main():
     if ENGINE == "select":
         run_select(padded, source, true_bytes)
         return
-    if ENGINE == "dense":
-        run_dense(padded, source, true_bytes, grid)
-        return
     if ENGINE == "aligned":
         run_aligned(padded, source, true_bytes, grid)
         return
@@ -309,74 +306,6 @@ def main():
 
     check_against_xla(source, padded, plan, grid)
 
-
-def run_dense(padded, source, true_bytes, grid):
-    """Time the dense quad-packed engine."""
-    from xugrid_tpu.regrid.dense_apply import (
-        gather_dense_apply,
-        plan_gather_dense,
-        stage_source_dense,
-    )
-
-    t0 = time.perf_counter()
-    plan = plan_gather_dense(padded.indices, padded.weights)
-    print(f"plan[dense]: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
-    if plan is None:
-        print("PLAN REJECTED")
-        return
-    nnz = int((padded.indices >= 0).sum())
-    nsteps = plan.nsteps
-    print(
-        f"plan: nsteps={nsteps} r_step={plan.r_step} "
-        f"w_chunks={plan.w_chunks} scan_steps={plan.scan_steps} "
-        f"nnz={nnz} "
-        f"lane_eff={nnz/(nsteps*plan.r_step*127*4):.2f}",
-        file=sys.stderr,
-    )
-    srcE = stage_source_dense(source, plan)
-    n_blocks = len(plan.rwsum) // plan.block
-
-    @partial(jax.jit, static_argnames=(
-        "method", "scan_steps", "block", "r_step", "w_chunks",
-        "n_blocks", "n_reps"))
-    def dense_reps(srcE, blkid, wmeta, winc0, meta, ptab, rwsum,
-                   method, scan_steps, block, r_step, w_chunks,
-                   n_blocks, n_reps):
-        def body(i, acc):
-            out = gather_dense_apply(
-                srcE + i.astype(srcE.dtype) * 1e-12,
-                blkid, wmeta, winc0, meta, ptab, rwsum,
-                method=method, has_nan=False,
-                scan_steps=scan_steps, block=block, r_step=r_step,
-                w_chunks=w_chunks, n_blocks=n_blocks,
-            )
-            return acc + jnp.nansum(out)
-
-        import jax.lax as lax
-        return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
-
-    reps = 10
-    dargs = (
-        jnp.asarray(srcE), jnp.asarray(plan.blkid),
-        jnp.asarray(plan.wmeta), jnp.asarray(plan.winc0),
-        jnp.asarray(plan.meta), jnp.asarray(plan.ptab),
-        jnp.asarray(plan.rwsum),
-    )
-    statics = (METHOD, plan.scan_steps, plan.block, plan.r_step,
-               plan.w_chunks, n_blocks)
-    t0 = time.perf_counter()
-    cs = float(dense_reps(*dargs, *statics, reps))
-    print(f"compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    cs = float(dense_reps(*dargs, *statics, reps))
-    dt = (time.perf_counter() - t0) / reps
-    gbps = true_bytes / dt / 1e9
-    print(
-        f"dense kernel [{METHOD} E={N_EXTRA} r_step={plan.r_step}]: "
-        f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
-        f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
-    )
-    check_against_xla(source, padded, plan, grid)
 
 
 def run_aligned(padded, source, true_bytes, grid):

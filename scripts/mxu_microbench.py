@@ -78,6 +78,23 @@ def make_kernel(op):
                     preferred_element_type=jnp.float32,
                 )
                 acc[...] = acc[...] + sel
+            elif op == "mmHsel":
+                # f32 HIGHEST-precision rank-3 select (6 passes).
+                x = slab_ref[pl.ds(base, W)]
+                sel = jax.lax.dot_general(
+                    oh_ref[...].astype(jnp.float32), x, DIMS,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                acc[...] = acc[...] + sel
+            elif op == "mmHsel2d":
+                x = slab2_ref[pl.ds(base, W)]
+                sel = jax.lax.dot_general(
+                    oh_ref[...].astype(jnp.float32), x, DIMS,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                acc2[...] = acc2[...] + sel.reshape(1, R, E * 128)
             elif op == "mm3sel":
                 x = slab_ref[pl.ds(base, W)]
                 sel = jnp.zeros((R, E, 128), jnp.float32)

@@ -114,15 +114,14 @@ def test_engine_empty_blocks(method, engine):
     "shape",
     ["sparse_random", "longrun_scan", "wide_window"],
 )
-def test_dense_engine_adversarial_shapes(shape):
-    """Kernel parity on the dense engine's hard structural paths:
-    sparse targets per chunk (row sub-split, two-group tails), long
-    per-(target, chunk) runs (residual packed-lane scan), and windows
-    straddling more chunks than one resident slab (window-cover DMA
-    runs)."""
-    from xugrid_tpu.regrid.dense_apply import (
-        dense_apply,
-        plan_gather_dense,
+def test_mxu_engine_adversarial_shapes(shape):
+    """Kernel parity on the MXU engine's hard structural paths:
+    sparse targets per chunk, long per-(target, chunk) runs (spill
+    rows), and windows straddling more chunks than one resident slab
+    (window-cover DMA runs across quad runs)."""
+    from xugrid_tpu.regrid.mxu_apply import (
+        mxu_apply,
+        plan_gather_mxu,
     )
 
     rng = np.random.default_rng(11)
@@ -151,33 +150,31 @@ def test_dense_engine_adversarial_shapes(shape):
 
     src = rng.normal(size=(3, m)).astype(np.float32) + 2
     src[rng.random(src.shape) < 0.12] = np.nan
-    plan = plan_gather_dense(indices, weights)
+    plan = plan_gather_mxu(indices, weights)
     assert plan is not None
-    if shape == "longrun_scan":
-        assert plan.scan_steps >= 3
-    got = dense_apply(src, plan, "mean", has_nan=True, interpret=True)
+    got = mxu_apply(src, plan, "mean", has_nan=True, interpret=True)
     want = oracle_apply("mean", indices, weights, src)
     np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
 
-def test_dense_geometric_mean_ignores_unselected_negatives():
+def test_mxu_geometric_mean_ignores_unselected_negatives():
     """Invalid quad sub-slots gather lane-local index 0 of their
     chunk; geometric_mean's negs chain is not weight-gated, so those
     garbage gathers must be masked explicitly (regression: a negative
     value at a chunk's first lane poisoned every touching target to
     NaN even though no window selected it)."""
-    from xugrid_tpu.regrid.dense_apply import (
-        dense_apply,
-        plan_gather_dense,
+    from xugrid_tpu.regrid.mxu_apply import (
+        mxu_apply,
+        plan_gather_mxu,
     )
 
     indices = np.array([[3], [4], [5], [6]])
     weights = np.ones((4, 1), np.float32)
     src = np.arange(1, 129, dtype=np.float32)[None]
     src[0, 0] = -5.0
-    plan = plan_gather_dense(indices, weights)
-    got = dense_apply(
+    plan = plan_gather_mxu(indices, weights)
+    got = mxu_apply(
         src, plan, "geometric_mean", has_nan=False, interpret=True
     )
     np.testing.assert_allclose(
@@ -185,12 +182,11 @@ def test_dense_geometric_mean_ignores_unselected_negatives():
     )
 
 
-def test_dense_matvec_block_1024():
-    """The CG matvec must honor non-default plan block widths (plans
-    auto-widen to 1024-target blocks past the SMEM step floor)."""
-    from xugrid_tpu.regrid.dense_apply import (
-        dense_apply,
-        plan_gather_dense,
+def test_mxu_matvec_block_512():
+    """The MXU engine must honor non-default plan block widths."""
+    from xugrid_tpu.regrid.mxu_apply import (
+        mxu_apply,
+        plan_gather_mxu,
     )
 
     rng = np.random.default_rng(4)
@@ -201,9 +197,9 @@ def test_dense_matvec_block_1024():
     )
     weights = rng.uniform(-1, 2, (n, w)).astype(np.float32)
     src = rng.normal(size=(2, m)).astype(np.float32)
-    plan = plan_gather_dense(indices, weights, block=1024)
-    assert plan is not None and plan.block == 1024
-    got = dense_apply(src, plan, "matvec", has_nan=False, interpret=True)
+    plan = plan_gather_mxu(indices, weights, block=512)
+    assert plan is not None and plan.base.block == 512
+    got = mxu_apply(src, plan, "matvec", has_nan=False, interpret=True)
     want = np.einsum(
         "nw,enw->ne", weights, src[:, np.maximum(indices, 0)]
     )
@@ -331,29 +327,6 @@ def test_aligned_plan_roundtrip():
     )
     assert got == want
 
-
-def test_dense_plan_roundtrip():
-    """The dense quad-packed plan decodes back to exactly the input
-    (target, source, weight) triplet set."""
-    from xugrid_tpu.regrid.dense_apply import (
-        plan_gather_dense,
-        plan_triplets,
-    )
-
-    indices, weights, _ = make_case(n=2100, m=2500, w=8, seed=5)
-    plan = plan_gather_dense(indices, weights)
-    assert plan is not None
-    ti, si, wi = plan_triplets(plan)
-    got = sorted(zip(ti.tolist(), si.tolist(), wi.tolist()))
-    rows, cols = np.nonzero(indices >= 0)
-    want = sorted(
-        zip(
-            rows.tolist(),
-            indices[rows, cols].tolist(),
-            weights[rows, cols].tolist(),
-        )
-    )
-    assert got == want
 
 
 @pytest.mark.parametrize("force", ["0", "1"])

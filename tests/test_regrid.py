@@ -545,18 +545,18 @@ class TestChunkedApply:
 
 
 def test_plan_cache_reused_across_chunks(monkeypatch):
-    """The Pallas slab plan is computed once per weight set, not per
+    """The Pallas gather plan is computed once per weight set, not per
     chunk/apply (review regression)."""
-    import xugrid_tpu.regrid.pallas_apply as pa
+    import xugrid_tpu.regrid.gather_apply as ga
 
     calls = {"n": 0}
-    original = pa.plan_auto
+    original = ga.plan_default
 
     def counting(*args, **kwargs):
         calls["n"] += 1
         return original(*args, **kwargs)
 
-    monkeypatch.setattr(pa, "plan_auto", counting)
+    monkeypatch.setattr(ga, "plan_default", counting)
     # Route apply.py through the patched symbol.
     import xugrid_tpu.regrid.apply as apply_mod
 

@@ -1,6 +1,6 @@
 """Target-aligned banded gather engine (round-3 latency attack).
 
-The dense quad-packed engine (dense_apply.py) spends ~8 serialized
+The retired dense quad-packed engine (round 3) spent ~8 serialized
 lane-gather ops per row: four sub-slot value gathers plus segment-end
 routing gathers per chain, and TPU ``dynamic_gather`` issue overhead
 (~20-80 ns/op regardless of sublane count — scripts/gather_microbench)
@@ -34,6 +34,7 @@ Plan arrays are all-numpy and reusable across applies.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -73,7 +74,7 @@ R_BATCH = 8
 A_BLOCK = 512
 
 #: methods with at least one chain not gated by weight==0 need the
-#: explicit bit-7 sub-slot mask (see dense_apply._RAW_VALUE_METHODS).
+#: explicit bit-7 sub-slot mask (raw-value chains ignore weights).
 _RAW_VALUE_METHODS = ("sum", "min", "max", "geometric_mean")
 
 
@@ -229,10 +230,13 @@ def plan_gather_aligned(
             start |= newstart
         return start
 
-    # Adaptive window width: the DMA streams w_chunks whole chunks per
-    # bucket run, so a 64-chunk window over ~16-chunk real spans wastes
-    # 4x HBM traffic.  Pick the narrowest width whose extra bucket
-    # padding stays under 15% of the widest-window step count.
+    # Adaptive window width.  Total window DMA BYTES are width-invariant
+    # (runs scale as 1/w while each run streams w chunks), but each run
+    # costs ~2 us of issue/wait latency on the double-buffered schedule
+    # (measured: scripts/dma_probe.py — the w=16 schedule alone moves
+    # 149 MB at only 104 GB/s).  So prefer the width minimizing
+    # steps + runs (a run's latency ~ one grid step), not the narrowest
+    # window as in round 3.  XUGRID_TPU_ALIGNED_W forces a width.
     def _steps_of(start):
         bucket_start = start | firstB
         bid = np.cumsum(bucket_start) - 1
@@ -241,18 +245,21 @@ def plan_gather_aligned(
             (-(-rows_b // r_step)).sum()
         )
 
+    forced = os.environ.get("XUGRID_TPU_ALIGNED_W", "")
     cands = {}
     for w in (w_chunks, w_chunks // 2, w_chunks // 4):
         if w < 4:
             continue
         start_w = _cover(w)
         cands[w] = (start_w, *_steps_of(start_w))
-    base_steps = cands[w_chunks][4]
-    best_w = w_chunks
-    for w, (_, _, _, _, st) in sorted(cands.items()):
-        if st <= base_steps * 1.15:
-            best_w = w
-            break
+    if forced and int(forced) in cands:
+        best_w = int(forced)
+    else:
+        def _cost(item):
+            w, (start_w, _, _, _, st) = item
+            runs = int(start_w.sum())
+            return st + runs
+        best_w = min(cands.items(), key=_cost)[0]
     w_chunks = best_w
     start, bucket_start, bid_r, rows_b, _ = cands[w_chunks]
     winc0_r = _seg_propagate(c_r, start)
@@ -435,8 +442,7 @@ def _make_aligned_kernel(
         nxt_c0 = (wm >> 2) - 1
 
         # Double-buffered window DMA: run k computes from slab half
-        # k&1 while run k+1 streams into the other half (same scheme
-        # as dense_apply).
+        # k&1 while run k+1 streams into the other half.
         @pl.when(i == 0)
         def _boot():
             pltpu.make_async_copy(

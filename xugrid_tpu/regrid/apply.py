@@ -96,7 +96,7 @@ def _pallas_method(reduction, source2d):
         reduce.harmonic_mean: "harmonic_mean",
         reduce.geometric_mean: "geometric_mean",
         # selection pair — covered by the gather-packet kernel only
-        # (apply_windowed_pallas rejects them and falls through to XLA)
+        # (the gather engines reject them and fall through to XLA)
         reduce.minimum: "min",
         reduce.maximum: "max",
         # rides the gather kernel's max chain over a plan-side filtered
@@ -217,9 +217,9 @@ def apply_weights(
 
     method, has_nan = _pallas_method(reduction, source2d)
     if method is not None:
-        # Primary TPU path: the gather-packet kernel (covers the linear
-        # family AND min/max).  The one-hot slab kernel remains as the
-        # secondary path, the XLA window gather as the final fallback.
+        # Primary TPU path: the target-aligned banded kernel (covers
+        # the linear family AND min/max), with the scan-engine family
+        # as planning fallbacks and the XLA window gather last.
         from xugrid_tpu.regrid.gather_apply import (
             GATHER_METHODS,
             apply_windowed_gather,
@@ -285,39 +285,6 @@ def apply_weights(
                     return out.T.astype(source2d.dtype).reshape(
                         leading + (target_size,)
                     )
-
-        from xugrid_tpu.regrid.pallas_apply import (
-            PALLAS_METHODS,
-            apply_windowed_pallas,
-            plan_auto,
-        )
-
-        # Only the linear family rides the one-hot slab kernel —
-        # planning for anything else (min/max/max_overlap rejected
-        # above) would burn seconds of host work on a plan the apply
-        # can never use.
-        if method in PALLAS_METHODS:
-            plan = _REJECTED
-            if plan_cache is not None:
-                plan = plan_cache.get("pallas_plan", _REJECTED)
-            if plan is _REJECTED:
-                plan = plan_auto(weights.indices, weights.weights)
-                if plan_cache is not None:
-                    plan_cache["pallas_plan"] = plan
-            out = None
-            if plan is not None:
-                out = apply_windowed_pallas(
-                    source2d.T.astype(np.float32),
-                    weights.indices,
-                    weights.weights,
-                    method,
-                    has_nan=has_nan,
-                    plan=plan,
-                )
-            if out is not None:
-                return out.T.astype(source2d.dtype).reshape(
-                    leading + (target_size,)
-                )
 
     smethod, s_has_nan = _select_method(reduction, source2d)
     if smethod is not None:

@@ -1,7 +1,7 @@
 """
 Gather-packet Pallas TPU kernel for the windowed regrid apply.
 
-This replaces the one-hot scatter-matmul kernel (``pallas_apply.py``)
+This replaces the round-2 one-hot scatter-matmul kernel (retired)
 as the primary TPU apply path.  That kernel's cost was structural: for
 every (512-target block, 512-row slab, window slot) visit it built a
 dense (512, 512) scatter matrix on the VPU and resolved it on the MXU —
@@ -1944,17 +1944,17 @@ def plan_default(
         if plan is not None:
             return plan
         engine = "stream"
+    if engine == "mxu":
+        from xugrid_tpu.regrid.mxu_apply import plan_gather_mxu
+
+        plan = plan_gather_mxu(indices, weights)
+        if plan is not None:
+            return plan
+        engine = "stream"
     if engine == "aligned":
         from xugrid_tpu.regrid.aligned_apply import plan_gather_aligned
 
         plan = plan_gather_aligned(indices, weights)
-        if plan is not None:
-            return plan
-        engine = "stream"
-    if engine == "dense":
-        from xugrid_tpu.regrid.dense_apply import plan_gather_dense
-
-        plan = plan_gather_dense(indices, weights)
         if plan is not None:
             return plan
         engine = "stream"
@@ -1996,19 +1996,15 @@ def apply_windowed_gather(
         aligned_apply,
         plan_gather_aligned,
     )
-    from xugrid_tpu.regrid.dense_apply import (
-        DensePlan,
-        dense_apply,
-        plan_gather_dense,
-    )
+    from xugrid_tpu.regrid.mxu_apply import MxuPlan, mxu_apply
 
     if plan is not None:
         if isinstance(plan, PdotPlan):
             engine = "pdot"
+        elif isinstance(plan, MxuPlan):
+            engine = "mxu"
         elif isinstance(plan, AlignedPlan):
             engine = "aligned"
-        elif isinstance(plan, DensePlan):
-            engine = "dense"
         elif isinstance(plan, StreamPlan):
             engine = "stream"
         elif isinstance(plan, SpanPlan):
@@ -2023,6 +2019,33 @@ def apply_windowed_gather(
         # min/max chains need the scan engines; replan there.
         engine = "stream"
         plan = None
+    if engine == "mxu":
+        if plan is None:
+            from xugrid_tpu.regrid.mxu_apply import plan_gather_mxu
+
+            plan = plan_gather_mxu(indices, weights)
+        if plan is None:
+            engine = "stream"
+        else:
+            out = mxu_apply(
+                source2d,
+                plan,
+                method=method,
+                has_nan=bool(has_nan),
+                interpret=interpret,
+            )
+            if out is not None:
+                return out
+            # Source defeats the select matmul (±inf / sentinel
+            # collision): the quad-interleaved base IS a valid aligned
+            # plan — no replan needed.
+            return aligned_apply(
+                source2d,
+                plan.base,
+                method=method,
+                has_nan=bool(has_nan),
+                interpret=interpret,
+            )
     if engine == "aligned":
         if plan is None:
             plan = plan_gather_aligned(indices, weights)
@@ -2030,19 +2053,6 @@ def apply_windowed_gather(
             engine = "stream"
         else:
             return aligned_apply(
-                source2d,
-                plan,
-                method=method,
-                has_nan=bool(has_nan),
-                interpret=interpret,
-            )
-    if engine == "dense":
-        if plan is None:
-            plan = plan_gather_dense(indices, weights)
-        if plan is None:
-            engine = "stream"
-        else:
-            return dense_apply(
                 source2d,
                 plan,
                 method=method,

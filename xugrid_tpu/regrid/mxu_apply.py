@@ -449,16 +449,37 @@ def _make_mxu_kernel(
             jnp.int32, (128, w_chunks), 1
         )
         ohf = (cidcol == iota_w).astype(jnp.float32)[:r_step]
-        slab_cur = slabs[pl.ds(slot * w_chunks, w_chunks)]
+        # 2-D rhs: (R, W) @ (W, e_sub*128) lowers to ONE Mosaic matmul
+        # instead of e_sub rank-3 tile passes (scripts/mxu_microbench).
+        slab_cur = slabs[pl.ds(slot * w_chunks, w_chunks)].reshape(
+            w_chunks, e_sub * 128
+        )
         sel = jax.lax.dot_general(
             ohf, slab_cur, _DIMS,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )                                             # (R, e_sub, 128)
+        ).reshape(r_step, e_sub, 128)                 # (R, e_sub, 128)
         if has_nan:
             sel = jnp.where(
                 sel == NAN_SENTINEL, jnp.float32(jnp.nan), sel
             )
+
+        import os as _os
+
+        _probe = _os.environ.get("XUGRID_TPU_MXU_PROBE", "")
+        if _probe == "sel":
+            # Probe: DMA + one-hot matmul only.
+            acc[pl.ds(0, 1)] += jnp.sum(
+                sel.reshape(r_step, e_sub, 128), axis=0
+            ).reshape(1, e_sub, 128)
+
+            @pl.when(is_last)
+            def _pflush():
+                out_ref[...] = jnp.zeros(
+                    (e_sub, block), jnp.float32
+                ) + jnp.sum(acc[0])
+
+            return
 
         # --- fused sub-slot gather over all rows ----------------------
         rowsQ = jnp.broadcast_to(
@@ -484,6 +505,19 @@ def _make_mxu_kernel(
 
         idxQ = expand(byte4 & 127)
         val = jnp.take_along_axis(rowsQ, idxQ, axis=1)
+        if _probe == "gather":
+            # Probe: DMA + matmul + gather only.
+            acc[pl.ds(0, 1)] += jnp.sum(
+                val.reshape(r_step * Q_PACK, e_sub, 128), axis=0
+            ).reshape(1, e_sub, 128)
+
+            @pl.when(is_last)
+            def _pflush():
+                out_ref[...] = jnp.zeros(
+                    (e_sub, block), jnp.float32
+                ) + jnp.sum(acc[0])
+
+            return
         wQ = expand(wtab_ref[...])
         qlist = _lane_quantities(method, has_nan, val, wQ)
         if need_mask:

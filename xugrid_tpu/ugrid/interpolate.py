@@ -86,7 +86,6 @@ def _make_pcg_gather():
               rtol, atol, lmax, maxiter, degree, scan_steps, maxc, span,
               mxu, engine, n_blocks=0, blk=512, interpret=False):
         from xugrid_tpu.regrid.aligned_apply import gather_aligned_apply
-        from xugrid_tpu.regrid.dense_apply import gather_dense_apply
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
             gather_span_apply,
@@ -95,11 +94,11 @@ def _make_pcg_gather():
         )
 
         N = bE.shape[1]
-        if engine in ("stream", "dense", "aligned"):
+        if engine in ("stream", "aligned"):
             # chunk0/npk carry blkid/spanblk (one row per superpacket,
             # not per block) — the output block count rides the static
-            # n_blocks * blk instead (dense plans auto-widen blocks to
-            # 1024 past ~10M targets).
+            # n_blocks * blk instead (aligned plans auto-widen blocks
+            # to 1024 past ~10M targets).
             n512 = n_blocks * blk
         else:
             n_blocks = chunk0.shape[0]
@@ -116,16 +115,6 @@ def _make_pcg_gather():
                     method="matvec", has_nan=False,
                     block=blk, r_step=span, w_chunks=maxc,
                     n_blocks=n_blocks, interpret=interpret,
-                )
-            elif engine == "dense":
-                # Array slots repurposed: chunk0=blkid, npk=wmeta,
-                # page=winc0; statics: maxc=w_chunks, span=r_step.
-                out = gather_dense_apply(
-                    xE, chunk0, npk, page, meta, ptab, rw,
-                    method="matvec", has_nan=False,
-                    scan_steps=scan_steps, block=blk, r_step=span,
-                    w_chunks=maxc, n_blocks=n_blocks,
-                    interpret=interpret,
                 )
             elif engine == "stream":
                 out = gather_stream_apply(
@@ -748,7 +737,13 @@ def cg_solve(
         maxc = 0
         stream_blocks = 0
         from xugrid_tpu.regrid.aligned_apply import AlignedPlan
-        from xugrid_tpu.regrid.dense_apply import DensePlan
+        from xugrid_tpu.regrid.mxu_apply import MxuPlan
+
+        if isinstance(plan, MxuPlan):
+            # The CG matvec runs the aligned kernel; the MXU plan's
+            # quad-interleaved base is a structurally valid aligned
+            # plan (same row payloads, different row order).
+            plan = plan.base
 
         ptab_arr = None
         wtab_arr = np.zeros((8, 128), np.float32)
@@ -764,24 +759,6 @@ def cg_solve(
             ptab_arr = plan.itab
             wtab_arr = plan.wtab
             scan_steps = 0
-            stream_blocks = len(plan.rwsum) // plan.block
-            n512 = stream_blocks * plan.block
-            c_needed = (
-                (int(plan.winc0.max()) + plan.w_chunks) * 128
-                if len(plan.winc0)
-                else 128
-            )
-            N = -(-max(n_pad, n512, c_needed) // 128) * 128
-        elif isinstance(plan, DensePlan):
-            engine = "dense"
-            mxu = False
-            first = plan.blkid
-            count = plan.wmeta
-            meta = plan.meta
-            span = plan.r_step           # statics repurposed (see
-            maxc = plan.w_chunks         # _make_pcg_gather.matvec)
-            page = plan.winc0
-            scan_steps = plan.scan_steps
             stream_blocks = len(plan.rwsum) // plan.block
             n512 = stream_blocks * plan.block
             c_needed = (
