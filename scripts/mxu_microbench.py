@@ -113,6 +113,29 @@ def make_kernel(op):
                         preferred_element_type=jnp.float32,
                     )
                 acc2[...] = acc2[...] + sel.reshape(1, R, E * 128)
+            elif op == "ohbuild":
+                # in-kernel one-hot build: lane->sublane reshape of a
+                # (1,128) cid vector + iota compare (the engine's
+                # current formulation).
+                cid = (idx_ref[pl.ds(base, 1)] + 0).reshape(128, 1)
+                iw = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+                ohf = (cid == iw).astype(jnp.float32)[:R]
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + jnp.sum(
+                    ohf
+                ).reshape(1, 1, 1)
+            elif op == "ohmmH":
+                # one-hot build + HIGHEST select matmul (full current
+                # select stage minus DMA).
+                cid = (idx_ref[pl.ds(base, 1)] + 0).reshape(128, 1)
+                iw = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+                ohf = (cid == iw).astype(jnp.float32)[:R]
+                x = slab_ref[pl.ds(0, W)]
+                sel = jax.lax.dot_general(
+                    ohf, x, DIMS,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                acc[...] = acc[...] + sel
             elif op == "retile":
                 x = slab2_ref[pl.ds(base, R)]      # (R, E*128)
                 acc[...] = acc[...] + x.reshape(R, E, 128)
