@@ -325,6 +325,7 @@ def run_aligned(padded, source, true_bytes, grid):
         block=int(os.environ.get("ABLOCK", "512")),
         r_step=int(os.environ.get("R_STEP", "16")),
         w_chunks=int(os.environ.get("WCHUNKS", "64")),
+        gm=os.environ.get("GM", "1") != "0",
     )
     print(f"plan[aligned]: {time.perf_counter()-t0:.2f}s",
           file=sys.stderr)
@@ -335,7 +336,7 @@ def run_aligned(padded, source, true_bytes, grid):
     runs = int((np.diff(plan.winc0) != 0).sum()) + 1
     print(
         f"plan: nsteps={plan.nsteps} block={plan.block} "
-        f"r_step={plan.r_step} w_chunks={plan.w_chunks} "
+        f"r_step={plan.r_step} w_chunks={plan.w_chunks} gm={plan.gm} "
         f"runs={runs} nnz={nnz} "
         f"lane_eff={nnz/(plan.nsteps*plan.r_step*128*4):.2f}",
         file=sys.stderr,
@@ -346,17 +347,17 @@ def run_aligned(padded, source, true_bytes, grid):
 
     @partial(jax.jit, static_argnames=(
         "method", "block", "r_step", "w_chunks", "n_blocks", "rb",
-        "n_reps"))
+        "gm", "n_reps"))
     def aligned_reps(srcE, blkid, wmeta, winc0, meta, itab, wtab,
                      rwsum, method, block, r_step, w_chunks, n_blocks,
-                     rb, n_reps):
+                     rb, gm, n_reps):
         def body(i, acc):
             out = gather_aligned_apply(
                 srcE + i.astype(srcE.dtype) * 1e-12,
                 blkid, wmeta, winc0, meta, itab, wtab, rwsum,
                 method=method, has_nan=False,
                 block=block, r_step=r_step, w_chunks=w_chunks,
-                n_blocks=n_blocks, rb=rb,
+                n_blocks=n_blocks, rb=rb, gm=gm,
             )
             return acc + jnp.nansum(out)
 
@@ -371,7 +372,7 @@ def run_aligned(padded, source, true_bytes, grid):
         jnp.asarray(plan.wtab), jnp.asarray(plan.rwsum),
     )
     statics = (METHOD, plan.block, plan.r_step, plan.w_chunks,
-               n_blocks, rb)
+               n_blocks, rb, plan.gm)
     t0 = time.perf_counter()
     cs = float(aligned_reps(*dargs, *statics, reps))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s",
@@ -382,7 +383,8 @@ def run_aligned(padded, source, true_bytes, grid):
     gbps = true_bytes / dt / 1e9
     print(
         f"aligned kernel [{METHOD} E={N_EXTRA} block={plan.block} "
-        f"r_step={plan.r_step} w={plan.w_chunks} rb={rb}]: "
+        f"r_step={plan.r_step} w={plan.w_chunks} rb={rb} "
+        f"gm={plan.gm}]: "
         f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
         f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )

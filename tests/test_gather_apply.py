@@ -441,3 +441,163 @@ def test_max_overlap_filter_rides_max_chain():
     assert got is not None
     want = oracle_apply("max_overlap", indices, weights, source)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gm", [False, True])
+@pytest.mark.parametrize(
+    "method", ["mean", "sum", "min", "max", "harmonic_mean",
+               "geometric_mean"]
+)
+def test_aligned_gm_mode_matches_oracle(method, gm):
+    """Group-major (gm) plans — register-carried group accumulator with
+    boundary flushes — must agree with the chunk-major order and the
+    oracle for every method, including NaN sources."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    positive = method in ("harmonic_mean", "geometric_mean")
+    indices, weights, source = make_case(
+        n=2100, m=2500, w=8, nan_frac=0.1, positive=positive,
+        seed=len(method),
+    )
+    plan = plan_gather_aligned(indices, weights, gm=gm)
+    assert plan is not None and plan.gm is gm
+    got = aligned_apply(source, plan, method, has_nan=True,
+                        interpret=True)
+    want = oracle_apply(method, indices, weights, source)
+    np.testing.assert_allclose(got, want.T[: len(got[0])].T,
+                               rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "shape", ["sparse_random", "longrun_spill", "wide_window",
+              "multi_run_block", "tail_pad"]
+)
+def test_aligned_gm_adversarial_shapes(shape):
+    """gm parity on the structural hard paths: spill rows riding the
+    register accumulator, window runs splitting between groups, grid
+    tail pads carrying the final group through the last flush, and
+    automatic chunk-major fallback when a single group's chunk span
+    defeats every window width."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    rng = np.random.default_rng(23)
+    if shape == "sparse_random":
+        # group spans >> 64 chunks: gm must fall back to chunk-major
+        n, m, w = 1400, 9000, 10
+        indices = rng.integers(0, m, (n, w))
+        weights = rng.uniform(0.1, 2, (n, w)).astype(np.float32)
+    elif shape == "longrun_spill":
+        n, m, w = 600, 5000, 40
+        base = rng.integers(0, m // 128 - 1, n) * 128
+        indices = base[:, None] + np.argsort(rng.random((n, w)), axis=1)
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+    elif shape == "wide_window":
+        n, w = 900, 60
+        indices = (
+            np.arange(w)[None] * 96 + rng.integers(0, 90, (n, 1))
+        )
+        m = int(indices.max()) + 1
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+    elif shape == "multi_run_block":
+        # per-block span > 64 chunks but each group's span is small:
+        # gm holds, runs split between groups
+        n, w = 1024, 6
+        gidx = np.arange(n) // 128
+        base = gidx * 128 * 30          # 30 chunks apart per group
+        indices = base[:, None] + rng.integers(0, 200, (n, w))
+        m = int(indices.max()) + 1
+        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
+    else:  # tail_pad
+        n, w = 513, 5
+        indices = rng.integers(0, 4000, (n, w) )
+        indices[256:512] = -1
+        m = 4000
+        weights = np.where(
+            indices >= 0, rng.uniform(0.1, 2, (n, w)), 0.0
+        ).astype(np.float32)
+
+    src = rng.normal(size=(3, m)).astype(np.float32) + 2
+    src[rng.random(src.shape) < 0.1] = np.nan
+    plan = plan_gather_aligned(indices, weights, gm=True)
+    assert plan is not None
+    if shape == "sparse_random":
+        assert plan.gm is False          # fallback fired
+    if shape == "multi_run_block":
+        assert plan.gm is True
+        assert len(np.unique(plan.winc0)) > 1    # runs actually split
+    for method in ("mean", "min"):
+        got = aligned_apply(src, plan, method, has_nan=True,
+                            interpret=True)
+        want = oracle_apply(method, indices, weights, src)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_aligned_gm_plan_roundtrip():
+    """gm plans decode back to exactly the input triplet set (the
+    boundary/prev-group meta bits must not leak into the group)."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        plan_gather_aligned,
+        plan_triplets,
+    )
+
+    indices, weights, _ = make_case(n=2100, m=2500, w=8, seed=5)
+    plan = plan_gather_aligned(indices, weights, gm=True)
+    assert plan is not None and plan.gm
+    ti, si, wi = plan_triplets(plan)
+    got = sorted(zip(ti.tolist(), si.tolist(), wi.tolist()))
+    rows, cols = np.nonzero(indices >= 0)
+    want = sorted(
+        zip(
+            rows.tolist(),
+            indices[rows, cols].tolist(),
+            weights[rows, cols].tolist(),
+        )
+    )
+    assert got == want
+
+
+def test_cg_gather_handles_gm_plan(monkeypatch):
+    """The fused PCG matvec must accept a group-major aligned plan
+    (the gm static flows through the solve jit).  cg_solve plans
+    internally via plan_default, so the scenario is pinned through the
+    engine env vars (the established pattern from
+    test_review_regressions.TestRound3ReviewFindings)."""
+    monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+    monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+    monkeypatch.setenv("XUGRID_TPU_GATHER_ENGINE", "aligned")
+    monkeypatch.setenv("XUGRID_TPU_ALIGNED_GM", "1")
+    from xugrid_tpu.regrid.aligned_apply import AlignedPlan
+    from xugrid_tpu.ugrid.interpolate import _GATHER_PLANS, cg_solve
+
+    rng = np.random.default_rng(7)
+    n = 700
+    # SPD diag-dominant path-graph Laplacian in the COO layout cg_solve
+    # requires: [offdiag..., diag...] with the diagonal at the tail.
+    lo = np.arange(1, n)
+    hi = np.arange(n - 1)
+    rows = np.concatenate([lo, hi, np.arange(n)])
+    cols = np.concatenate([lo - 1, hi + 1, np.arange(n)])
+    vals = np.concatenate(
+        [np.full(n - 1, -1.0), np.full(n - 1, -1.0), np.full(n, 4.0)]
+    )
+    diag = np.full(n, 4.0)
+    b = rng.normal(size=n)
+    _GATHER_PLANS.clear()
+    x, iters = cg_solve(
+        rows, cols, vals, diag, b, np.zeros(n),
+        rtol=1e-6, atol=0.0, maxiter=300,
+    )
+    # The internally cached plan must actually be the gm variant.
+    (plan,) = _GATHER_PLANS.values()
+    assert isinstance(plan, AlignedPlan) and plan.gm
+    # residual check against the dense operator
+    A = np.zeros((n, n))
+    A[rows, cols] += vals
+    assert np.linalg.norm(A @ x - b) <= 1e-3 * np.linalg.norm(b)

@@ -101,7 +101,11 @@ def test_mxu_matches_oracle(method, nan_frac):
         )
         return
     want = oracle_apply(method, indices, weights, source)
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    # The reciprocal chain of harmonic_mean amplifies f32 rounding
+    # (observed 2.8e-5 rel err on hosts whose XLA:CPU codegen differs
+    # from the compile-cache machine); the f64 oracle is exact.
+    rtol = 5e-5 if method == "harmonic_mean" else 2e-5
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-5)
 
 
 @pytest.mark.parametrize("method", MXU_METHODS)

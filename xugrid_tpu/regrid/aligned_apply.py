@@ -89,6 +89,8 @@ class AlignedPlan(NamedTuple):
     #                      chunk + 1 (0 = no next run)
     meta: np.ndarray     # (nsteps*r_step//2,) i32 packed per-row pairs
     #                      (16 bits each): cid (6) | group-in-block
+    #                      (gbits); gm plans add boundary (1) |
+    #                      previous-group (gbits) above those
     itab: np.ndarray     # (nsteps*r_step, 128) i32 packed idx bytes
     #                      (bit 7 = sub-slot valid, bits 0..6
     #                      lane-local source idx), lane = target % 128
@@ -99,10 +101,17 @@ class AlignedPlan(NamedTuple):
     block: int
     r_step: int
     w_chunks: int
+    gm: bool = False     # group-major row order (register-carried
+    #                      group accumulator; see plan_gather_aligned)
 
     @property
     def nsteps(self) -> int:
         return len(self.blkid)
+
+
+def _gbits(block: int) -> int:
+    n_groups = block // GROUP
+    return max(2, int(max(n_groups - 1, 1)).bit_length())
 
 
 def _seg_propagate(values, starts):
@@ -119,9 +128,25 @@ def plan_gather_aligned(
     r_step: int = R_STEP,
     w_chunks: int = W_CHUNKS,
     max_plan_bytes: int = 1_500_000_000,
+    gm: bool | None = None,
 ) -> AlignedPlan | None:
     """Build the target-aligned banded plan, or None when the problem
-    shape defeats it (the caller falls back to another engine)."""
+    shape defeats it (the caller falls back to another engine).
+
+    ``gm`` (group-major) reorders rows (block, group, chunk, spill) so
+    every 128-target group's rows are CONTIGUOUS: the kernel then
+    carries one register accumulator across a group's rows and touches
+    the per-group VMEM accumulator only at group boundaries (~1 per
+    ~10 rows on real overlap matrices) instead of issuing the
+    serialized dynamic read-modify-write every row — the measured
+    ~190 ns/row latency floor of the chunk-major order.  Window runs
+    split only BETWEEN groups; a group whose own chunk span exceeds
+    every window-width candidate defeats gm and the planner falls back
+    to the chunk-major order (gm=False) automatically.  Default from
+    XUGRID_TPU_ALIGNED_GM.
+    """
+    if gm is None:
+        gm = os.environ.get("XUGRID_TPU_ALIGNED_GM", "1") != "0"
     n, _w = indices.shape
     if n == 0:
         return None
@@ -145,6 +170,8 @@ def plan_gather_aligned(
     gbits = max(2, int(max(n_groups - 1, 1)).bit_length())
     if 6 + gbits > 16:
         return None
+    if gm and 7 + 2 * gbits > 16:
+        gm = False
 
     valid = indices >= 0
     ti, _sl = np.nonzero(valid)
@@ -155,14 +182,18 @@ def plan_gather_aligned(
     if src.max() >= (1 << 24) * CHUNK:
         return None
 
-    # Sort entries by (block, chunk, group, lane); stable keeps the
-    # input sub-slot order within each (target, chunk) run.
+    # Sort entries by (block, chunk, group, lane) — or group-major
+    # (block, group, chunk, lane) for gm; stable keeps the input
+    # sub-slot order within each (target, chunk) run.
     B = (ti // block).astype(np.int64)
     g = ((ti % block) // GROUP).astype(np.int64)
     lane = (ti % GROUP).astype(np.int64)
     chunk = src >> 7
     cmax = int(chunk.max()) + 1
-    key = (((B * cmax + chunk) * n_groups + g) << 7) | lane
+    if gm:
+        key = (((B * n_groups + g) * cmax + chunk) << 7) | lane
+    else:
+        key = (((B * cmax + chunk) * n_groups + g) << 7) | lane
     order = np.argsort(key, kind="stable")
     key = key[order]
     ew = wts[order]
@@ -205,15 +236,71 @@ def plan_gather_aligned(
     rid = np.cumsum(newr) - 1
     n_rows = int(rid[-1]) + 1
     bcg = (key >> 7)[newr]
-    B_r = bcg // (cmax * n_groups)
-    c_r = (bcg // n_groups) % cmax
-    g_r = bcg % n_groups
+    if gm:
+        B_r = bcg // (n_groups * cmax)
+        g_r = (bcg // cmax) % n_groups
+        c_r = bcg % cmax
+    else:
+        B_r = bcg // (cmax * n_groups)
+        c_r = (bcg // n_groups) % cmax
+        g_r = bcg % n_groups
 
     # Greedy window cover per block over the rows' chunks (chunks are
-    # non-decreasing within a block by construction).
+    # non-decreasing within a block by construction; in gm order they
+    # reset per group, so the gm cover works on group [min, max] spans
+    # and splits runs only between groups).
     firstB = np.empty(n_rows, bool)
     firstB[0] = True
     np.not_equal(B_r[1:], B_r[:-1], out=firstB[1:])
+
+    if gm:
+        gk = B_r * n_groups + g_r
+        firstG = np.empty(n_rows, bool)
+        firstG[0] = True
+        np.not_equal(gk[1:], gk[:-1], out=firstG[1:])
+        idx_first = np.flatnonzero(firstG)
+        idx_last = np.append(idx_first[1:], n_rows) - 1
+        gmin = c_r[idx_first]
+        gmax = c_r[idx_last]
+        gfirstB = firstB[idx_first]
+        n_gr = len(idx_first)
+        gidx_r = np.cumsum(firstG) - 1
+        bstart_g = np.flatnonzero(gfirstB)
+        bend_g = np.append(bstart_g[1:], n_gr)
+
+    def _cover_gm(w):
+        """Group-level greedy run cover: returns (row-start flags,
+        per-row window base) or None when a single group's span
+        defeats the width."""
+        if int((gmax - gmin).max()) >= w:
+            return None
+        start_g = gfirstB.copy()
+        # Whole-block single runs are the common case; only blocks
+        # whose total span overflows the window need the greedy walk.
+        gblk = np.cumsum(gfirstB) - 1
+        nb = int(gblk[-1]) + 1
+        bmax = np.full(nb, -1, np.int64)
+        np.maximum.at(bmax, gblk, gmax)
+        bmin = np.full(nb, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(bmin, gblk, gmin)
+        for bi in np.flatnonzero((bmax - bmin) >= w):
+            cmin = cmx = None
+            for k in range(bstart_g[bi], bend_g[bi]):
+                if cmin is None:
+                    cmin, cmx = gmin[k], gmax[k]
+                    continue
+                nmin = min(cmin, gmin[k])
+                nmx = max(cmx, gmax[k])
+                if nmx - nmin >= w:
+                    start_g[k] = True
+                    cmin, cmx = gmin[k], gmax[k]
+                else:
+                    cmin, cmx = nmin, nmx
+        runmin = np.minimum.reduceat(gmin, np.flatnonzero(start_g))
+        winc0_g = runmin[np.cumsum(start_g) - 1]
+        start_rows = np.zeros(n_rows, bool)
+        start_rows[idx_first[start_g]] = True
+        return start_rows, winc0_g[gidx_r]
 
     def _cover(w):
         start = firstB.copy()
@@ -250,19 +337,33 @@ def plan_gather_aligned(
     for w in (w_chunks, w_chunks // 2, w_chunks // 4):
         if w < 4:
             continue
-        start_w = _cover(w)
-        cands[w] = (start_w, *_steps_of(start_w))
+        if gm:
+            res = _cover_gm(w)
+            if res is None:
+                continue
+            start_w, winc0_w = res
+        else:
+            start_w = _cover(w)
+            winc0_w = None
+        cands[w] = (start_w, winc0_w, *_steps_of(start_w))
+    if gm and not cands:
+        # Some group's own chunk span defeats every window width:
+        # fall back to the chunk-major order.
+        return plan_gather_aligned(
+            indices, weights, block, r_step, w_chunks,
+            max_plan_bytes, gm=False,
+        )
     if forced and int(forced) in cands:
         best_w = int(forced)
     else:
         def _cost(item):
-            w, (start_w, _, _, _, st) = item
+            w, (start_w, _, _, _, _, st) = item
             runs = int(start_w.sum())
             return st + runs
         best_w = min(cands.items(), key=_cost)[0]
     w_chunks = best_w
-    start, bucket_start, bid_r, rows_b, _ = cands[w_chunks]
-    winc0_r = _seg_propagate(c_r, start)
+    start, winc0_gm, bucket_start, bid_r, rows_b, _ = cands[w_chunks]
+    winc0_r = winc0_gm if gm else _seg_propagate(c_r, start)
     cid_r = c_r - winc0_r
 
     # Buckets (rows already (block, window)-sorted): each pads its
@@ -289,7 +390,7 @@ def plan_gather_aligned(
         if block < 2048:
             return plan_gather_aligned(
                 indices, weights, block * 2, r_step, w_chunks,
-                max_plan_bytes,
+                max_plan_bytes, gm=gm,
             )
         return None
 
@@ -324,10 +425,30 @@ def plan_gather_aligned(
     )
     rslot = step_b0[bid_r] * r_step + row_in_b
 
-    # meta: per row 16 bits (cid 6 | group), two rows per word.
+    # meta: per row 16 bits (cid 6 | group), two rows per word; gm
+    # rows add boundary (1) | previous-group (gbits).
     mrow = cid_r | (g_r << 6)
+    if gm:
+        bnd = (firstG & ~firstB).astype(np.int64)
+        pvg = np.zeros(n_rows, np.int64)
+        pvg[1:] = g_r[:-1]
+        mrow = mrow | (bnd << (6 + gbits)) | ((bnd * pvg) << (7 + gbits))
     meta_arr = np.zeros(nsteps * r_step, np.int64)
     meta_arr[rslot] = mrow
+    if gm:
+        # Pad slots (bucket tails + grid tail) must carry the group of
+        # the preceding real row: the kernel's register accumulator
+        # rides through pads and the per-block final flush stores it to
+        # the LAST row slot's group.
+        nslots = nsteps * r_step
+        filled = np.zeros(nslots, bool)
+        filled[rslot] = True
+        gslot = np.zeros(nslots, np.int64)
+        gslot[rslot] = g_r
+        ff = np.maximum.accumulate(
+            np.where(filled, np.arange(nslots), 0)
+        )
+        meta_arr = np.where(filled, meta_arr, gslot[ff] << 6)
     meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
 
     # itab / wtab assembly.
@@ -355,6 +476,7 @@ def plan_gather_aligned(
         block=block,
         r_step=r_step,
         w_chunks=w_chunks,
+        gm=bool(gm),
     )
 
 
@@ -368,7 +490,7 @@ def plan_triplets(plan: AlignedPlan):
     meta16[0::2] = meta & 0xFFFF
     meta16[1::2] = meta >> 16
     cid = meta16 & 63
-    grp = meta16 >> 6
+    grp = (meta16 >> 6) & (plan.block // GROUP - 1)
     step = np.arange(nrows) // r_step
     c0 = plan.winc0.astype(np.int64)[step]
     blk = plan.blkid.astype(np.int64)[step]
@@ -412,12 +534,14 @@ def _make_aligned_kernel(
     r_step: int,
     w_chunks: int,
     rb: int,
+    gm: bool,
     interpret: bool,
 ):
     chains = _chains(method, has_nan)
     nc = len(chains)
     kinds = [kind for _, kind in chains]
     n_groups = block // GROUP
+    gbits = _gbits(block)
     need_mask = method in _RAW_VALUE_METHODS
     if r_step % rb:
         raise ValueError("aligned engine: r_step must be a multiple of rb")
@@ -426,8 +550,12 @@ def _make_aligned_kernel(
         blkid_ref, wmeta_ref, winc0_ref, meta_ref,  # SMEM prefetch
         itab_ref, wtab_ref, rwsum_ref,
         src_hbm, out_ref,
-        slabs, acc, sem0, sem1,
+        slabs, acc, *rest,
     ):
+        if gm:
+            accg, sem0, sem1 = rest
+        else:
+            sem0, sem1 = rest
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
         cur_b = blkid_ref[i]
@@ -505,6 +633,14 @@ def _make_aligned_kernel(
                 initrow[None], (n_groups, nc * e_sub, 128)
             )
 
+        if gm:
+            # Register-carried group accumulator: rows of one group are
+            # contiguous (group-major sort), so combine them here and
+            # only touch ``acc`` when the group changes — the per-row
+            # dynamic acc read-modify-write of the chunk-major order is
+            # the kernel's serialization floor.
+            accg_val = jnp.where(is_first, initrow, accg[...])
+
         sbase = slot * w_chunks
         mbase = i * (r_step // 2)
         # Shift table for rb rows x Q_PACK sub-slots (row-major: the
@@ -547,12 +683,17 @@ def _make_aligned_kernel(
         for r0 in range(0, r_step, rb):
             cids = []
             grps = []
+            bnds = []
+            pvgs = []
             for j in range(rb):
                 r = r0 + j
                 mw = meta_ref[mbase + (r >> 1)]
                 mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
                 cids.append(mrow & 63)
-                grps.append(mrow >> 6)
+                grps.append((mrow >> 6) & (n_groups - 1))
+                if gm:
+                    bnds.append((mrow >> (6 + gbits)) & 1)
+                    pvgs.append((mrow >> (7 + gbits)) & (n_groups - 1))
 
             rowQ = jnp.concatenate(
                 [
@@ -600,24 +741,64 @@ def _make_aligned_kernel(
                     if nc > 1
                     else parts[0]
                 )
-                # Same-group rows within a batch stay correct: the
-                # sequential dynamic-index RMWs below alias through
-                # VMEM and Mosaic orders them.
-                cur = acc[pl.ds(grps[j], 1)].reshape(nc * e_sub, 128)
-                if len(set(kinds)) == 1:
-                    new = _combine(kinds[0], cur, tot)
+                if gm:
+                    # Group boundary: flush the finished group's
+                    # register accumulator (groups are contiguous, so
+                    # this is a plain store), then restart from this
+                    # row's partial.  Non-boundary rows combine in
+                    # registers — no VMEM round trip.
+                    bnd_j = bnds[j] == 1
+
+                    @pl.when(bnd_j)
+                    def _gflush(av=accg_val, pv=pvgs[j]):
+                        acc[pl.ds(pv, 1)] = av.reshape(
+                            1, nc * e_sub, 128
+                        )
+
+                    if len(set(kinds)) == 1:
+                        comb = _combine(kinds[0], accg_val, tot)
+                    else:
+                        comb = jnp.where(
+                            minmask,
+                            jnp.minimum(accg_val, tot),
+                            jnp.maximum(accg_val, tot),
+                        )
+                    accg_val = jnp.where(bnd_j, tot, comb)
                 else:
-                    new = jnp.where(
-                        minmask,
-                        jnp.minimum(cur, tot),
-                        jnp.maximum(cur, tot),
+                    # Same-group rows within a batch stay correct: the
+                    # sequential dynamic-index RMWs below alias through
+                    # VMEM and Mosaic orders them.
+                    cur = acc[pl.ds(grps[j], 1)].reshape(
+                        nc * e_sub, 128
                     )
-                acc[pl.ds(grps[j], 1)] = new.reshape(
-                    1, nc * e_sub, 128
-                )
+                    if len(set(kinds)) == 1:
+                        new = _combine(kinds[0], cur, tot)
+                    else:
+                        new = jnp.where(
+                            minmask,
+                            jnp.minimum(cur, tot),
+                            jnp.maximum(cur, tot),
+                        )
+                    acc[pl.ds(grps[j], 1)] = new.reshape(
+                        1, nc * e_sub, 128
+                    )
+
+        if gm:
+            accg[...] = accg_val
 
         @pl.when(is_last)
         def _flush():
+            if gm:
+                # The block's final group only ends at the block end:
+                # store the register accumulator to the LAST row slot's
+                # group (pad slots carry the preceding real row's
+                # group, so tails and missing-block steps stay safe).
+                mw_last = meta_ref[mbase + r_step // 2 - 1]
+                mrow_last = (mw_last >> 16) & 0xFFFF
+                g_last = (mrow_last >> 6) & (n_groups - 1)
+                acc[pl.ds(g_last, 1)] = accg_val.reshape(
+                    1, nc * e_sub, 128
+                )
             for gi in range(n_groups):
                 den = rwsum_ref[:, gi * GROUP:(gi + 1) * GROUP]
                 stacked = acc[pl.ds(gi, 1)].reshape(nc * e_sub, 128)
@@ -636,7 +817,7 @@ def _make_aligned_kernel(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "block", "r_step", "w_chunks",
-        "n_blocks", "rb", "interpret",
+        "n_blocks", "rb", "gm", "interpret",
     ),
 )
 def gather_aligned_apply(
@@ -648,6 +829,7 @@ def gather_aligned_apply(
     w_chunks: int = W_CHUNKS,
     n_blocks: int = 1,
     rb: int = R_BATCH,
+    gm: bool = False,
     interpret: bool = False,
 ):
     """Target-aligned banded apply: plan arrays from
@@ -680,13 +862,19 @@ def gather_aligned_apply(
             pltpu.VMEM(
                 (block // GROUP, nc * e_sub, 128), jnp.float32
             ),
+            *(
+                [pltpu.VMEM((nc * e_sub, 128), jnp.float32)]
+                if gm
+                else []
+            ),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
     kernel = _make_aligned_kernel(
-        method, has_nan, e_sub, block, r_step, w_chunks, rb, interpret
+        method, has_nan, e_sub, block, r_step, w_chunks, rb, gm,
+        interpret,
     )
 
     return pl.pallas_call(
@@ -744,6 +932,7 @@ def aligned_apply(
         r_step=plan.r_step,
         w_chunks=plan.w_chunks,
         n_blocks=len(plan.rwsum) // plan.block,
+        gm=plan.gm,
         interpret=interpret,
     )
     return np.asarray(out)[: source2d.shape[0], : plan.n].T

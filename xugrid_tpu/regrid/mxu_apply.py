@@ -191,7 +191,8 @@ def plan_gather_mxu(
     """Quad-interleaved plan via the aligned planner's row payloads, or
     None when the aligned planner rejects the shape."""
     base = plan_gather_aligned(
-        indices, weights, block, max(r_step, 16), 64, max_plan_bytes
+        indices, weights, block, max(r_step, 16), 64, max_plan_bytes,
+        gm=False,  # the quad cover re-sorts rows from chunk-major
     )
     if base is None:
         return None

@@ -79,12 +79,13 @@ def _make_pcg_gather():
         jax.jit,
         static_argnames=(
             "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
-            "engine", "n_blocks", "blk", "interpret",
+            "engine", "n_blocks", "blk", "gm", "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, wtab, minv_row, bE, x0E,
               rtol, atol, lmax, maxiter, degree, scan_steps, maxc, span,
-              mxu, engine, n_blocks=0, blk=512, interpret=False):
+              mxu, engine, n_blocks=0, blk=512, gm=False,
+              interpret=False):
         from xugrid_tpu.regrid.aligned_apply import gather_aligned_apply
         from xugrid_tpu.regrid.gather_apply import (
             gather_pdot_apply,
@@ -114,7 +115,7 @@ def _make_pcg_gather():
                     xE, chunk0, npk, page, meta, ptab, wtab, rw,
                     method="matvec", has_nan=False,
                     block=blk, r_step=span, w_chunks=maxc,
-                    n_blocks=n_blocks, interpret=interpret,
+                    n_blocks=n_blocks, gm=gm, interpret=interpret,
                 )
             elif engine == "stream":
                 out = gather_stream_apply(
@@ -747,9 +748,11 @@ def cg_solve(
 
         ptab_arr = None
         wtab_arr = np.zeros((8, 128), np.float32)
+        gm_flag = False
         if isinstance(plan, AlignedPlan):
             engine = "aligned"
             mxu = False
+            gm_flag = plan.gm
             first = plan.blkid
             count = plan.wmeta
             meta = plan.meta
@@ -837,6 +840,7 @@ def cg_solve(
             scan_steps=scan_steps, maxc=maxc,
             span=span, mxu=mxu, engine=engine,
             n_blocks=stream_blocks, blk=int(plan.block),
+            gm=gm_flag,
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
