@@ -1,0 +1,226 @@
+"""Stage-isolated probe of the aligned kernel's inner loop on the TPU.
+
+The 1M-config aligned apply is flat across r_step (16/32/64), rb (8/16)
+and gm on/off — so the floor is per-ROW work whose pieces this probe
+times at the REAL shapes (block=512, r_step=16, rb=8, e_sub=24,
+w_chunks=64 double-buffered slabs resident in VMEM, itab/wtab streamed
+per step).  Stages nest cumulatively:
+
+  meta       SMEM meta reads + address math, acc init/flush only
+  read       + per-row dynamic slab read (1, e_sub, 128), summed
+  rowq       + Q_PACK broadcast/concat rowQ build (the 393KB batch)
+  gather     + idxQ byte chain + take_along_axis
+  chain      + weight multiply + Q_PACK band reduce
+  full       + per-row dynamic acc RMW (the production loop)
+
+Run on the chip:  python scripts/aligned_probe.py
+Knobs: E (sublanes, default 24), RB, R_STEP, STEPS, REPS.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
+)
+
+E = int(os.environ.get("E", "24"))
+RB = int(os.environ.get("RB", "8"))
+R_STEP = int(os.environ.get("R_STEP", "16"))
+STEPS = int(os.environ.get("STEPS", "1536"))
+REPS = int(os.environ.get("REPS", "200"))
+INTERPRET = os.environ.get("INTERPRET") == "1"   # CPU smoke only
+W = 64          # resident window chunks (single buffer half)
+Q = 4           # Q_PACK
+GROUPS = 4      # 512-target block / 128
+
+
+STAGES = ("meta", "read", "rowq", "gather", "chain", "full")
+
+
+def make_kernel(stage: str):
+    lvl = STAGES.index(stage)
+
+    def kernel(meta_ref, itab_ref, wtab_ref, slabs_ref, o_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            acc[...] = jnp.zeros((GROUPS, E, 128), jnp.float32)
+
+        bshift = (
+            jax.lax.broadcasted_iota(jnp.int32, (RB * Q, 128), 0) % Q
+        ) * 8
+        mbase = i * (R_STEP // 2)
+
+        def expand(x):
+            k = x.shape[0]
+            return jnp.broadcast_to(
+                x[:, None, :], (k, E, 128)
+            ).reshape(k * E, 128)
+
+        for r0 in range(0, R_STEP, RB):
+            cids = []
+            grps = []
+            for j in range(RB):
+                r = r0 + j
+                mw = meta_ref[mbase + (r >> 1)]
+                mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
+                cids.append(mrow & 63)
+                grps.append((mrow >> 6) & (GROUPS - 1))
+            if lvl == 0:        # meta: touch addresses cheaply
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + (
+                    (cids[0] + grps[0]).astype(jnp.float32)
+                )
+                continue
+            if lvl == 1:        # read: RB dynamic slab reads, summed
+                tot = jnp.zeros((E, 128), jnp.float32)
+                for j in range(RB):
+                    tot = tot + slabs_ref[pl.ds(cids[j], 1)].reshape(
+                        E, 128
+                    )
+                acc[pl.ds(0, 1)] = (
+                    acc[pl.ds(0, 1)] + tot.reshape(1, E, 128)
+                )
+                continue
+            rowQ = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        slabs_ref[pl.ds(cids[j], 1)].reshape(
+                            1, E, 128
+                        ),
+                        (Q, E, 128),
+                    ).reshape(Q * E, 128)
+                    for j in range(RB)
+                ],
+                axis=0,
+            )
+            if lvl == 2:        # rowq
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + rowQ[
+                    : E
+                ].reshape(1, E, 128)
+                continue
+            idxw = itab_ref[r0:r0 + RB, :]
+            idxR = jnp.broadcast_to(
+                idxw[:, None, :], (RB, Q, 128)
+            ).reshape(RB * Q, 128)
+            byte4 = jnp.right_shift(idxR, bshift) & 255
+            idxQ = expand(byte4 & 127)
+            val = jnp.take_along_axis(rowQ, idxQ, axis=1)
+            if lvl == 3:        # gather
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + val[
+                    : E
+                ].reshape(1, E, 128)
+                continue
+            wQ = expand(wtab_ref[r0 * Q:(r0 + RB) * Q, :])
+            qs = val * wQ
+            tots = []
+            for j in range(RB):
+                x = qs[j * Q * E:(j + 1) * Q * E].reshape(Q, E, 128)
+                tots.append((x[0] + x[1]) + (x[2] + x[3]))
+            if lvl == 4:        # chain
+                t = tots[0]
+                for j in range(1, RB):
+                    t = t + tots[j]
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + t.reshape(
+                    1, E, 128
+                )
+                continue
+            for j in range(RB):  # full: per-row dynamic RMW
+                cur = acc[pl.ds(grps[j], 1)].reshape(E, 128)
+                acc[pl.ds(grps[j], 1)] = (cur + tots[j]).reshape(
+                    1, E, 128
+                )
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _flush():
+            o_ref[...] = acc[pl.ds(0, 1)].reshape(E, 128)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("stage",))
+def run_probe(meta, itab, wtab, slabs, stage):
+    return pl.pallas_call(
+        make_kernel(stage),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(STEPS,),
+            in_specs=[
+                pl.BlockSpec((R_STEP, 128), lambda i, m: (i, 0)),
+                pl.BlockSpec((R_STEP * Q, 128), lambda i, m: (i, 0)),
+                # constant block -> loaded once, VMEM-resident like the
+                # production kernel's slab scratch
+                pl.BlockSpec(
+                    (2 * W, E, 128), lambda i, m: (0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((E, 128), lambda i, m: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((GROUPS, E, 128), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((E, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=INTERPRET,
+    )(meta, itab, wtab, slabs)
+
+
+@partial(jax.jit, static_argnames=("stage", "reps"))
+def run_reps(meta, itab, wtab, slabs, stage, reps):
+    def body(k, s):
+        out = run_probe(
+            meta, itab, wtab,
+            slabs + k.astype(jnp.float32) * 1e-12, stage,
+        )
+        return s + jnp.sum(out)
+
+    return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    rows = STEPS * R_STEP
+    cid = rng.integers(0, W, rows).astype(np.int64)
+    grp = rng.integers(0, GROUPS, rows).astype(np.int64)
+    m16 = cid | (grp << 6)
+    meta = (m16[0::2] | (m16[1::2] << 16)).astype(np.int32)
+    itab = rng.integers(0, 2**31 - 1, (rows, 128), np.int64).astype(
+        np.int32
+    )
+    wtab = rng.normal(size=(rows * Q, 128)).astype(np.float32)
+    slabs = rng.normal(size=(2 * W, E, 128)).astype(np.float32)
+
+    dm = jnp.asarray(meta)
+    di = jnp.asarray(itab)
+    dw = jnp.asarray(wtab)
+    ds_ = jnp.asarray(slabs)
+
+    prev = 0.0
+    for stage in STAGES:
+        _ = float(run_reps(dm, di, dw, ds_, stage, 2))
+        t0 = time.perf_counter()
+        _ = float(run_reps(dm, di, dw, ds_, stage, REPS))
+        dt = (time.perf_counter() - t0) / REPS
+        ns_row = dt / rows * 1e9
+        print(
+            f"{stage:8s}: {dt*1e3:7.3f} ms/pass  {ns_row:7.1f} ns/row "
+            f"(+{ns_row - prev:6.1f})"
+        )
+        prev = ns_row
+
+
+if __name__ == "__main__":
+    main()

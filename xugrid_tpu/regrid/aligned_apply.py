@@ -143,10 +143,14 @@ def plan_gather_aligned(
     split only BETWEEN groups; a group whose own chunk span exceeds
     every window-width candidate defeats gm and the planner falls back
     to the chunk-major order (gm=False) automatically.  Default from
-    XUGRID_TPU_ALIGNED_GM.
+    XUGRID_TPU_ALIGNED_GM — measured SLOWER on-chip (5.58 vs 4.66
+    ms/pass at the 1M E=20 bench; 59.1 vs ~64 GB/s at E=128): the
+    per-row boundary select + pl.when flush cost more than the dynamic
+    VMEM read-modify-write they replace, so chunk-major stays the
+    default and gm is opt-in.
     """
     if gm is None:
-        gm = os.environ.get("XUGRID_TPU_ALIGNED_GM", "1") != "0"
+        gm = os.environ.get("XUGRID_TPU_ALIGNED_GM", "0") == "1"
     n, _w = indices.shape
     if n == 0:
         return None
