@@ -544,3 +544,78 @@ class TestStackedMultiIndexLite:
         assert back.sizes == {"yy": 3, "xx": 2}
         got = np.asarray(back.data)
         assert got[2, 0] == 4.0 and np.isnan(got[2, 1])
+
+    def test_indexes_returns_pandas_multiindex(self):
+        # Stacked dims must surface REAL pandas MultiIndex objects
+        # (xarray round-trip parity: users inspect .indexes/.get_index
+        # and feed them back to pandas).
+        import pandas as pd
+
+        s = self._da().stack(z=("y", "x"))
+        mi = s.indexes["z"]
+        assert isinstance(mi, pd.MultiIndex)
+        assert mi.names == ["y", "x"]
+        expect = pd.MultiIndex.from_product(
+            [[10, 20, 30], [1, 2, 3, 4]], names=["y", "x"]
+        )
+        assert mi.equals(expect)
+        assert s.get_index("z").equals(expect)
+        # subsetting keeps the MultiIndex in sync
+        sub = s.isel(z=[0, 5, 11])
+        assert list(sub.indexes["z"]) == [(10, 1), (20, 2), (30, 4)]
+
+    def test_to_pandas_stacked_gives_multiindexed_series(self):
+        import pandas as pd
+
+        s = self._da().stack(z=("y", "x"))
+        ser = s.to_pandas()
+        assert isinstance(ser.index, pd.MultiIndex)
+        assert ser.loc[(20, 3)] == 6.0
+
+    def test_reset_index_stacked_keeps_level_coords(self):
+        s = self._da().stack(z=("y", "x"))
+        r = s.reset_index("z")
+        assert "z" not in r.indexes  # MultiIndex forgotten
+        # level coords survive as plain (z,) coords
+        np.testing.assert_array_equal(
+            np.asarray(r.coords["y"].data),
+            np.repeat([10, 20, 30], 4),
+        )
+        with pytest.raises(ValueError, match="cannot unstack"):
+            r.unstack("z")
+        dropped = s.reset_index("z", drop=True)
+        assert "y" not in dropped._coords and "x" not in dropped._coords
+
+    def test_reset_index_plain_dim_coordinate(self):
+        da = self._da()
+        r = da.reset_index("x")
+        assert "x" not in r.indexes
+        np.testing.assert_array_equal(
+            np.asarray(r.coords["x_"].data), [1, 2, 3, 4]
+        )
+
+    def test_reorder_levels_swaps_unstack_order(self):
+        s = self._da().stack(z=("y", "x"))
+        r = s.reorder_levels(z=["x", "y"])
+        assert r.indexes["z"].names == ["x", "y"]
+        back = r.unstack("z")
+        assert tuple(back.dims) == ("x", "y")
+        np.testing.assert_allclose(
+            np.asarray(back.data), np.asarray(self._da().data).T
+        )
+        with pytest.raises(ValueError, match="permutation"):
+            s.reorder_levels(z=["x", "x"])
+
+    def test_dataset_multiindex_surface(self):
+        import pandas as pd
+
+        ds = xdata.Dataset({"v": self._da()})
+        s = ds.stack(z=("y", "x"))
+        mi = s.indexes["z"]
+        assert isinstance(mi, pd.MultiIndex) and mi.names == ["y", "x"]
+        r = s.reset_index("z")
+        assert "z" not in r.indexes
+        ro = s.reorder_levels(z=["x", "y"])
+        assert ro.indexes["z"].names == ["x", "y"]
+        back = ro.unstack("z")
+        assert tuple(back["v"].dims) == ("x", "y")

@@ -14,7 +14,11 @@ from typing import Any, Hashable, Mapping, Sequence
 
 import numpy as np
 
-from xugrid_tpu.xdata.indexes import as_index, resolve_label_indexer
+from xugrid_tpu.xdata.indexes import (
+    as_index,
+    resolve_label_indexer,
+    stacked_multiindex,
+)
 from xugrid_tpu.xdata.variable import (
     Variable,
     as_compatible_data,
@@ -215,11 +219,17 @@ class DataArray:
     def indexes(self) -> dict:
         out = {}
         for dim in self.dims:
-            if dim in self._coords and self._coords[dim].dims == (dim,):
+            mi = stacked_multiindex(dim, self.encoding, self._coords)
+            if mi is not None:
+                out[dim] = mi
+            elif dim in self._coords and self._coords[dim].dims == (dim,):
                 out[dim] = as_index(self._coords[dim].data)
         return out
 
     def get_index(self, dim):
+        mi = stacked_multiindex(dim, self.encoding, self._coords)
+        if mi is not None:
+            return mi
         if dim in self._coords and self._coords[dim].dims == (dim,):
             return as_index(self._coords[dim].data)
         import pandas as pd
@@ -614,6 +624,65 @@ class DataArray:
             new[dim] = Variable((dim,), cv.data, cv.attrs)
             out = DataArray._construct(out.variable, new, out.name)
         return out
+
+    def reset_index(self, dims_or_levels, drop: bool = False):
+        """Remove the index of the given dims (xarray semantics).
+
+        For a stacked/multi-coordinate dim this forgets the recorded
+        MultiIndex layout; the level coordinates stay as plain
+        (dim,)-shaped coords unless ``drop=True``.  For a plain
+        dimension coordinate the coord is demoted to the non-index name
+        ``<dim>_`` (xarray's convention), or dropped."""
+        if isinstance(dims_or_levels, str):
+            dims_or_levels = [dims_or_levels]
+        var = Variable(
+            self.variable.dims, self.variable.data, self.attrs,
+            dict(self.encoding),
+        )
+        coords = dict(self._coords)
+        for d in dims_or_levels:
+            key = "_stacked_" + d
+            if key in var.encoding:
+                levels, _sizes = var.encoding.pop(key)
+                if drop:
+                    for name in levels:
+                        coords.pop(name, None)
+            elif d in coords and coords[d].dims == (d,):
+                cv = coords.pop(d)
+                if not drop:
+                    coords[d + "_"] = cv
+            else:
+                raise ValueError(f"{d!r} has no index to reset")
+        return DataArray._construct(var, coords, self.name)
+
+    def reorder_levels(self, dim_order=None, **kwargs):
+        """Reorder the levels of stacked-dim MultiIndexes.
+
+        Only the recorded level ORDER changes (xarray semantics: data
+        is untouched).  The product-reshape fast path of
+        :meth:`unstack` keys on the original meshgrid layout, so a
+        reordered dim unstacks through the sparse unique-level path
+        (levels sorted), matching xarray's reindex-based unstack of a
+        reordered MultiIndex."""
+        dim_order = {**(dim_order or {}), **kwargs}
+        var = Variable(
+            self.variable.dims, self.variable.data, self.attrs,
+            dict(self.encoding),
+        )
+        for d, order in dim_order.items():
+            key = "_stacked_" + d
+            if key not in var.encoding:
+                raise ValueError(f"{d!r} has no MultiIndex")
+            levels, _sizes = var.encoding[key]
+            if sorted(order) != sorted(levels):
+                raise ValueError(
+                    f"reorder_levels for {d!r}: {tuple(order)} is not "
+                    f"a permutation of {tuple(levels)}"
+                )
+            # sizes=None: the meshgrid layout no longer matches the
+            # level order — unstack must take the sparse path.
+            var.encoding[key] = (tuple(order), None)
+        return DataArray._construct(var, dict(self._coords), self.name)
 
     # -- shaping ------------------------------------------------------------
     def transpose(self, *dims) -> "DataArray":

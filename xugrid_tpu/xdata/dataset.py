@@ -10,7 +10,11 @@ from typing import Any, Hashable, Iterator, Mapping, Sequence
 import numpy as np
 
 from xugrid_tpu.xdata.dataarray import DataArray, _array_equiv
-from xugrid_tpu.xdata.indexes import as_index, resolve_label_indexer
+from xugrid_tpu.xdata.indexes import (
+    as_index,
+    resolve_label_indexer,
+    stacked_multiindex,
+)
 from xugrid_tpu.xdata.variable import Variable
 
 
@@ -168,11 +172,81 @@ class Dataset:
     @property
     def indexes(self) -> dict:
         out = {}
+        # Stacked dims first: the product layout is recorded in the
+        # data variables' encodings; level coords live at ds level.
+        coords = {
+            k: self._variables[k] for k in self._coord_names
+        }
+        seen = set()
+        for name in self.data_vars:
+            for key in self._variables[name].encoding:
+                if not key.startswith("_stacked_"):
+                    continue
+                dim = key[len("_stacked_"):]
+                if dim in seen:
+                    continue
+                mi = stacked_multiindex(
+                    dim, self._variables[name].encoding, coords
+                )
+                if mi is not None:
+                    out[dim] = mi
+                    seen.add(dim)
         for name in self._coord_names:
             var = self._variables[name]
-            if var.dims == (name,):
+            if var.dims == (name,) and name not in out:
                 out[name] = as_index(var.data)
         return out
+
+    def reset_index(self, dims_or_levels, drop: bool = False) -> "Dataset":
+        if isinstance(dims_or_levels, str):
+            dims_or_levels = [dims_or_levels]
+        stacked = {
+            k[len("_stacked_"):]
+            for name in self.data_vars
+            for k in self._variables[name].encoding
+            if k.startswith("_stacked_")
+        }
+        out = self.copy(deep=False)
+        for d in dims_or_levels:
+            if d in stacked:
+                dropped: set = set()
+
+                def _reset(da, d=d, dropped=dropped):
+                    if "_stacked_" + d not in da.encoding:
+                        return da
+                    if drop:
+                        dropped.update(da.encoding["_stacked_" + d][0])
+                    return da.reset_index(d, drop=drop)
+
+                out = out._apply_per_var(_reset)
+                for name in dropped:
+                    out._variables.pop(name, None)
+                    out._coord_names.discard(name)
+            elif d in out._coord_names and out._variables[d].dims == (d,):
+                cv = out._variables.pop(d)
+                out._coord_names.discard(d)
+                if not drop:
+                    out._variables[d + "_"] = cv
+                    out._coord_names.add(d + "_")
+            else:
+                raise ValueError(f"{d!r} has no index to reset")
+        return out
+
+    def reorder_levels(self, dim_order=None, **kwargs) -> "Dataset":
+        dim_order = {**(dim_order or {}), **kwargs}
+        return self._apply_per_var(
+            lambda da: da.reorder_levels(
+                {
+                    d: o
+                    for d, o in dim_order.items()
+                    if "_stacked_" + d in da.encoding
+                }
+            )
+            if any(
+                "_stacked_" + d in da.encoding for d in dim_order
+            )
+            else da
+        )
 
     def __repr__(self) -> str:
         lines = ["<xdata.Dataset>"]

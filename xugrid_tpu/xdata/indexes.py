@@ -12,6 +12,29 @@ def as_index(values) -> pd.Index:
     return pd.Index(np.asarray(values))
 
 
+def stacked_multiindex(dim, encoding, coords) -> "pd.MultiIndex | None":
+    """Build the pandas MultiIndex of a stacked dim from the recorded
+    ``_stacked_<dim>`` encoding and the level coordinates, or None when
+    the dim is not stacked / a level coordinate was dropped.
+
+    The reference reaches pandas MultiIndexes through xarray's
+    forwarded API (stack/set_index, core/wrap.py:95-170); here the
+    product layout lives in ``encoding`` and the MultiIndex is
+    materialized on demand so ``indexes``/``get_index``/``to_pandas``
+    round-trip the same object users get from xarray."""
+    key = "_stacked_" + dim
+    if key not in encoding:
+        return None
+    levels, _sizes = encoding[key]
+    arrays = []
+    for name in levels:
+        var = coords.get(name)
+        if var is None or tuple(var.dims) != (dim,):
+            return None
+        arrays.append(np.asarray(var.data))
+    return pd.MultiIndex.from_arrays(arrays, names=list(levels))
+
+
 def resolve_label_indexer(index: pd.Index, indexer: Any, method=None, tolerance=None):
     """
     Translate a label-based indexer (scalar, slice, or array of labels)
