@@ -47,11 +47,173 @@ Q = 4           # Q_PACK
 GROUPS = 4      # 512-target block / 128
 
 
-STAGES = ("meta", "read", "rowq", "gather", "chain", "full")
+STAGES = ("null", "meta", "read", "rowq", "gather", "chain", "full")
+SPAN = int(os.environ.get("SPAN", "16"))   # steps per manual plan DMA
+SPAN_STAGES = ("snull", "sfull")
+
+
+def make_span_kernel(stage: str):
+    """Span-batched plan streaming: itab/wtab live in HBM (ANY) and a
+    manual double-buffered DMA copies SPAN steps' worth at once — one
+    DMA issue per SPAN steps instead of two BlockSpec copies per step.
+    Measures whether the per-step scalar-core DMA orchestration is the
+    2.16 us/step floor the BlockSpec probe shows."""
+
+    def kernel(meta_ref, itab_hbm, wtab_hbm, slabs_ref, o_ref,
+               acc, itab_s, wtab_s, sem0, sem1):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        sp = i // SPAN
+        off = (i % SPAN) * R_STEP
+        slot = jax.lax.rem(sp, 2)
+
+        @pl.when(i == 0)
+        def _init():
+            acc[...] = jnp.zeros((GROUPS, E, 128), jnp.float32)
+            pltpu.make_async_copy(
+                itab_hbm.at[pl.ds(0, SPAN * R_STEP)],
+                itab_s.at[0], sem0,
+            ).start()
+            pltpu.make_async_copy(
+                wtab_hbm.at[pl.ds(0, SPAN * R_STEP * Q)],
+                wtab_s.at[0], sem0,
+            ).start()
+
+        # Span rotation: even spans ride sem0/buf0, odd spans
+        # sem1/buf1 — each span's wait matches the semaphore its start
+        # used (span 0 starts at _init on sem0; span k+1 starts at
+        # span k's rotation on the other semaphore).
+        nxt = (sp + 1) * SPAN * R_STEP
+        at_rot = i % SPAN == 0
+
+        def _rot(cur_sem, nxt_sem, cur_buf, nxt_buf):
+            pltpu.make_async_copy(
+                itab_hbm.at[pl.ds(0, SPAN * R_STEP)],
+                itab_s.at[cur_buf], cur_sem,
+            ).wait()
+            pltpu.make_async_copy(
+                wtab_hbm.at[pl.ds(0, SPAN * R_STEP * Q)],
+                wtab_s.at[cur_buf], cur_sem,
+            ).wait()
+
+            @pl.when(nxt < nsteps * R_STEP)
+            def _pref():
+                pltpu.make_async_copy(
+                    itab_hbm.at[pl.ds(nxt, SPAN * R_STEP)],
+                    itab_s.at[nxt_buf], nxt_sem,
+                ).start()
+                pltpu.make_async_copy(
+                    wtab_hbm.at[pl.ds(nxt * Q, SPAN * R_STEP * Q)],
+                    wtab_s.at[nxt_buf], nxt_sem,
+                ).start()
+
+        @pl.when(jnp.logical_and(at_rot, slot == 0))
+        def _rot_even():
+            _rot(sem0, sem1, 0, 1)
+
+        @pl.when(jnp.logical_and(at_rot, slot == 1))
+        def _rot_odd():
+            _rot(sem1, sem0, 1, 0)
+        if stage == "snull":
+            acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + 1.0
+
+            @pl.when(i == nsteps - 1)
+            def _flush0():
+                o_ref[...] = acc[pl.ds(0, 1)].reshape(E, 128)
+
+            return
+
+        bshift = (
+            jax.lax.broadcasted_iota(jnp.int32, (RB * Q, 128), 0) % Q
+        ) * 8
+        mbase = i * (R_STEP // 2)
+
+        def expand(x):
+            k = x.shape[0]
+            return jnp.broadcast_to(
+                x[:, None, :], (k, E, 128)
+            ).reshape(k * E, 128)
+
+        for r0 in range(0, R_STEP, RB):
+            cids = []
+            grps = []
+            for j in range(RB):
+                r = r0 + j
+                mw = meta_ref[mbase + (r >> 1)]
+                mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
+                cids.append(mrow & 63)
+                grps.append((mrow >> 6) & (GROUPS - 1))
+            rowQ = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        slabs_ref[pl.ds(cids[j], 1)].reshape(
+                            1, E, 128
+                        ),
+                        (Q, E, 128),
+                    ).reshape(Q * E, 128)
+                    for j in range(RB)
+                ],
+                axis=0,
+            )
+            idxw = itab_s[slot, pl.ds(off + r0, RB), :]
+            idxR = jnp.broadcast_to(
+                idxw[:, None, :], (RB, Q, 128)
+            ).reshape(RB * Q, 128)
+            byte4 = jnp.right_shift(idxR, bshift) & 255
+            idxQ = expand(byte4 & 127)
+            val = jnp.take_along_axis(rowQ, idxQ, axis=1)
+            wQ = expand(
+                wtab_s[slot, pl.ds((off + r0) * Q, RB * Q), :]
+            )
+            qs = val * wQ
+            for j in range(RB):
+                x = qs[j * Q * E:(j + 1) * Q * E].reshape(Q, E, 128)
+                tot = (x[0] + x[1]) + (x[2] + x[3])
+                cur = acc[pl.ds(grps[j], 1)].reshape(E, 128)
+                acc[pl.ds(grps[j], 1)] = (cur + tot).reshape(
+                    1, E, 128
+                )
+
+        @pl.when(i == nsteps - 1)
+        def _flush():
+            o_ref[...] = acc[pl.ds(0, 1)].reshape(E, 128)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("stage",))
+def run_span(meta, itab, wtab, slabs, stage):
+    return pl.pallas_call(
+        make_span_kernel(stage),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(STEPS,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (2 * W, E, 128), lambda i, m: (0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((E, 128), lambda i, m: (0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((GROUPS, E, 128), jnp.float32),
+                pltpu.VMEM((2, SPAN * R_STEP, 128), jnp.int32),
+                pltpu.VMEM((2, SPAN * R_STEP * Q, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((E, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=INTERPRET,
+    )(meta, itab, wtab, slabs)
 
 
 def make_kernel(stage: str):
-    lvl = STAGES.index(stage)
+    lvl = -1 if stage == "null" else STAGES.index(stage) - 1
 
     def kernel(meta_ref, itab_ref, wtab_ref, slabs_ref, o_ref, acc):
         i = pl.program_id(0)
@@ -59,6 +221,15 @@ def make_kernel(stage: str):
         @pl.when(i == 0)
         def _init():
             acc[...] = jnp.zeros((GROUPS, E, 128), jnp.float32)
+
+        if stage == "null":     # grid + block-DMA machinery only
+            acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + 1.0
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _flush0():
+                o_ref[...] = acc[pl.ds(0, 1)].reshape(E, 128)
+
+            return
 
         bshift = (
             jax.lax.broadcasted_iota(jnp.int32, (RB * Q, 128), 0) % Q
@@ -190,6 +361,18 @@ def run_reps(meta, itab, wtab, slabs, stage, reps):
     return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
 
+@partial(jax.jit, static_argnames=("stage", "reps"))
+def run_reps_span(meta, itab, wtab, slabs, stage, reps):
+    def body(k, s):
+        out = run_span(
+            meta, itab, wtab,
+            slabs + k.astype(jnp.float32) * 1e-12, stage,
+        )
+        return s + jnp.sum(out)
+
+    return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+
 def main():
     rng = np.random.default_rng(0)
     rows = STEPS * R_STEP
@@ -208,11 +391,19 @@ def main():
     dw = jnp.asarray(wtab)
     ds_ = jnp.asarray(slabs)
 
+    only = os.environ.get("ONLY")
+    stages = list(STAGES)
+    if STEPS % SPAN == 0:
+        stages += list(SPAN_STAGES)
+    if only:
+        stages = [s for s in stages if s in only.split(",")]
+
     prev = 0.0
-    for stage in STAGES:
-        _ = float(run_reps(dm, di, dw, ds_, stage, 2))
+    for stage in stages:
+        runner = run_reps_span if stage in SPAN_STAGES else run_reps
+        _ = float(runner(dm, di, dw, ds_, stage, 2))
         t0 = time.perf_counter()
-        _ = float(run_reps(dm, di, dw, ds_, stage, REPS))
+        _ = float(runner(dm, di, dw, ds_, stage, REPS))
         dt = (time.perf_counter() - t0) / REPS
         ns_row = dt / rows * 1e9
         print(
