@@ -344,20 +344,21 @@ def run_aligned(padded, source, true_bytes, grid):
     srcE = stage_source_aligned(source, plan)
     n_blocks = len(plan.rwsum) // plan.block
     rb = int(os.environ.get("RB", "4"))
+    span = int(os.environ.get("SPAN", "0"))
 
     @partial(jax.jit, static_argnames=(
         "method", "block", "r_step", "w_chunks", "n_blocks", "rb",
-        "gm", "n_reps"))
+        "gm", "span", "n_reps"))
     def aligned_reps(srcE, blkid, wmeta, winc0, meta, itab, wtab,
                      rwsum, method, block, r_step, w_chunks, n_blocks,
-                     rb, gm, n_reps):
+                     rb, gm, span, n_reps):
         def body(i, acc):
             out = gather_aligned_apply(
                 srcE + i.astype(srcE.dtype) * 1e-12,
                 blkid, wmeta, winc0, meta, itab, wtab, rwsum,
                 method=method, has_nan=False,
                 block=block, r_step=r_step, w_chunks=w_chunks,
-                n_blocks=n_blocks, rb=rb, gm=gm,
+                n_blocks=n_blocks, rb=rb, gm=gm, span_steps=span,
             )
             return acc + jnp.nansum(out)
 
@@ -372,7 +373,7 @@ def run_aligned(padded, source, true_bytes, grid):
         jnp.asarray(plan.wtab), jnp.asarray(plan.rwsum),
     )
     statics = (METHOD, plan.block, plan.r_step, plan.w_chunks,
-               n_blocks, rb, plan.gm)
+               n_blocks, rb, plan.gm, span)
     t0 = time.perf_counter()
     cs = float(aligned_reps(*dargs, *statics, reps))
     print(f"compile+first: {time.perf_counter()-t0:.1f}s",
@@ -384,7 +385,7 @@ def run_aligned(padded, source, true_bytes, grid):
     print(
         f"aligned kernel [{METHOD} E={N_EXTRA} block={plan.block} "
         f"r_step={plan.r_step} w={plan.w_chunks} rb={rb} "
-        f"gm={plan.gm}]: "
+        f"gm={plan.gm} span={span}]: "
         f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
         f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )

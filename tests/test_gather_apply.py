@@ -563,6 +563,31 @@ def test_aligned_gm_plan_roundtrip():
     assert got == want
 
 
+@pytest.mark.parametrize("span", [8, 16])
+@pytest.mark.parametrize("method", ["mean", "sum", "min"])
+def test_aligned_span_streaming_matches_oracle(method, span, monkeypatch):
+    """Span-streamed plan tables (manual double-buffered DMA of
+    itab/wtab, XUGRID_TPU_ALIGNED_SPAN) must reproduce the per-step
+    BlockSpec path exactly — including spans that do not divide nsteps
+    (per-call fallback to 0) and NaN sources."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        aligned_apply,
+        plan_gather_aligned,
+    )
+
+    indices, weights, source = make_case(
+        n=2100, m=2500, w=8, nan_frac=0.1, seed=span * 7 + len(method),
+    )
+    plan = plan_gather_aligned(indices, weights)
+    assert plan is not None
+    assert plan.nsteps % 16 == 0  # the planner's pow2 padding contract
+    monkeypatch.setenv("XUGRID_TPU_ALIGNED_SPAN", str(span))
+    got = aligned_apply(source, plan, method, has_nan=True,
+                        interpret=True)
+    want = oracle_apply(method, indices, weights, source)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
 def test_cg_gather_handles_gm_plan(monkeypatch):
     """The fused PCG matvec must accept a group-major aligned plan
     (the gm static flows through the solve jit).  cg_solve plans

@@ -539,6 +539,7 @@ def _make_aligned_kernel(
     w_chunks: int,
     rb: int,
     gm: bool,
+    span_steps: int,
     interpret: bool,
 ):
     chains = _chains(method, has_nan)
@@ -556,12 +557,71 @@ def _make_aligned_kernel(
         src_hbm, out_ref,
         slabs, acc, *rest,
     ):
-        if gm:
-            accg, sem0, sem1 = rest
-        else:
-            sem0, sem1 = rest
+        rest = list(rest)
+        accg = rest.pop(0) if gm else None
+        if span_steps:
+            itab_s = rest.pop(0)
+            wtab_s = rest.pop(0)
+            semA = rest.pop()
+            semB = rest.pop()
+        sem0, sem1 = rest
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
+
+        if span_steps:
+            # Plan-table span streaming: per-step BlockSpec copies of
+            # itab/wtab cost ~2 serialized DMA issues per grid step on
+            # the scalar core; one double-buffered DMA per span of
+            # ``span_steps`` steps amortizes them away.  Even spans
+            # ride semA/buf0, odd spans semB/buf1 (each span's wait
+            # matches the semaphore its start used: span 0 starts at
+            # boot on semA, span k+1 at span k's rotation).
+            sp = i // span_steps
+            sslot = sp % 2
+            soff = (i % span_steps) * r_step
+            n_it = span_steps * r_step
+            n_wt = span_steps * r_step * Q_PACK
+
+            @pl.when(i == 0)
+            def _tab_boot():
+                pltpu.make_async_copy(
+                    itab_ref.at[pl.ds(0, n_it)], itab_s.at[0], semA
+                ).start()
+                pltpu.make_async_copy(
+                    wtab_ref.at[pl.ds(0, n_wt)], wtab_s.at[0], semA
+                ).start()
+
+            at_rot = i % span_steps == 0
+            nxt_i = (sp + 1) * n_it
+
+            def _rotate(cur_sem, nxt_sem, cur_buf, nxt_buf):
+                pltpu.make_async_copy(
+                    itab_ref.at[pl.ds(0, n_it)],
+                    itab_s.at[cur_buf], cur_sem,
+                ).wait()
+                pltpu.make_async_copy(
+                    wtab_ref.at[pl.ds(0, n_wt)],
+                    wtab_s.at[cur_buf], cur_sem,
+                ).wait()
+
+                @pl.when(nxt_i < nsteps * r_step)
+                def _pref():
+                    pltpu.make_async_copy(
+                        itab_ref.at[pl.ds(nxt_i, n_it)],
+                        itab_s.at[nxt_buf], nxt_sem,
+                    ).start()
+                    pltpu.make_async_copy(
+                        wtab_ref.at[pl.ds(nxt_i * Q_PACK, n_wt)],
+                        wtab_s.at[nxt_buf], nxt_sem,
+                    ).start()
+
+            @pl.when(jnp.logical_and(at_rot, sslot == 0))
+            def _rot_even():
+                _rotate(semA, semB, 0, 1)
+
+            @pl.when(jnp.logical_and(at_rot, sslot == 1))
+            def _rot_odd():
+                _rotate(semB, semA, 1, 0)
         cur_b = blkid_ref[i]
         prev = blkid_ref[jnp.maximum(i - 1, 0)]
         nxt_b = blkid_ref[jnp.minimum(i + 1, nsteps - 1)]
@@ -711,14 +771,21 @@ def _make_aligned_kernel(
                 ],
                 axis=0,
             )
-            idxw = itab_ref[r0:r0 + rb, :]            # (rb, 128)
+            if span_steps:
+                idxw = itab_s[sslot, pl.ds(soff + r0, rb), :]
+                wrows = wtab_s[
+                    sslot, pl.ds((soff + r0) * Q_PACK, rb * Q_PACK), :
+                ]
+            else:
+                idxw = itab_ref[r0:r0 + rb, :]        # (rb, 128)
+                wrows = wtab_ref[r0 * Q_PACK:(r0 + rb) * Q_PACK, :]
             idxR = jnp.broadcast_to(
                 idxw[:, None, :], (rb, Q_PACK, 128)
             ).reshape(rb * Q_PACK, 128)
             byte4 = jnp.right_shift(idxR, bshift) & 255
             idxQ = expand(byte4 & 127)
             val = jnp.take_along_axis(rowQ, idxQ, axis=1)
-            wQ = expand(wtab_ref[r0 * Q_PACK:(r0 + rb) * Q_PACK, :])
+            wQ = expand(wrows)
             qs = _lane_quantities(method, has_nan, val, wQ)
             if need_mask:
                 okQ = expand(byte4 >= 128)
@@ -821,7 +888,7 @@ def _make_aligned_kernel(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "block", "r_step", "w_chunks",
-        "n_blocks", "rb", "gm", "interpret",
+        "n_blocks", "rb", "gm", "span_steps", "interpret",
     ),
 )
 def gather_aligned_apply(
@@ -834,25 +901,54 @@ def gather_aligned_apply(
     n_blocks: int = 1,
     rb: int = R_BATCH,
     gm: bool = False,
+    span_steps: int = 0,
     interpret: bool = False,
 ):
     """Target-aligned banded apply: plan arrays from
-    ``plan_gather_aligned``; srcE staged by ``stage_source_aligned``."""
+    ``plan_gather_aligned``; srcE staged by ``stage_source_aligned``.
+
+    ``span_steps`` > 0 streams itab/wtab via one manual
+    double-buffered DMA per span instead of two per-step BlockSpec
+    copies (see _make_aligned_kernel); requires
+    nsteps % span_steps == 0 (the planner pads nsteps to a multiple of
+    16)."""
     e_sub, m_pad = srcE.shape
     ctot = m_pad // CHUNK
     chunks = srcE.reshape(e_sub, ctot, CHUNK).transpose(1, 0, 2)
     nsteps = blkid.shape[0]
     n_pad = n_blocks * block
     nc = len(_chains(method, has_nan))
+    if span_steps and nsteps % span_steps:
+        span_steps = 0
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nsteps,),
-        in_specs=[
+    if span_steps:
+        tab_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        tab_scratch = [
+            pltpu.VMEM(
+                (2, span_steps * r_step, 128), jnp.int32
+            ),
+            pltpu.VMEM(
+                (2, span_steps * r_step * Q_PACK, 128), jnp.float32
+            ),
+        ]
+        tab_sems = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    else:
+        tab_specs = [
             pl.BlockSpec((r_step, 128), lambda i, *_: (i, 0)),
             pl.BlockSpec(
                 (r_step * Q_PACK, 128), lambda i, *_: (i, 0)
             ),
+        ]
+        tab_scratch = []
+        tab_sems = []
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nsteps,),
+        in_specs=tab_specs + [
             pl.BlockSpec(
                 (1, block), lambda i, blk, *_: (0, blk[i])
             ),
@@ -871,14 +967,16 @@ def gather_aligned_apply(
                 if gm
                 else []
             ),
+            *tab_scratch,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            *tab_sems,
         ],
     )
 
     kernel = _make_aligned_kernel(
         method, has_nan, e_sub, block, r_step, w_chunks, rb, gm,
-        interpret,
+        span_steps, interpret,
     )
 
     return pl.pallas_call(
@@ -937,6 +1035,18 @@ def aligned_apply(
         w_chunks=plan.w_chunks,
         n_blocks=len(plan.rwsum) // plan.block,
         gm=plan.gm,
+        span_steps=default_span_steps(),
         interpret=interpret,
     )
     return np.asarray(out)[: source2d.shape[0], : plan.n].T
+
+
+def default_span_steps() -> int:
+    """Plan-table span streaming width (XUGRID_TPU_ALIGNED_SPAN;
+    0 = per-step BlockSpec copies).  The planner pads nsteps to a
+    multiple of 16, so 16 always divides; other values fall back to 0
+    per-call when they do not divide nsteps."""
+    try:
+        return int(os.environ.get("XUGRID_TPU_ALIGNED_SPAN", "0"))
+    except ValueError:
+        return 0
