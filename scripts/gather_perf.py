@@ -158,7 +158,7 @@ def main():
             import jax.lax as lax
             return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-        reps = 10
+        reps = int(os.environ.get("REPS", "10"))
         dargs = (
             jnp.asarray(srcE), jnp.asarray(plan.chunk0),
             jnp.asarray(plan.nsp), jnp.asarray(plan.meta),
@@ -200,7 +200,7 @@ def main():
             import jax.lax as lax
             return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-        reps = 10
+        reps = int(os.environ.get("REPS", "10"))
         dargs = (
             jnp.asarray(srcE), jnp.asarray(plan.blkid),
             jnp.asarray(plan.spanblk), jnp.asarray(plan.ptab),
@@ -241,7 +241,7 @@ def main():
             import jax.lax as lax
             return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-        reps = 10
+        reps = int(os.environ.get("REPS", "10"))
         dargs = (
             jnp.asarray(srcE), jnp.asarray(plan.chunk0),
             jnp.asarray(plan.nsp), jnp.asarray(plan.meta),
@@ -264,7 +264,7 @@ def main():
         check_against_xla(source, padded, plan, grid)
         return
 
-    reps = 10
+    reps = int(os.environ.get("REPS", "10"))
 
     mxu = _use_mxu(METHOD, False, srcE.shape[0])
     scan_steps = 0 if mxu else plan.scan_steps
@@ -365,7 +365,7 @@ def run_aligned(padded, source, true_bytes, grid):
         import jax.lax as lax
         return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-    reps = 10
+    reps = int(os.environ.get("REPS", "10"))
     dargs = (
         jnp.asarray(srcE), jnp.asarray(plan.blkid),
         jnp.asarray(plan.wmeta), jnp.asarray(plan.winc0),
@@ -448,7 +448,7 @@ def run_mxu(padded, source, true_bytes, grid):
         import jax.lax as lax
         return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-    reps = 10
+    reps = int(os.environ.get("REPS", "10"))
     dargs = (
         jnp.asarray(srcE), jnp.asarray(base.blkid),
         jnp.asarray(base.wmeta), jnp.asarray(base.winc0),
@@ -543,7 +543,7 @@ def run_select(padded, source, true_bytes):
         import jax.lax as lax
         return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
 
-    reps = 10
+    reps = int(os.environ.get("REPS", "10"))
     gate = plan.rwsum if METHOD == "mode" else plan.rwraw
     dargs = (
         jnp.asarray(srcE), jnp.asarray(plan.blkid),
