@@ -64,6 +64,36 @@ def best_of(fn, n=2):
 #: HBM bandwidth of one v5e chip (speed-of-light reference).
 HBM_GBPS = 819.0
 
+#: Two-point rep counts for the slope timer.  Low/high must share ONE
+#: compiled executable (n_reps is a dynamic fori_loop bound), so the
+#: ~25-30 ms per-dispatch fixed cost F (remote-tunnel RTT + dispatch +
+#: scalar fetch; measured round 4 via a REPS sweep: 4.83 ms/pass at
+#: reps=10 vs a 2.0 ms true slope) cancels exactly:
+#:   per_pass = (T_hi - T_lo) / (hi - lo).
+REPS_LO, REPS_HI = (2, 8) if SMALL else ((10, 40) if XL else (20, 100))
+
+
+def slope_time(call):
+    """Per-pass seconds via the two-point slope estimator.
+
+    ``call(n_reps)`` must run n_reps passes inside ONE jit dispatch and
+    block on the result; n_reps must be a dynamic (non-static) argument
+    so both points share one executable.  Returns
+    (per_pass_s, dispatch_overhead_s); each point is best-of-2 against
+    the 1-vCPU host's steal-time noise.
+    """
+    call(REPS_LO)  # compile + warm
+    t_lo = t_hi = np.inf
+    for _ in range(1 if SMALL else 2):
+        t0 = time.perf_counter()
+        call(REPS_LO)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        call(REPS_HI)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    p = (t_hi - t_lo) / (REPS_HI - REPS_LO)
+    return max(p, 1e-9), max(t_lo - REPS_LO * p, 0.0)
+
 
 def quad_mesh(nx, ny, dx=1.0):
     x = np.arange(nx + 1.0) * dx
@@ -158,10 +188,9 @@ def main():
 
     # Loop the passes inside one jit call: the remote-relay round trip
     # (~100ms) would otherwise dominate per-pass timing.
-    reps = 5 if SMALL else (10 if XL else 20)
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(3, 4))
+    @partial(jax.jit, static_argnums=(3,))
     def apply_reps(srcT, idx, w, reduction, n_reps):
         def body(i, carry):
             src, acc = carry
@@ -183,10 +212,14 @@ def main():
         )
         return acc
 
-    checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
-    t0 = time.perf_counter()
-    checksum = float(apply_reps(src_d, idx_d, w_d, reductions.mean, reps))
-    xla_apply_s = (time.perf_counter() - t0) / reps
+    checksum = float(
+        apply_reps(src_d, idx_d, w_d, reductions.mean, jnp.int32(REPS_LO))
+    )
+    xla_apply_s, _ = slope_time(
+        lambda r: float(
+            apply_reps(src_d, idx_d, w_d, reductions.mean, jnp.int32(r))
+        )
+    )
 
     # --- Pallas gather-packet apply (the primary TPU kernel) ------------
     gather_apply_s = None
@@ -214,7 +247,7 @@ def main():
                 + n_blocks * 512 * e_sub * 4               # output
             )
 
-            def time_gather(src2d, method, n_reps):
+            def time_gather(src2d, method):
                 from xugrid_tpu.regrid.gather_apply import _use_mxu
 
                 srcE = stage_source(src2d, gplan)
@@ -223,11 +256,11 @@ def main():
                 @partial(
                     jax.jit,
                     static_argnames=(
-                        "method", "scan_steps", "maxc", "mxu", "n_reps"
+                        "method", "scan_steps", "maxc", "mxu"
                     ),
                 )
                 def reps_fn(srcE, c0, npk, meta, ptab, page, rw,
-                            method, scan_steps, maxc, mxu, n_reps):
+                            n_reps, method, scan_steps, maxc, mxu):
                     def body(i, carry):
                         src, acc = carry
                         out = gather_windowed_apply(
@@ -254,15 +287,16 @@ def main():
                     jnp.asarray(gplan.rwsum),
                 )
                 scan_steps = 0 if mxu else gplan.scan_steps
-                _ = float(reps_fn(*dargs, method, scan_steps,
-                                  gplan.maxc, mxu, n_reps))
-                t0 = time.perf_counter()
-                _ = float(reps_fn(*dargs, method, scan_steps,
-                                  gplan.maxc, mxu, n_reps))
-                return (time.perf_counter() - t0) / n_reps
+                p, _f = slope_time(
+                    lambda r: float(
+                        reps_fn(*dargs, jnp.int32(r), method,
+                                scan_steps, gplan.maxc, mxu)
+                    )
+                )
+                return p
 
-            gather_apply_s = time_gather(source, "mean", reps)
-            gather_min_s = time_gather(source, "min", reps)
+            gather_apply_s = time_gather(source, "mean")
+            gather_min_s = time_gather(source, "min")
             # Lane-packed variant: 128 slices through the SAME weights —
             # proves whether the kernel is lane-limited or
             # overhead-limited (per-packet cost is slice-independent).
@@ -273,9 +307,7 @@ def main():
                     src128 = rng.normal(size=(128, grid.n_face)).astype(
                         np.float32
                     )
-                    gather_e128_s = time_gather(
-                        src128, "mean", max(2, reps // 2)
-                    )
+                    gather_e128_s = time_gather(src128, "mean")
                 except Exception as exc:  # pragma: no cover
                     print(f"e128 variant unavailable: {exc!r}",
                           file=sys.stderr)
@@ -287,6 +319,7 @@ def main():
     aligned_min_s = None
     aligned_e128_s = None
     aligned_dma_bytes = None
+    dispatch_overhead_s = None
     try:
         from xugrid_tpu.regrid.aligned_apply import (
             Q_PACK as _QP,
@@ -309,19 +342,19 @@ def main():
                 + len(aplan.rwsum) * 4                         # rwsum
             )
 
-            def time_aligned(src2d, method, n_reps):
+            def time_aligned(src2d, method):
                 srcE = stage_source_aligned(src2d, aplan)
 
                 @partial(
                     jax.jit,
                     static_argnames=(
                         "method", "block", "r_step", "w_chunks",
-                        "n_blocks", "n_reps",
+                        "n_blocks",
                     ),
                 )
                 def reps_fn(srcE, blkid, wmeta, winc0, meta, itab,
-                            wtab, rw, method, block, r_step, w_chunks,
-                            n_blocks, n_reps):
+                            wtab, rw, n_reps, method, block, r_step,
+                            w_chunks, n_blocks):
                     def body(i, carry):
                         src, acc = carry
                         out = gather_aligned_apply(
@@ -349,21 +382,23 @@ def main():
                     method, aplan.block, aplan.r_step, aplan.w_chunks,
                     len(aplan.rwsum) // aplan.block,
                 )
-                _ = float(reps_fn(*aargs, *statics, n_reps))
-                t0 = time.perf_counter()
-                _ = float(reps_fn(*aargs, *statics, n_reps))
-                return (time.perf_counter() - t0) / n_reps
+                p, f = slope_time(
+                    lambda r: float(
+                        reps_fn(*aargs, jnp.int32(r), *statics)
+                    )
+                )
+                return p, f
 
-            aligned_apply_s = time_aligned(source, "mean", reps)
-            aligned_min_s = time_aligned(source, "min", reps)
+            aligned_apply_s, dispatch_overhead_s = time_aligned(
+                source, "mean"
+            )
+            aligned_min_s, _ = time_aligned(source, "min")
             if grid.n_face * 128 * 4 * 3 < 8e9:
                 try:
                     src128a = rng.normal(
                         size=(128, grid.n_face)
                     ).astype(np.float32)
-                    aligned_e128_s = time_aligned(
-                        src128a, "mean", max(2, reps // 2)
-                    )
+                    aligned_e128_s, _ = time_aligned(src128a, "mean")
                     del src128a
                 except Exception as exc:  # pragma: no cover
                     print(
@@ -407,12 +442,10 @@ def main():
                 jax.jit,
                 static_argnames=(
                     "method", "dmax", "pair", "span", "rows", "n_blocks",
-                    "n_reps",
                 ),
             )
-            def select_reps(srcE, blkid, bases, ptab, rw,
-                            method, dmax, pair, span, rows, n_blocks,
-                            n_reps):
+            def select_reps(srcE, blkid, bases, ptab, rw, n_reps,
+                            method, dmax, pair, span, rows, n_blocks):
                 def body(i, carry):
                     src, acc = carry
                     out = gather_select_apply(
@@ -438,14 +471,14 @@ def main():
                     jnp.asarray(sp.rwraw),  # percentile-family gate
                 )
                 n_blk_s = len(sp.rwsum) // sp.block
-                _ = float(select_reps(*sargs, "median", sp.dmax,
-                                      sp.pair, sp.span, sp.rows,
-                                      n_blk_s, reps))
-                t0 = time.perf_counter()
-                _ = float(select_reps(*sargs, "median", sp.dmax,
-                                      sp.pair, sp.span, sp.rows,
-                                      n_blk_s, reps))
-                select_median_s += (time.perf_counter() - t0) / reps
+                p, _f = slope_time(
+                    lambda r: float(
+                        select_reps(*sargs, jnp.int32(r), "median",
+                                    sp.dmax, sp.pair, sp.span, sp.rows,
+                                    n_blk_s)
+                    )
+                )
+                select_median_s += p
                 del sargs
             del srcE_s
     except Exception as exc:  # pragma: no cover - perf fallback only
@@ -585,6 +618,15 @@ def main():
         "nnz": int(csr.nnz),
         "n_extra": n_extra,
         "checksum": checksum,
+        "timing_method": (
+            f"two-point slope over one executable (reps {REPS_LO}/"
+            f"{REPS_HI}); cancels the per-dispatch fixed cost"
+        ),
+        "dispatch_overhead_s": (
+            round(dispatch_overhead_s, 4)
+            if dispatch_overhead_s is not None
+            else None
+        ),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -401,7 +401,12 @@ def main():
     prev = 0.0
     for stage in stages:
         runner = run_reps_span if stage in SPAN_STAGES else run_reps
-        _ = float(runner(dm, di, dw, ds_, stage, 2))
+        # Warm with the SAME reps value: reps is a static argname, so a
+        # different value is a different executable and the timed call
+        # would otherwise include compile/cache-deserialize (~1s) — this
+        # exact bug produced a phantom "fixed 3.3 ms/pass floor" at
+        # REPS=300 that derailed a round-4 perf investigation.
+        _ = float(runner(dm, di, dw, ds_, stage, REPS))
         t0 = time.perf_counter()
         _ = float(runner(dm, di, dw, ds_, stage, REPS))
         dt = (time.perf_counter() - t0) / REPS
