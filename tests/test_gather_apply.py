@@ -626,3 +626,155 @@ def test_cg_gather_handles_gm_plan(monkeypatch):
     A = np.zeros((n, n))
     A[rows, cols] += vals
     assert np.linalg.norm(A @ x - b) <= 1e-3 * np.linalg.norm(b)
+
+
+def make_matvec_case(n, m, w, seed=0, band=None):
+    """Random sparse (n, m) window system with signed weights, ragged
+    rows, a few empty rows, and (optionally) banded columns so the
+    packed planner sees realistic superchunk locality."""
+    rng = np.random.default_rng(seed)
+    if band is None:
+        cols = rng.integers(0, m, size=(n, w))
+    else:
+        base = (np.arange(n) * m) // n
+        cols = np.clip(
+            base[:, None] + rng.integers(-band, band + 1, (n, w)),
+            0, m - 1,
+        )
+    # dedupe within a row (duplicate (row, col) pairs are legal for
+    # the plan, but a unique set makes the dense oracle trivial)
+    keep = rng.integers(1, w + 1, size=n)
+    mask = np.arange(w)[None, :] < keep[:, None]
+    empty = rng.random(n) < 0.03
+    mask[empty] = False
+    indices = np.where(mask, cols, -1).astype(np.int64)
+    weights = np.where(
+        mask, rng.normal(size=(n, w)), 0.0
+    ).astype(np.float32)
+    return indices, weights
+
+
+def dense_matvec_oracle(indices, weights, x):
+    n, w = indices.shape
+    out = np.zeros(n, np.float64)
+    r, c = np.nonzero(indices >= 0)
+    np.add.at(
+        out, r, weights[r, c].astype(np.float64) * x[indices[r, c]]
+    )
+    return out
+
+
+@pytest.mark.parametrize("qs", [1, 2, 3])
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (700, 900, 5, None),      # scattered columns, spills at qs=1
+        (2100, 2600, 7, 40),      # banded, multi-block
+        (513, 5000, 3, None),     # wide source, window splits
+    ],
+)
+def test_packed_matvec_matches_oracle(qs, shape):
+    """The packed-superchunk matvec kernel (one (1, N) source row
+    reshaped to (N//1024, 8, 128) superchunks; per-sublane tables)
+    must reproduce the dense SpMV, spills and empty blocks included."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        matvec_apply,
+        plan_gather_matvec,
+    )
+
+    n, m, w, band = shape
+    indices, weights = make_matvec_case(n, m, w, seed=qs, band=band)
+    plan = plan_gather_matvec(indices, weights, qs=qs)
+    assert plan is not None and plan.qs == qs
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=m).astype(np.float32)
+    got = matvec_apply(x, plan, interpret=True)
+    want = dense_matvec_oracle(indices, weights, x)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_packed_matvec_plan_roundtrip():
+    """matvec_triplets decodes the packed plan back to exactly the
+    input (target, source, weight) triplet multiset."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        matvec_triplets,
+        plan_gather_matvec,
+    )
+
+    indices, weights = make_matvec_case(1500, 3000, 9, seed=11)
+    plan = plan_gather_matvec(indices, weights, qs=2)
+    assert plan is not None
+    ti, si, wi = matvec_triplets(plan)
+    keep = ti < 1500
+    got = sorted(
+        zip(ti[keep].tolist(), si[keep].tolist(), wi[keep].tolist())
+    )
+    r, c = np.nonzero(indices >= 0)
+    want = sorted(
+        zip(r.tolist(), indices[r, c].tolist(), weights[r, c].tolist())
+    )
+    assert got == want
+
+
+def test_packed_matvec_span_streaming(monkeypatch):
+    """Span-streamed plan tables must match the per-step BlockSpec
+    path on a system large enough that nsteps is a span multiple."""
+    from xugrid_tpu.regrid.aligned_apply import (
+        matvec_apply,
+        plan_gather_matvec,
+    )
+
+    indices, weights = make_matvec_case(4200, 4200, 6, seed=3, band=60)
+    plan = plan_gather_matvec(indices, weights, qs=2)
+    assert plan is not None and plan.nsteps % 16 == 0
+    x = np.random.default_rng(2).normal(size=4200).astype(np.float32)
+    monkeypatch.setenv("XUGRID_TPU_ALIGNED_SPAN", "0")
+    base = matvec_apply(x, plan, interpret=True)
+    monkeypatch.setenv("XUGRID_TPU_ALIGNED_SPAN", "16")
+    spanned = matvec_apply(x, plan, interpret=True)
+    np.testing.assert_allclose(spanned, base, rtol=1e-6, atol=1e-6)
+
+
+def test_cg_gather_handles_packed_plan(monkeypatch):
+    """Single-RHS cg_solve must auto-dispatch to the packed matvec
+    plan (qs > 0) and converge; an explicit engine pin must keep
+    winning (covered by test_cg_gather_handles_gm_plan)."""
+    monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+    monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+    monkeypatch.delenv("XUGRID_TPU_GATHER_ENGINE", raising=False)
+    from xugrid_tpu.regrid.aligned_apply import AlignedPlan
+    from xugrid_tpu.ugrid.interpolate import _GATHER_PLANS, cg_solve
+
+    rng = np.random.default_rng(9)
+    n = 1300
+    lo = np.arange(1, n)
+    hi = np.arange(n - 1)
+    rows = np.concatenate([lo, hi, np.arange(n)])
+    cols = np.concatenate([lo - 1, hi + 1, np.arange(n)])
+    vals = np.concatenate(
+        [np.full(n - 1, -1.0), np.full(n - 1, -1.0), np.full(n, 4.0)]
+    )
+    diag = np.full(n, 4.0)
+    b = rng.normal(size=n)
+    _GATHER_PLANS.clear()
+    x, iters = cg_solve(
+        rows, cols, vals, diag, b, np.zeros(n),
+        rtol=1e-6, atol=0.0, maxiter=300,
+    )
+    (plan,) = _GATHER_PLANS.values()
+    assert isinstance(plan, AlignedPlan) and plan.qs > 0
+    A = np.zeros((n, n))
+    A[rows, cols] += vals
+    assert np.linalg.norm(A @ x - b) <= 1e-3 * np.linalg.norm(b)
+    # Multi-RHS systems must keep the standard (sublane-batched) plan.
+    _GATHER_PLANS.clear()
+    b2 = rng.normal(size=(3, n))
+    x2, _ = cg_solve(
+        rows, cols, vals, diag, b2, np.zeros((3, n)),
+        rtol=1e-6, atol=0.0, maxiter=300,
+    )
+    (plan2,) = _GATHER_PLANS.values()
+    assert getattr(plan2, "qs", 0) == 0
+    assert np.linalg.norm(A @ x2[0] - b2[0]) <= 1e-3 * np.linalg.norm(
+        b2[0]
+    )

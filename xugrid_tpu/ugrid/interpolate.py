@@ -79,12 +79,12 @@ def _make_pcg_gather():
         jax.jit,
         static_argnames=(
             "maxiter", "degree", "scan_steps", "maxc", "span", "mxu",
-            "engine", "n_blocks", "blk", "gm", "interpret",
+            "engine", "n_blocks", "blk", "gm", "qs", "interpret",
         ),
     )
     def solve(chunk0, npk, meta, ptab, page, wtab, minv_row, bE, x0E,
               rtol, atol, lmax, maxiter, degree, scan_steps, maxc, span,
-              mxu, engine, n_blocks=0, blk=512, gm=False,
+              mxu, engine, n_blocks=0, blk=512, gm=False, qs=0,
               interpret=False):
         from xugrid_tpu.regrid.aligned_apply import gather_aligned_apply
         from xugrid_tpu.regrid.gather_apply import (
@@ -110,13 +110,19 @@ def _make_pcg_gather():
             if engine == "aligned":
                 # Array slots repurposed: chunk0=blkid, npk=wmeta,
                 # page=winc0, ptab=itab; statics: maxc=w_chunks,
-                # span=r_step.
+                # span=r_step.  Packed matvec plans (qs > 0): xE is ONE
+                # (1, N) row reshaped in-kernel to (N//1024, 8, 128)
+                # superchunks; the kernel broadcasts the matvec to all
+                # 8 output sublanes, so row 0 is the result.
                 out = gather_aligned_apply(
                     xE, chunk0, npk, page, meta, ptab, wtab, rw,
                     method="matvec", has_nan=False,
                     block=blk, r_step=span, w_chunks=maxc,
-                    n_blocks=n_blocks, gm=gm, interpret=interpret,
+                    n_blocks=n_blocks, gm=gm, qs=qs,
+                    interpret=interpret,
                 )
+                if qs:
+                    out = out[0:1]
             elif engine == "stream":
                 out = gather_stream_apply(
                     xE, chunk0, npk, ptab, rw,
@@ -707,14 +713,38 @@ def cg_solve(
         h.update(np.ascontiguousarray(w32).tobytes())
         from xugrid_tpu.regrid.gather_apply import DEFAULT_ENGINE
 
+        # Single-RHS systems ride the packed-superchunk matvec plan:
+        # the standard aligned staging spends 8 identical sublane
+        # copies (8x slab DMA) on one RHS, and a row spans only one
+        # 128-value source chunk — the packed plan's rows span 1024
+        # (see regrid/aligned_apply.plan_gather_matvec).  Multi-RHS
+        # batches keep the standard plan (RHS amortize the sublanes).
+        # An explicit engine pin (XUGRID_TPU_GATHER_ENGINE /
+        # XUGRID_TPU_ALIGNED_GM) wins over the packed auto-dispatch:
+        # the env knobs exist precisely to exercise a chosen engine.
+        packed_ok = (
+            E == 1
+            and os.environ.get("XUGRID_TPU_CG_PACKED", "1") != "0"
+            and os.environ.get("XUGRID_TPU_GATHER_ENGINE") is None
+            and os.environ.get("XUGRID_TPU_ALIGNED_GM", "0") != "1"
+        )
         key = (
             idx.shape, h.hexdigest(),
+            "packed" if packed_ok else
             os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE),
         )
         if key in _GATHER_PLANS:
             gather_plan = _GATHER_PLANS[key]
         else:
-            gather_plan = plan_default(idx, w32)
+            gather_plan = None
+            if packed_ok:
+                from xugrid_tpu.regrid.aligned_apply import (
+                    plan_gather_matvec,
+                )
+
+                gather_plan = plan_gather_matvec(idx, w32)
+            if gather_plan is None:
+                gather_plan = plan_default(idx, w32)
             if len(_GATHER_PLANS) > 4:
                 _GATHER_PLANS.clear()
             _GATHER_PLANS[key] = gather_plan
@@ -764,12 +794,18 @@ def cg_solve(
             scan_steps = 0
             stream_blocks = len(plan.rwsum) // plan.block
             n512 = stream_blocks * plan.block
+            # Packed matvec plans index 1024-value superchunks; the
+            # state vectors are one (1, N) row with N a superchunk
+            # multiple (the kernel reshapes in place).
+            unit = 1024 if plan.qs else 128
             c_needed = (
-                (int(plan.winc0.max()) + plan.w_chunks) * 128
+                (int(plan.winc0.max()) + plan.w_chunks) * unit
                 if len(plan.winc0)
-                else 128
+                else unit
             )
-            N = -(-max(n_pad, n512, c_needed) // 128) * 128
+            N = -(-max(n_pad, n512, c_needed) // unit) * unit
+            if plan.qs:
+                e_sub = 1
         elif isinstance(plan, StreamPlan):
             engine = "stream"
             mxu = False
@@ -841,6 +877,7 @@ def cg_solve(
             span=span, mxu=mxu, engine=engine,
             n_blocks=stream_blocks, blk=int(plan.block),
             gm=gm_flag,
+            qs=int(getattr(plan, "qs", 0) or 0),
             interpret=jax.default_backend() != "tpu",
         )
         out = np.asarray(x)[:E, :n]
