@@ -1067,3 +1067,132 @@ void polygon_clip_areas_conn(const int64_t* pair_q, const int64_t* pair_p,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Area-weighted polygon centroids, one pass, no padded temporaries.
+// Matches ugrid/connectivity.py::centroids (reference formula at
+// xugrid/ugrid/connectivity.py:636-664): fan triangulation from vertex
+// 0 of the closed polygon; fill nodes (< 0) collapse onto vertex 0 and
+// contribute zero area.  Triangles (m == 3) take the vertex mean.  The
+// numpy path materializes (n, m+1, 2) closed coordinates plus four
+// temporaries of that size (~5 GB of traffic at 10M quads, ~60 s on the
+// 1-vCPU bench host); this kernel reads each face once (~1 s).
+void face_centroids(const int64_t* faces, int64_t n, int64_t m,
+                    const double* x, const double* y, double* out_xy) {
+    auto process = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t* f = faces + i * m;
+            if (m == 3) {
+                const int64_t a = f[0], b = f[1], c = f[2];
+                out_xy[2 * i] = (x[a] + x[b] + x[c]) / 3.0;
+                out_xy[2 * i + 1] = (y[a] + y[b] + y[c]) / 3.0;
+                continue;
+            }
+            const int64_t n0 = f[0] < 0 ? 0 : f[0];
+            const double x0 = x[n0], y0 = y[n0];
+            double total = 0.0, cx = 0.0, cy = 0.0;
+            double ax = 0.0, ay = 0.0;  // vertex v relative to vertex 0
+            for (int64_t v = 1; v <= m; ++v) {
+                // Closed polygon: vertex m wraps to vertex 0 (relative
+                // coords (0,0)); fill nodes also collapse to vertex 0.
+                double bx = 0.0, by = 0.0;
+                if (v < m && f[v] >= 0) {
+                    bx = x[f[v]] - x0;
+                    by = y[f[v]] - y0;
+                }
+                const double det = ax * by - ay * bx;
+                total += det;
+                cx += (ax + bx) * det;
+                cy += (ay + by) * det;
+                ax = bx;
+                ay = by;
+            }
+            const double w = 1.0 / (3.0 * total);
+            out_xy[2 * i] = w * cx + x0;
+            out_xy[2 * i + 1] = w * cy + y0;
+        }
+    };
+    parallel_for(n, 200000, process);
+}
+
+// Stable counting-sort CSR build from COO triplets: exact parity with
+// np.argsort(row, kind="stable") + gathers (stable counting sort IS the
+// stable sort by row), but O(nnz) instead of comparison sort — the
+// random-key argsort costs ~10 s at 18M triplets on the bench host.
+// indptr has n+1 slots; out_col/out_data have nnz slots.  On return
+// indptr is the final CSR row pointer.
+void csr_from_triplet(const int64_t* row, const int64_t* col,
+                      const double* data, int64_t nnz, int64_t n,
+                      int64_t* indptr, int64_t* out_col,
+                      double* out_data) {
+    std::memset(indptr, 0, sizeof(int64_t) * static_cast<size_t>(n + 1));
+    for (int64_t k = 0; k < nnz; ++k) ++indptr[row[k] + 1];
+    for (int64_t r = 0; r < n; ++r) indptr[r + 1] += indptr[r];
+    std::vector<int64_t> cursor(indptr, indptr + n);
+    for (int64_t k = 0; k < nnz; ++k) {
+        const int64_t dst = cursor[row[k]]++;
+        out_col[dst] = col[k];
+        out_data[dst] = data[k];
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Fused sharding-layout builder: triplets (grouped by target, the
+// natural overlap-build output order) -> PaddedCSR rows emitted
+// directly in the Hilbert target order, source columns renumbered by
+// the Hilbert source order.  Replaces remap-gather + stable sort +
+// ragged->padded scatter (three latency-bound 18M-element numpy passes,
+// ~12 s at the 10M-face scale) with two sequential passes.  Returns
+// w_max, or -1 when target_index is not non-decreasing (caller falls
+// back to the general sort path).  out_idx/out_w are (n, w_max_cap);
+// call first with starts only (pass out_idx == nullptr) to learn w_max.
+int64_t padded_layout(const int64_t* tindex, const int64_t* sindex,
+                      const double* w, int64_t nnz, int64_t n,
+                      const int64_t* torder, const int64_t* sremap,
+                      int64_t* starts /* n+1 scratch/out */,
+                      int64_t w_max_cap, int32_t* out_idx,
+                      float* out_w) {
+    if (out_idx == nullptr) {
+        std::memset(starts, 0,
+                    sizeof(int64_t) * static_cast<size_t>(n + 1));
+        for (int64_t k = 0; k < nnz; ++k) {
+            if (k > 0 && tindex[k] < tindex[k - 1]) return -1;
+            ++starts[tindex[k] + 1];
+        }
+        int64_t w_max = 0;
+        for (int64_t r = 0; r < n; ++r) {
+            w_max = std::max(w_max, starts[r + 1]);
+            starts[r + 1] += starts[r];
+        }
+        return w_max;
+    }
+    auto process = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const int64_t t = torder[r];
+            const int64_t j0 = starts[t], j1 = starts[t + 1];
+            // Hide the sremap[sindex[j]] dependent-load latency: the
+            // row's entries are contiguous, prefetch the remap slots.
+            for (int64_t j = j0; j < j1; ++j)
+                __builtin_prefetch(sremap + sindex[j]);
+            int32_t* oi = out_idx + r * w_max_cap;
+            float* ow = out_w + r * w_max_cap;
+            int64_t c = 0;
+            for (int64_t j = j0; j < j1; ++j, ++c) {
+                oi[c] = static_cast<int32_t>(sremap[sindex[j]]);
+                ow[c] = static_cast<float>(w[j]);
+            }
+            for (; c < w_max_cap; ++c) {
+                oi[c] = -1;
+                ow[c] = 0.0f;
+            }
+        }
+    };
+    parallel_for(n, 200000, process);
+    return w_max_cap;
+}
+
+}  // extern "C"

@@ -421,3 +421,80 @@ def test_halo_zero_is_noop():
 
     out = np.asarray(jax.jit(f)(vals))
     np.testing.assert_array_equal(out, vals)
+
+
+class TestHilbertLayout:
+    """hilbert_layout: fused native PaddedCSR layout == the general
+    remap + stable-sort + pad pipeline (exact)."""
+
+    def _triplets(self, rng, n_target, n_source, groups=True):
+        counts = rng.integers(0, 7, n_target)
+        tindex = np.repeat(np.arange(n_target), counts)
+        nnz = len(tindex)
+        sindex = rng.integers(0, n_source, nnz)
+        w = rng.random(nnz)
+        if not groups:
+            perm = rng.permutation(nnz)
+            tindex, sindex, w = tindex[perm], sindex[perm], w[perm]
+        return tindex, sindex, w
+
+    def _reference(self, sc, tc, tindex, sindex, w):
+        from xugrid_tpu.parallel import partition_order
+
+        sorder = partition_order(sc)
+        torder = partition_order(tc)
+        sremap = np.empty(len(sorder), np.int64)
+        sremap[sorder] = np.arange(len(sorder))
+        tremap = np.empty(len(torder), np.int64)
+        tremap[torder] = np.arange(len(torder))
+        csr = MatrixCSR.from_triplet(
+            tremap[tindex], sremap[sindex], w, n=len(tc), m=len(sc)
+        )
+        return sorder, torder, PaddedCSR.from_csr(csr, dtype=np.float32)
+
+    @pytest.mark.parametrize("grouped", [True, False])
+    def test_matches_general_pipeline(self, grouped):
+        from xugrid_tpu.parallel import hilbert_layout
+
+        rng = np.random.default_rng(3)
+        n_target, n_source = 500, 800
+        sc = rng.random((n_source, 2)) * 50
+        tc = rng.random((n_target, 2)) * 50
+        tindex, sindex, w = self._triplets(
+            rng, n_target, n_source, groups=grouped
+        )
+        so, to, padded = hilbert_layout(sc, tc, tindex, sindex, w)
+        so_r, to_r, ref = self._reference(sc, tc, tindex, sindex, w)
+        np.testing.assert_array_equal(so, so_r)
+        np.testing.assert_array_equal(to, to_r)
+        assert padded.w_max == ref.w_max
+        if grouped:
+            # Grouped triplets keep within-row entry order exactly.
+            np.testing.assert_array_equal(padded.indices, ref.indices)
+            np.testing.assert_array_equal(padded.weights, ref.weights)
+        else:
+            # Ungrouped input falls back to the sort pipeline: rows
+            # hold the same entry sets (order is sort-stability
+            # defined either way).
+            for r in range(n_target):
+                got = sorted(zip(padded.indices[r], padded.weights[r]))
+                want = sorted(zip(ref.indices[r], ref.weights[r]))
+                assert got == want
+
+    def test_empty_rows_and_single_entry(self):
+        from xugrid_tpu.parallel import hilbert_layout
+
+        sc = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]])
+        tc = np.array([[0.5, 0.5], [1.5, 0.5]])
+        tindex = np.array([1])
+        sindex = np.array([2])
+        w = np.array([0.7])
+        so, to, padded = hilbert_layout(sc, tc, tindex, sindex, w)
+        assert padded.n == 2 and padded.m == 3
+        sremap = np.empty(3, np.int64)
+        sremap[so] = np.arange(3)
+        row = int(np.where(to == 1)[0][0])
+        assert padded.indices[row, 0] == sremap[2]
+        assert padded.weights[row, 0] == np.float32(0.7)
+        other = 1 - row
+        assert (padded.indices[other] == -1).all()

@@ -529,6 +529,11 @@ def centroids(
     Reference: connectivity.py:636-664.
     """
     n_face, n_max = face_node_connectivity.shape
+    from xugrid_tpu.utils.native import face_centroids_native
+
+    native = face_centroids_native(face_node_connectivity, node_x, node_y)
+    if native is not None:
+        return native
     nodes = np.column_stack([node_x, node_y])
     if n_max == 3:
         return nodes[face_node_connectivity].mean(axis=1)

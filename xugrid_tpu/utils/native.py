@@ -302,6 +302,40 @@ def get_lib():
         _c_double_p,
     ]
     lib.polygon_clip_areas_conn.restype = None
+    lib.face_centroids.argtypes = [
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_double_p,
+        _c_double_p,
+        _c_double_p,
+    ]
+    lib.face_centroids.restype = None
+    lib.csr_from_triplet.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+    ]
+    lib.csr_from_triplet.restype = None
+    lib.padded_layout.argtypes = [
+        _c_int64_p,
+        _c_int64_p,
+        _c_double_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.padded_layout.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -874,3 +908,126 @@ def polygon_clip_areas_conn_native(
         areas.ctypes.data_as(_dp),
     )
     return areas
+
+
+def face_centroids_native(faces: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Native area-weighted polygon centroids, or None when the library
+    is unavailable.  One pass per face — the numpy path's padded closed
+    coordinate temporaries cost ~60 s at 10M quads on the bench host."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # Degenerate (n, 3) connectivities carrying fills would need
+    # numpy's negative-index wraparound; leave them to the fallback.
+    if faces.shape[1] == 3 and faces.min() < 0:
+        return None
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    out = np.empty((len(faces), 2), dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    lib.face_centroids(
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        faces.shape[0],
+        faces.shape[1],
+        x.ctypes.data_as(_dp),
+        y.ctypes.data_as(_dp),
+        out.ctypes.data_as(_dp),
+    )
+    return out
+
+
+def csr_from_triplet_native(
+    row: np.ndarray, col: np.ndarray, data: np.ndarray, n: int
+):
+    """Stable counting-sort CSR build (exact parity with the numpy
+    stable-argsort path), or None when the library is unavailable.
+    Returns (data_sorted, col_sorted, indptr)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    # Dtype passthrough parity with the numpy path (non-f64 data stays
+    # untouched there) and memory safety: an out-of-range row would be
+    # an IndexError in numpy but heap corruption in C.
+    if np.asarray(data).dtype != np.float64:
+        return None
+    row = np.ascontiguousarray(row, dtype=np.int64)
+    if len(row) and (row.min() < 0 or row.max() >= n):
+        return None
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    nnz = len(row)
+    indptr = np.empty(n + 1, dtype=np.int64)
+    out_col = np.empty(nnz, dtype=np.int64)
+    out_data = np.empty(nnz, dtype=np.float64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    lib.csr_from_triplet(
+        row.ctypes.data_as(_ip),
+        col.ctypes.data_as(_ip),
+        data.ctypes.data_as(_dp),
+        nnz,
+        n,
+        indptr.ctypes.data_as(_ip),
+        out_col.ctypes.data_as(_ip),
+        out_data.ctypes.data_as(_dp),
+    )
+    return out_data, out_col, indptr
+
+
+def padded_layout_native(
+    target_index: np.ndarray,
+    source_index: np.ndarray,
+    weights: np.ndarray,
+    torder: np.ndarray,
+    sremap: np.ndarray,
+    n: int,
+):
+    """Fused Hilbert-layout PaddedCSR build (see csrc padded_layout),
+    or None when unavailable / target_index is not grouped-sorted.
+    Returns (indices int32 (n, w_max), weights f32 (n, w_max))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    target_index = np.ascontiguousarray(target_index, dtype=np.int64)
+    source_index = np.ascontiguousarray(source_index, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    torder = np.ascontiguousarray(torder, dtype=np.int64)
+    sremap = np.ascontiguousarray(sremap, dtype=np.int64)
+    nnz = len(target_index)
+    if nnz and (
+        target_index.min() < 0 or target_index.max() >= n
+        or source_index.min() < 0 or source_index.max() >= len(sremap)
+    ):
+        return None
+    starts = np.empty(n + 1, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    _dp = ctypes.POINTER(ctypes.c_double)
+    w_max = lib.padded_layout(
+        target_index.ctypes.data_as(_ip),
+        source_index.ctypes.data_as(_ip),
+        weights.ctypes.data_as(_dp),
+        nnz, n,
+        torder.ctypes.data_as(_ip),
+        sremap.ctypes.data_as(_ip),
+        starts.ctypes.data_as(_ip),
+        0, None, None,
+    )
+    if w_max < 0:
+        return None
+    w_max = max(int(w_max), 1)
+    out_idx = np.empty((n, w_max), dtype=np.int32)
+    out_w = np.empty((n, w_max), dtype=np.float32)
+    lib.padded_layout(
+        target_index.ctypes.data_as(_ip),
+        source_index.ctypes.data_as(_ip),
+        weights.ctypes.data_as(_dp),
+        nnz, n,
+        torder.ctypes.data_as(_ip),
+        sremap.ctypes.data_as(_ip),
+        starts.ctypes.data_as(_ip),
+        w_max,
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out_idx, out_w
