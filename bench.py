@@ -408,78 +408,6 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"aligned path unavailable: {exc!r}", file=sys.stderr)
 
-    # --- MXU v2 row-matmul apply (VERDICT r4 #3: keep-or-kill data) ------
-    mxu_apply_s = None
-    mxu_e128_s = None
-    if os.environ.get("BENCH_MXU", "1") == "1":
-        try:
-            from xugrid_tpu.regrid.mxu_apply import (
-                gather_mxu_apply,
-                plan_gather_mxu,
-                stage_source_mxu,
-            )
-
-            mplan = plan_gather_mxu(padded.indices, padded.weights)
-            if mplan is not None and jax.default_backend() == "tpu":
-
-                def time_mxu(src2d, method):
-                    srcE = stage_source_mxu(src2d, mplan, False)
-                    base = mplan.base
-
-                    @partial(
-                        jax.jit,
-                        static_argnames=(
-                            "method", "block", "r_step", "w_chunks",
-                            "n_blocks",
-                        ),
-                    )
-                    def reps_fn(srcE, blkid, wmeta, winc0, cid, itab,
-                                wtab, rw, n_reps, method, block,
-                                r_step, w_chunks, n_blocks):
-                        def body(i, carry):
-                            src, acc = carry
-                            out = gather_mxu_apply(
-                                src, blkid, wmeta, winc0, cid, itab,
-                                wtab, rw, method=method, has_nan=False,
-                                block=block, r_step=r_step,
-                                w_chunks=w_chunks, n_blocks=n_blocks,
-                            )
-                            acc = acc + jnp.nansum(out)
-                            src = src.at[0, 0].add(src.dtype.type(1e-12))
-                            return (src, acc)
-
-                        _, acc = jax.lax.fori_loop(
-                            0, n_reps, body, (srcE, jnp.float32(0.0))
-                        )
-                        return acc
-
-                    margs = (
-                        jnp.asarray(srcE), jnp.asarray(base.blkid),
-                        jnp.asarray(base.wmeta), jnp.asarray(base.winc0),
-                        jnp.asarray(mplan.cidvec), jnp.asarray(base.itab),
-                        jnp.asarray(base.wtab), jnp.asarray(base.rwsum),
-                    )
-                    statics = (
-                        method, base.block, base.r_step, base.w_chunks,
-                        len(base.rwsum) // base.block,
-                    )
-                    p, _f = slope_time(
-                        lambda r: float(
-                            reps_fn(*margs, jnp.int32(r), *statics)
-                        )
-                    )
-                    return p
-
-                mxu_apply_s = time_mxu(source, "mean")
-                if grid.n_face * 128 * 4 * 3 < 8e9:
-                    src128m = rng.normal(
-                        size=(128, grid.n_face)
-                    ).astype(np.float32)
-                    mxu_e128_s = time_mxu(src128m, "mean")
-                    del src128m
-        except Exception as exc:  # pragma: no cover - perf fallback only
-            print(f"mxu path unavailable: {exc!r}", file=sys.stderr)
-
     # --- Pallas selection kernel (median: order-statistic family) -------
     select_median_s = None
     try:
@@ -675,12 +603,6 @@ def main():
             )
             if aligned_e128_s is not None
             else None
-        ),
-        "mxu_apply_s_per_pass": (
-            round(mxu_apply_s, 4) if mxu_apply_s is not None else None
-        ),
-        "mxu_e128_s_per_pass": (
-            round(mxu_e128_s, 4) if mxu_e128_s is not None else None
         ),
         "select_median_s_per_pass": (
             round(select_median_s, 4)

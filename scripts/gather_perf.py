@@ -85,9 +85,6 @@ def main():
     if ENGINE == "aligned":
         run_aligned(padded, source, true_bytes, grid)
         return
-    if ENGINE == "mxu":
-        run_mxu(padded, source, true_bytes, grid)
-        return
 
     t0 = time.perf_counter()
     if ENGINE == "pdot":
@@ -390,108 +387,6 @@ def run_aligned(padded, source, true_bytes, grid):
         f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
     )
     check_against_xla(source, padded, plan, grid)
-
-
-def run_mxu(padded, source, true_bytes, grid):
-    """Time the row-matmul (MXU) engine.  Env knobs for on-chip sweeps
-    (each combo is one kernel compile):
-      ABLOCK=1024|2048  R_STEP=16|32|64  WCHUNKS=16|32|64
-    """
-    from xugrid_tpu.regrid.mxu_apply import (
-        gather_mxu_apply,
-        plan_gather_mxu,
-        stage_source_mxu,
-    )
-
-    t0 = time.perf_counter()
-    widths = tuple(
-        int(w) for w in os.environ.get("WCHUNKS", "16,32,64").split(",")
-    )
-    plan = plan_gather_mxu(
-        padded.indices, padded.weights,
-        block=int(os.environ.get("ABLOCK", "1024")),
-        r_step=int(os.environ.get("R_STEP", "64")),
-        widths=widths,
-    )
-    print(f"plan[mxu]: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
-    if plan is None:
-        print("PLAN REJECTED")
-        return
-    base = plan.base
-    nnz = int((padded.indices >= 0).sum())
-    runs = int((np.diff(base.winc0) != 0).sum()) + 1
-    print(
-        f"plan: nsteps={base.nsteps} block={base.block} "
-        f"r_step={base.r_step} w_chunks={base.w_chunks} "
-        f"runs={runs} nnz={nnz} "
-        f"lane_eff={nnz/(base.nsteps*base.r_step*128*4):.2f}",
-        file=sys.stderr,
-    )
-    srcE = stage_source_mxu(source, plan, has_nan=False)
-    n_blocks = len(base.rwsum) // base.block
-
-    @partial(jax.jit, static_argnames=(
-        "method", "block", "r_step", "w_chunks", "n_blocks", "n_reps"))
-    def mxu_reps(srcE, blkid, wmeta, winc0, cidvec, itab, wtab,
-                 rwsum, method, block, r_step, w_chunks, n_blocks,
-                 n_reps):
-        def body(i, acc):
-            out = gather_mxu_apply(
-                srcE + i.astype(srcE.dtype) * 1e-12,
-                blkid, wmeta, winc0, cidvec, itab, wtab, rwsum,
-                method=method, has_nan=False,
-                block=block, r_step=r_step, w_chunks=w_chunks,
-                n_blocks=n_blocks,
-            )
-            return acc + jnp.nansum(out)
-
-        import jax.lax as lax
-        return lax.fori_loop(0, n_reps, body, jnp.float32(0.0))
-
-    reps = int(os.environ.get("REPS", "10"))
-    dargs = (
-        jnp.asarray(srcE), jnp.asarray(base.blkid),
-        jnp.asarray(base.wmeta), jnp.asarray(base.winc0),
-        jnp.asarray(plan.cidvec),
-        jnp.asarray(base.itab), jnp.asarray(base.wtab),
-        jnp.asarray(base.rwsum),
-    )
-    statics = (METHOD, base.block, base.r_step, base.w_chunks, n_blocks)
-    t0 = time.perf_counter()
-    cs = float(mxu_reps(*dargs, *statics, reps))
-    print(f"compile+first: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    cs = float(mxu_reps(*dargs, *statics, reps))
-    dt = (time.perf_counter() - t0) / reps
-    gbps = true_bytes / dt / 1e9
-    print(
-        f"mxu kernel [{METHOD} E={N_EXTRA} block={base.block} "
-        f"r_step={base.r_step} w={base.w_chunks}]: "
-        f"{dt*1e3:.2f} ms/pass  {gbps:.1f} GB/s true  "
-        f"{100*gbps/819:.1f}% SoL  checksum={cs:.3f}"
-    )
-    # Numerics cross-check vs the XLA windowed path on device.
-    from xugrid_tpu.regrid.mxu_apply import mxu_apply
-    from xugrid_tpu.regrid import reduce as red
-    from xugrid_tpu.regrid.apply import _apply_windowed_T, _pad_minor
-
-    if METHOD in ("mean", "sum"):
-        got = mxu_apply(source, plan, METHOD, has_nan=False)
-        E = _pad_minor(N_EXTRA)
-        sourceT = np.zeros((source.shape[1], E), np.float32)
-        sourceT[:, :N_EXTRA] = source.T
-        fn = {"mean": red.mean, "sum": red.sum}[METHOD]
-        want = np.asarray(
-            _apply_windowed_T(
-                jnp.asarray(sourceT), jnp.asarray(padded.indices[:4096]),
-                jnp.asarray(padded.weights[:4096]), fn,
-            )
-        )[:, :N_EXTRA]
-        err = np.nanmax(
-            np.abs(got[:4096] - want) / np.maximum(np.abs(want), 1e-3)
-        )
-        print(f"max rel err vs XLA path (first 4096 targets): {err:.2e}")
 
 
 def run_select(padded, source, true_bytes):

@@ -111,102 +111,6 @@ def test_engine_empty_blocks(method, engine):
 
 
 @pytest.mark.parametrize(
-    "shape",
-    ["sparse_random", "longrun_scan", "wide_window"],
-)
-def test_mxu_engine_adversarial_shapes(shape):
-    """Kernel parity on the MXU engine's hard structural paths:
-    sparse targets per chunk, long per-(target, chunk) runs (spill
-    rows), and windows straddling more chunks than one resident slab
-    (window-cover DMA runs across quad runs)."""
-    from xugrid_tpu.regrid.mxu_apply import (
-        mxu_apply,
-        plan_gather_mxu,
-    )
-
-    rng = np.random.default_rng(11)
-    if shape == "sparse_random":
-        n, m, w = 1400, 9000, 10
-        indices = rng.integers(0, m, (n, w))
-        keep = np.arange(w)[None] < rng.integers(0, w + 1, n)[:, None]
-        indices = np.where(keep, indices, -1)
-        weights = np.where(
-            keep, rng.uniform(0.1, 2, (n, w)), 0
-        ).astype(np.float32)
-    elif shape == "longrun_scan":
-        n, m, w = 600, 5000, 40
-        base = rng.integers(0, m // 128 - 1, n) * 128
-        offs = np.argsort(rng.random((n, w)), axis=1)
-        indices = base[:, None] + offs
-        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
-    else:
-        n, w = 900, 90
-        indices = (
-            np.arange(w)[None] * (128 * 3)
-            + rng.integers(0, 100, (n, 1))
-        )
-        m = int(indices.max()) + 1
-        weights = rng.uniform(0.1, 1, (n, w)).astype(np.float32)
-
-    src = rng.normal(size=(3, m)).astype(np.float32) + 2
-    src[rng.random(src.shape) < 0.12] = np.nan
-    plan = plan_gather_mxu(indices, weights)
-    assert plan is not None
-    got = mxu_apply(src, plan, "mean", has_nan=True, interpret=True)
-    want = oracle_apply("mean", indices, weights, src)
-    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
-
-
-def test_mxu_geometric_mean_ignores_unselected_negatives():
-    """Invalid quad sub-slots gather lane-local index 0 of their
-    chunk; geometric_mean's negs chain is not weight-gated, so those
-    garbage gathers must be masked explicitly (regression: a negative
-    value at a chunk's first lane poisoned every touching target to
-    NaN even though no window selected it)."""
-    from xugrid_tpu.regrid.mxu_apply import (
-        mxu_apply,
-        plan_gather_mxu,
-    )
-
-    indices = np.array([[3], [4], [5], [6]])
-    weights = np.ones((4, 1), np.float32)
-    src = np.arange(1, 129, dtype=np.float32)[None]
-    src[0, 0] = -5.0
-    plan = plan_gather_mxu(indices, weights)
-    got = mxu_apply(
-        src, plan, "geometric_mean", has_nan=False, interpret=True
-    )
-    np.testing.assert_allclose(
-        got.ravel(), [4.0, 5.0, 6.0, 7.0], rtol=1e-5
-    )
-
-
-def test_mxu_matvec_block_512():
-    """The MXU engine must honor non-default plan block widths."""
-    from xugrid_tpu.regrid.mxu_apply import (
-        mxu_apply,
-        plan_gather_mxu,
-    )
-
-    rng = np.random.default_rng(4)
-    n, m, w = 2100, 2600, 5
-    base = (np.arange(n) * m) // n
-    indices = np.clip(
-        base[:, None] + rng.integers(-8, 9, (n, w)), 0, m - 1
-    )
-    weights = rng.uniform(-1, 2, (n, w)).astype(np.float32)
-    src = rng.normal(size=(2, m)).astype(np.float32)
-    plan = plan_gather_mxu(indices, weights, block=512)
-    assert plan is not None and plan.base.block == 512
-    got = mxu_apply(src, plan, "matvec", has_nan=False, interpret=True)
-    want = np.einsum(
-        "nw,enw->ne", weights, src[:, np.maximum(indices, 0)]
-    )
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
-
-
-@pytest.mark.parametrize(
     "shape", ["sparse_random", "longrun_spill", "wide_window"]
 )
 def test_aligned_engine_adversarial_shapes(shape):

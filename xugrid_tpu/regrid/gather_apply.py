@@ -1944,13 +1944,6 @@ def plan_default(
         if plan is not None:
             return plan
         engine = "stream"
-    if engine == "mxu":
-        from xugrid_tpu.regrid.mxu_apply import plan_gather_mxu
-
-        plan = plan_gather_mxu(indices, weights)
-        if plan is not None:
-            return plan
-        engine = "stream"
     if engine == "aligned":
         from xugrid_tpu.regrid.aligned_apply import plan_gather_aligned
 
@@ -1996,13 +1989,9 @@ def apply_windowed_gather(
         aligned_apply,
         plan_gather_aligned,
     )
-    from xugrid_tpu.regrid.mxu_apply import MxuPlan, mxu_apply
-
     if plan is not None:
         if isinstance(plan, PdotPlan):
             engine = "pdot"
-        elif isinstance(plan, MxuPlan):
-            engine = "mxu"
         elif isinstance(plan, AlignedPlan):
             engine = "aligned"
         elif isinstance(plan, StreamPlan):
@@ -2019,33 +2008,6 @@ def apply_windowed_gather(
         # min/max chains need the scan engines; replan there.
         engine = "stream"
         plan = None
-    if engine == "mxu":
-        if plan is None:
-            from xugrid_tpu.regrid.mxu_apply import plan_gather_mxu
-
-            plan = plan_gather_mxu(indices, weights)
-        if plan is None:
-            engine = "stream"
-        else:
-            out = mxu_apply(
-                source2d,
-                plan,
-                method=method,
-                has_nan=bool(has_nan),
-                interpret=interpret,
-            )
-            if out is not None:
-                return out
-            # Source defeats the select matmul (±inf / sentinel
-            # collision): the quad-interleaved base IS a valid aligned
-            # plan — no replan needed.
-            return aligned_apply(
-                source2d,
-                plan.base,
-                method=method,
-                has_nan=bool(has_nan),
-                interpret=interpret,
-            )
     if engine == "aligned":
         if plan is None:
             plan = plan_gather_aligned(indices, weights)

@@ -768,13 +768,6 @@ def cg_solve(
         maxc = 0
         stream_blocks = 0
         from xugrid_tpu.regrid.aligned_apply import AlignedPlan
-        from xugrid_tpu.regrid.mxu_apply import MxuPlan
-
-        if isinstance(plan, MxuPlan):
-            # The CG matvec runs the aligned kernel; the MXU plan's
-            # quad-interleaved base is a structurally valid aligned
-            # plan (same row payloads, different row order).
-            plan = plan.base
 
         ptab_arr = None
         wtab_arr = np.zeros((8, 128), np.float32)
