@@ -88,6 +88,8 @@ def main():
             "iterations": info["iterations"],
             "nodes_per_s": round(info["n_unknown"] / dt, 1),
             "max_err_vs_truth": round(err, 4),
+            "mode": info.get("mode"),
+            "matvec_plan": info.get("matvec_plan"),
         }
         assert np.isfinite(out).all()
 

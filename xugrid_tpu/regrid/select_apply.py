@@ -564,23 +564,28 @@ def _make_select_kernel(
             okv = expand(ok)
             okf = None
 
-        def seg_mask(d, sgn):
-            """In-segment partner mask at roll distance sgn*d, as an
-            expanded f32 gate (rolls stay on i32/f32 tiles)."""
-            seg_r = _roll(seg_p, sgn * d, interpret)
-            edge = lanes >= d if sgn == 1 else lanes <= 127 - d
-            m = expand(
+        def pair_mask(d):
+            """In-segment pair mask at roll distance +d (partner
+            j = i - d), as an expanded f32 gate evaluated at lane i.
+            The backward (sgn = -1) contribution of the old two-sided
+            pass is recovered by depositing the complementary quantity
+            at the partner with one roll(-d) — each unordered pair is
+            visited ONCE (halves the hot-loop roll/compare work)."""
+            seg_r = _roll(seg_p, d, interpret)
+            edge = lanes >= d
+            return expand(
                 jnp.logical_and(seg_r == seg_p, edge)
             ).astype(jnp.float32)
-            if has_nan:
-                m = m * _roll(okf, sgn * d, interpret)
-            return m
 
-        # Segmented all-pairs over roll distances 1..dmax: within each
-        # target's lane run count valid entries (n, NaN path only), and
-        # per lane its rank among valid values (ties -> lane order)
-        # [percentiles] or the weighted total of equal values plus the
-        # run maxima needed for the lexicographic mode pick.
+        # Segmented all-pairs over roll distances 1..dmax, one-sided:
+        # within each target's lane run count valid entries (n, NaN
+        # path only), and per lane its rank among valid values (ties
+        # -> lane order) [percentiles] or the weighted total of equal
+        # values plus the run maxima for the lexicographic mode pick.
+        # Pair (j = i - d, i): lane i counts [v_j <= v_i]; lane j's
+        # mirrored count [v_i < v_j] = 1 - [v_j <= v_i] is computed at
+        # lane i and rolled back by -d (wrapped lanes land where the
+        # mask is zero, so the cyclic roll is safe).
         vs = jnp.where(okv, val, 0.0)
         n_tot = okf + 0.0 if has_nan else None
         if p is not None:
@@ -590,23 +595,29 @@ def _make_select_kernel(
             wv = jnp.where(okv, w_e, 0.0)
             total = wv + 0.0
         for d in range(1, dmax + 1):
-            for sgn in (1, -1):
-                m = seg_mask(d, sgn)
-                v_r = _roll(vs, sgn * d, interpret)
-                if has_nan:
-                    n_tot = n_tot + m
-                if p is not None:
-                    less = (v_r < vs).astype(jnp.float32)
-                    if sgn == 1:
-                        less = jnp.maximum(
-                            less, (v_r == vs).astype(jnp.float32)
-                        )
-                    rank = rank + m * less
-                else:
-                    w_r = _roll(wv, sgn * d, interpret)
-                    total = total + jnp.where(
-                        jnp.logical_and(m > 0.0, v_r == vs), w_r, 0.0
-                    )
+            s = pair_mask(d)
+            v_r = _roll(vs, d, interpret)
+            if has_nan:
+                # Validity gates are one-sided too: the receiving
+                # lane's own validity must NOT gate its n/rank (an
+                # invalid lane still carries its window's n for the
+                # bad-window flag; rk discards it via okv later).
+                m_i = s * _roll(okf, d, interpret)   # partner j valid
+                m_j = s * okf                        # sender i valid
+                n_tot = n_tot + m_i + _roll(m_j, -d, interpret)
+            else:
+                m_i = m_j = s
+            if p is not None:
+                c = (v_r <= vs).astype(jnp.float32)
+                rank = rank + m_i * c
+                rank = rank + _roll(m_j * (1.0 - c), -d, interpret)
+            else:
+                eq = (v_r == vs).astype(jnp.float32)
+                w_r = _roll(wv, d, interpret)
+                total = total + (m_i * eq) * w_r
+                total = total + _roll(
+                    (m_j * eq) * wv, -d, interpret
+                )
 
         if p is not None:
             # rank/n are valid-only; invalid lanes must never match.
@@ -635,42 +646,50 @@ def _make_select_kernel(
         else:
             # Mode: segment max of totals, then the largest value
             # among lanes achieving it, then its first occurrence
-            # (duplicate values tie on total; sum one copy).
-            tmax = total + 0.0
-            for d in range(1, dmax + 1):
-                for sgn in (1, -1):
-                    m = seg_mask(d, sgn)
-                    tmax = jnp.maximum(
-                        tmax,
+            # (duplicate values tie on total; sum one copy).  One-sided
+            # like the rank pass: per d, pull the partner's value
+            # forward AND push the own value back with one roll each.
+            def seg_max(x):
+                out = x + 0.0
+                for d in range(1, dmax + 1):
+                    s = pair_mask(d)
+                    if has_nan:
+                        m_i = s * _roll(okf, d, interpret)
+                        m_j = s * okf
+                    else:
+                        m_i = m_j = s
+                    out = jnp.maximum(
+                        out,
                         jnp.where(
-                            m > 0.0,
-                            _roll(total, sgn * d, interpret),
+                            m_i > 0.0,
+                            _roll(x, d, interpret),
                             -jnp.inf,
                         ),
                     )
+                    out = jnp.maximum(
+                        out,
+                        _roll(
+                            jnp.where(m_j > 0.0, x, -jnp.inf),
+                            -d,
+                            interpret,
+                        ),
+                    )
+                return out
+
+            tmax = seg_max(total)
             best = jnp.where(
                 jnp.logical_and(okv, total == tmax),
                 jnp.where(okv, val, -jnp.inf),
                 -jnp.inf,
             )
-            vbest = best + 0.0
-            for d in range(1, dmax + 1):
-                for sgn in (1, -1):
-                    m = seg_mask(d, sgn)
-                    vbest = jnp.maximum(
-                        vbest,
-                        jnp.where(
-                            m > 0.0,
-                            _roll(best, sgn * d, interpret),
-                            -jnp.inf,
-                        ),
-                    )
+            vbest = seg_max(best)
             winf = jnp.logical_and(
                 best == vbest, best > -jnp.inf
             ).astype(jnp.float32)
             first = winf + 0.0
             for d in range(1, dmax + 1):
-                m = seg_mask(d, 1)
+                s = pair_mask(d)
+                m = s * _roll(okf, d, interpret) if has_nan else s
                 first = first * (
                     1.0 - m * _roll(winf, d, interpret)
                 )
@@ -690,45 +709,48 @@ def _make_select_kernel(
                 jnp.logical_or(empty, tmax == 0.0),
             )
 
-        # Extraction: one one-hot matmul per row sums each target's
-        # single contribution (and its bad-window flag) into its
-        # block slot.
+        # Extraction: ONE batched one-hot matmul sums each target's
+        # single contribution (and its bad-window flag) into its block
+        # slot.  Rows concatenate on the contraction axis (K = rows *
+        # 128): one K-tiled MXU chain replaces rows_per_step separate
+        # K=128 matmuls (fewer issue slots, same FLOPs).
         nc = 2 if (p is None or has_nan) else 1
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (128, block), 1)
-        res = jnp.zeros((nc * e_sub, block), jnp.float32)
+        K = rows_per_step * 128
         badf = bad.astype(jnp.float32)
-        for r in range(rows_per_step):
-            ph = (
-                jnp.broadcast_to(
-                    seg_p[r:r + 1, :].reshape(128, 1), (128, block)
-                )
-                == iota_b
-            ).astype(jnp.bfloat16)
-            qu = contrib[r * e_sub:(r + 1) * e_sub]
-            if nc == 2:
-                qu = jnp.concatenate(
-                    [qu, badf[r * e_sub:(r + 1) * e_sub]], axis=0
-                )
-            # Default TPU matmul precision rounds inputs to bf16
-            # (observed ~0.4% error on chip, none in interpret mode)
-            # and Mosaic supports only DEFAULT/HIGHEST.  Manual 2-pass
-            # bf16 split: the one-hot side is exact in bf16, so
-            # hi+lo recovers the f32 product to ~2^-17 at a third of
-            # HIGHEST's six MXU passes.
-            qu_hi = qu.astype(jnp.bfloat16)
-            qu_lo = (qu - qu_hi.astype(jnp.float32)).astype(
-                jnp.bfloat16
+
+        def rows_to_k(x):
+            """(rows*e_sub, 128) -> (e_sub, rows*128): row-major block
+            transpose (static sublane shuffle + reshape in VMEM)."""
+            return (
+                x.reshape(rows_per_step, e_sub, 128)
+                .transpose(1, 0, 2)
+                .reshape(e_sub, K)
             )
-            dims = (((1,), (0,)), ((), ()))
-            res = res + jax.lax.dot_general(
-                qu_hi, ph, dims,
-                preferred_element_type=jnp.float32,
+
+        qu = rows_to_k(contrib)
+        if nc == 2:
+            qu = jnp.concatenate([qu, rows_to_k(badf)], axis=0)
+        ph = (
+            jnp.broadcast_to(
+                seg_p.reshape(K, 1), (K, block)
             )
-            res = res + jax.lax.dot_general(
-                qu_lo, ph, dims,
-                preferred_element_type=jnp.float32,
-            )
-        acc[...] += res
+            == jax.lax.broadcasted_iota(jnp.int32, (K, block), 1)
+        ).astype(jnp.bfloat16)
+        # Default TPU matmul precision rounds inputs to bf16 (observed
+        # ~0.4% error on chip, none in interpret mode) and Mosaic
+        # supports only DEFAULT/HIGHEST.  Manual 2-pass bf16 split: the
+        # one-hot side is exact in bf16, so hi+lo recovers the f32
+        # product to ~2^-17 at a third of HIGHEST's six MXU passes.
+        qu_hi = qu.astype(jnp.bfloat16)
+        qu_lo = (qu - qu_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        acc[...] += jax.lax.dot_general(
+            qu_hi, ph, dims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            qu_lo, ph, dims,
+            preferred_element_type=jnp.float32,
+        )
 
         @pl.when(is_last)
         def _flush():

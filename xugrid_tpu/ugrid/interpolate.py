@@ -748,6 +748,13 @@ def cg_solve(
             if len(_GATHER_PLANS) > 4:
                 _GATHER_PLANS.clear()
             _GATHER_PLANS[key] = gather_plan
+    last_solve_info["matvec_plan"] = (
+        type(gather_plan).__name__
+        + (f"(qs={gather_plan.qs})"
+           if getattr(gather_plan, "qs", 0) else "")
+        if gather_plan is not None
+        else "coo"
+    )
     if gather_plan is not None:
         import jax.numpy as jnp
 
