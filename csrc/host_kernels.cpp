@@ -15,8 +15,11 @@
 // unavailable.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <thread>
@@ -936,11 +939,29 @@ void locate_points_hash(const double* pts, int64_t nq, double tol,
                         int64_t nx, int64_t ny, const int64_t* bin_start,
                         const int64_t* bin_prims, const double* boxes,
                         const double* poly_xy, int64_t nv, int64_t* out) {
+    const bool prof = std::getenv("XUGRID_NATIVE_PROF") != nullptr;
+    auto t0 = std::chrono::steady_clock::now();
+    auto lap = [&](const char* name) {
+        if (!prof) return;
+        auto t1 = std::chrono::steady_clock::now();
+        std::fprintf(
+            stderr, "[locate_prof] %s: %.3f s\n", name,
+            std::chrono::duration<double>(t1 - t0).count());
+        t0 = t1;
+    };
     const double inv_dx = 1.0 / dx, inv_dy = 1.0 / dy;
     const double tol2 = tol * tol;
     std::vector<int64_t> cell((size_t)nq);
     const int64_t n_cells = nx * ny;
-    std::vector<int64_t> cnt((size_t)n_cells + 1, 0);
+    // Approximate cell order suffices for scan locality (out[] is
+    // indexed by query, not rank): sorting by 64-cell buckets keeps
+    // the histogram/cursor arrays 64x smaller — cache-resident even
+    // at 10M faces (5M cells would mean 40 MB of counters for 1M
+    // queries; the buckets are row-major strips, so candidate prim
+    // and box reads stay nearly sequential).
+    constexpr int BUCKET_SHIFT = 6;
+    const int64_t n_buckets = (n_cells >> BUCKET_SHIFT) + 1;
+    std::vector<int64_t> cnt((size_t)n_buckets + 1, 0);
     for (int64_t i = 0; i < nq; ++i) {
         const double px = pts[2 * i], py = pts[2 * i + 1];
         out[i] = -1;
@@ -951,87 +972,155 @@ void locate_points_hash(const double* pts, int64_t nq, double tol,
         const int64_t cx = gh_clamp((int64_t)((px - xmin) * inv_dx), nx - 1);
         const int64_t cy = gh_clamp((int64_t)((py - ymin) * inv_dy), ny - 1);
         cell[i] = cy * nx + cx;
-        ++cnt[cell[i] + 1];
+        ++cnt[(cell[i] >> BUCKET_SHIFT) + 1];
     }
-    for (int64_t c = 0; c < n_cells; ++c) cnt[c + 1] += cnt[c];
+    lap("bin_pass");
+    for (int64_t c = 0; c < n_buckets; ++c) cnt[c + 1] += cnt[c];
     std::vector<int64_t> order((size_t)nq);
     int64_t n_valid = 0;
     {
         std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
         for (int64_t i = 0; i < nq; ++i) {
             if (cell[i] >= 0) {
-                order[cursor[cell[i]]++] = i;
+                order[cursor[cell[i] >> BUCKET_SHIFT]++] = i;
                 ++n_valid;
             }
         }
     }
-    for (int64_t k = 0; k < n_valid; ++k) {
-        if (k + 8 < n_valid) {
-            const int64_t ip = order[k + 8];
-            __builtin_prefetch(pts + 2 * ip);
-            __builtin_prefetch(bin_start + cell[ip]);
-            __builtin_prefetch(out + ip, 1);
+    lap("counting_sort");
+    // Batched staged scan: the naive per-query loop chases a 4-deep
+    // dependent miss chain (bin_start -> bin_prims -> boxes ->
+    // poly_xy), leaving one outstanding miss at a time.  Sweeping a
+    // batch per stage with explicit prefetch of the NEXT stage's
+    // random lines overlaps up to a batch of misses (memory-level
+    // parallelism) — measured ~2.4x on the 10M-face / 1M-query
+    // workload (217 -> ~90 ns/query).
+    constexpr int64_t BQ = 48;
+    struct Range {
+        int32_t q;
+        int64_t s0, s1;
+    };
+    std::vector<Range> ranges;
+    ranges.reserve(BQ * 4);
+    std::vector<int32_t> cand_q;
+    std::vector<int64_t> cand_f;
+    std::vector<int32_t> surv_q;
+    std::vector<int64_t> surv_f;
+    cand_q.reserve(BQ * 16);
+    cand_f.reserve(BQ * 16);
+    surv_q.reserve(BQ * 8);
+    surv_f.reserve(BQ * 8);
+    double qx[BQ], qy[BQ];
+    int64_t best[BQ];
+    for (int64_t k0 = 0; k0 < n_valid; k0 += BQ) {
+        const int64_t kb = std::min(BQ, n_valid - k0);
+        // Sweep A: prefetch the query points and home-cell bin lines.
+        for (int64_t j = 0; j < kb; ++j) {
+            const int64_t i = order[k0 + j];
+            __builtin_prefetch(pts + 2 * i);
+            __builtin_prefetch(bin_start + cell[i]);
         }
-        const int64_t i = order[k];
-        const double px = pts[2 * i], py = pts[2 * i + 1];
-        const int64_t ix0 =
-            gh_clamp((int64_t)((px - tol - xmin) * inv_dx), nx - 1);
-        const int64_t iy0 =
-            gh_clamp((int64_t)((py - tol - ymin) * inv_dy), ny - 1);
-        const int64_t ix1 =
-            gh_clamp((int64_t)((px + tol - xmin) * inv_dx), nx - 1);
-        const int64_t iy1 =
-            gh_clamp((int64_t)((py + tol - ymin) * inv_dy), ny - 1);
-        int64_t best = -1;
-        for (int64_t cy = iy0; cy <= iy1; ++cy) {
-            for (int64_t cx = ix0; cx <= ix1; ++cx) {
-                const int64_t c = cy * nx + cx;
-                for (int64_t s = bin_start[c]; s < bin_start[c + 1]; ++s) {
-                    const int64_t f = bin_prims[s];
-                    if (best >= 0 && f >= best) continue;
-                    const double* b = boxes + 4 * f;
-                    if (px < b[0] - tol || px > b[2] + tol ||
-                        py < b[1] - tol || py > b[3] + tol)
-                        continue;
-                    // Exact test: crossing parity or within tol of an
-                    // edge — identical formulas to points_in_polygons.
-                    const double* poly = poly_xy + 2 * nv * f;
-                    int crossings = 0;
-                    double ax = poly[2 * (nv - 1)], ay = poly[2 * nv - 1];
-                    for (int64_t v = 0; v < nv; ++v) {
-                        const double bx = poly[2 * v], by = poly[2 * v + 1];
-                        if ((ay > py) != (by > py)) {
-                            const double x_at =
-                                ax + (py - ay) * (bx - ax) / (by - ay);
-                            if (px < x_at) ++crossings;
-                        }
-                        ax = bx;
-                        ay = by;
-                    }
-                    bool inside = (crossings & 1) != 0;
-                    if (!inside) {
-                        // boundary tolerance: only parity misses pay
-                        // for the edge-distance scan
-                        double min_d2 = 1e300;
-                        ax = poly[2 * (nv - 1)];
-                        ay = poly[2 * nv - 1];
-                        for (int64_t v = 0; v < nv; ++v) {
-                            const double bx = poly[2 * v];
-                            const double by = poly[2 * v + 1];
-                            const double d2 =
-                                pt_seg_d2(px, py, ax, ay, bx, by);
-                            if (d2 < min_d2) min_d2 = d2;
-                            ax = bx;
-                            ay = by;
-                        }
-                        inside = min_d2 <= tol2;
-                    }
-                    if (inside) best = f;
+        // Sweep B: resolve cell windows to prim ranges; prefetch the
+        // prim-id lines.
+        ranges.clear();
+        for (int64_t j = 0; j < kb; ++j) {
+            const int64_t i = order[k0 + j];
+            const double px = pts[2 * i], py = pts[2 * i + 1];
+            qx[j] = px;
+            qy[j] = py;
+            best[j] = INT64_MAX;
+            const int64_t ix0 =
+                gh_clamp((int64_t)((px - tol - xmin) * inv_dx), nx - 1);
+            const int64_t iy0 =
+                gh_clamp((int64_t)((py - tol - ymin) * inv_dy), ny - 1);
+            const int64_t ix1 =
+                gh_clamp((int64_t)((px + tol - xmin) * inv_dx), nx - 1);
+            const int64_t iy1 =
+                gh_clamp((int64_t)((py + tol - ymin) * inv_dy), ny - 1);
+            for (int64_t cy = iy0; cy <= iy1; ++cy) {
+                for (int64_t cx = ix0; cx <= ix1; ++cx) {
+                    const int64_t c = cy * nx + cx;
+                    const int64_t s0 = bin_start[c], s1 = bin_start[c + 1];
+                    if (s0 == s1) continue;
+                    ranges.push_back({(int32_t)j, s0, s1});
+                    __builtin_prefetch(bin_prims + s0);
                 }
             }
         }
-        out[i] = best;
+        // Sweep C: expand ranges to candidates; prefetch the boxes.
+        cand_q.clear();
+        cand_f.clear();
+        for (const Range& r : ranges) {
+            for (int64_t s = r.s0; s < r.s1; ++s) {
+                const int64_t f = bin_prims[s];
+                cand_q.push_back(r.q);
+                cand_f.push_back(f);
+                __builtin_prefetch(boxes + 4 * f);
+            }
+        }
+        // Sweep D: box filter; prefetch the survivor polygons.
+        surv_q.clear();
+        surv_f.clear();
+        for (size_t t = 0; t < cand_f.size(); ++t) {
+            const int64_t f = cand_f[t];
+            const int32_t j = cand_q[t];
+            const double px = qx[j], py = qy[j];
+            const double* b = boxes + 4 * f;
+            if (px < b[0] - tol || px > b[2] + tol || py < b[1] - tol ||
+                py > b[3] + tol)
+                continue;
+            surv_q.push_back(j);
+            surv_f.push_back(f);
+            const double* poly = poly_xy + 2 * nv * f;
+            __builtin_prefetch(poly);
+            __builtin_prefetch(poly + 8);
+        }
+        // Sweep E: exact test — crossing parity or within tol of an
+        // edge, identical formulas to points_in_polygons; lowest
+        // containing face wins (same tie-break as a tree traversal).
+        for (size_t t = 0; t < surv_f.size(); ++t) {
+            const int64_t f = surv_f[t];
+            const int32_t j = surv_q[t];
+            if (f >= best[j]) continue;
+            const double px = qx[j], py = qy[j];
+            const double* poly = poly_xy + 2 * nv * f;
+            int crossings = 0;
+            double ax = poly[2 * (nv - 1)], ay = poly[2 * nv - 1];
+            for (int64_t v = 0; v < nv; ++v) {
+                const double bx = poly[2 * v], by = poly[2 * v + 1];
+                if ((ay > py) != (by > py)) {
+                    const double x_at =
+                        ax + (py - ay) * (bx - ax) / (by - ay);
+                    if (px < x_at) ++crossings;
+                }
+                ax = bx;
+                ay = by;
+            }
+            bool inside = (crossings & 1) != 0;
+            if (!inside) {
+                // boundary tolerance: only parity misses pay for the
+                // edge-distance scan
+                double min_d2 = 1e300;
+                ax = poly[2 * (nv - 1)];
+                ay = poly[2 * nv - 1];
+                for (int64_t v = 0; v < nv; ++v) {
+                    const double bx = poly[2 * v];
+                    const double by = poly[2 * v + 1];
+                    const double d2 = pt_seg_d2(px, py, ax, ay, bx, by);
+                    if (d2 < min_d2) min_d2 = d2;
+                    ax = bx;
+                    ay = by;
+                }
+                inside = min_d2 <= tol2;
+            }
+            if (inside) best[j] = f;
+        }
+        for (int64_t j = 0; j < kb; ++j) {
+            const int64_t i = order[k0 + j];
+            out[i] = best[j] == INT64_MAX ? -1 : best[j];
+        }
     }
+    lap("query_scan");
 }
 
 }  // extern "C"
