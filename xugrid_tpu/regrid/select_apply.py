@@ -719,20 +719,36 @@ def _make_select_kernel(
         badf = bad.astype(jnp.float32)
 
         def rows_to_k(x):
-            """(rows*e_sub, 128) -> (e_sub, rows*128): row-major block
-            transpose (static sublane shuffle + reshape in VMEM)."""
-            return (
-                x.reshape(rows_per_step, e_sub, 128)
-                .transpose(1, 0, 2)
-                .reshape(e_sub, K)
+            """(rows*e_sub, 128) -> (e_sub, rows*128): lane-axis concat
+            of the per-row (e_sub, 128) tiles.  (A single
+            reshape/transpose of the whole stack is an unsupported
+            Mosaic shape cast on chip — per-tile concat lowers
+            cleanly.)"""
+            return jnp.concatenate(
+                [
+                    x[r * e_sub:(r + 1) * e_sub]
+                    for r in range(rows_per_step)
+                ],
+                axis=1,
             )
 
         qu = rows_to_k(contrib)
         if nc == 2:
             qu = jnp.concatenate([qu, rows_to_k(badf)], axis=0)
+        # Per-row lane->sublane reshape (128,)->(128,1) is the verified
+        # Mosaic-supported form (scripts/roll_probe.py); the one-shot
+        # (K, 1) shape cast of the whole seg_p stack is NOT (on-chip
+        # Mosaic error: "infer-vector-layout: unsupported shape cast").
         ph = (
-            jnp.broadcast_to(
-                seg_p.reshape(K, 1), (K, block)
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        seg_p[r:r + 1, :].reshape(128, 1),
+                        (128, block),
+                    )
+                    for r in range(rows_per_step)
+                ],
+                axis=0,
             )
             == jax.lax.broadcasted_iota(jnp.int32, (K, block), 1)
         ).astype(jnp.bfloat16)
