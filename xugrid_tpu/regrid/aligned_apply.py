@@ -117,6 +117,13 @@ class AlignedPlan(NamedTuple):
     #                      units (multiples of 8), cid in superchunk
     #                      units, itab/wtab carry sq*2 words / sq*8
     #                      planes per row; all methods + sublanes
+    qp: int = Q_PACK     # standard-plan sub-slot pack width (1/2/4):
+    #                      entries per (row, lane) cell before spilling
+    #                      to an extra row.  The kernel's gather/chain
+    #                      shapes scale with qp, so smaller qp trades
+    #                      spill rows for ~qp-fold less VPU work on
+    #                      mostly-empty slots (real overlap matrices
+    #                      fill ~0.9 entries/lane-cell).
 
     @property
     def nsteps(self) -> int:
@@ -143,6 +150,7 @@ def plan_gather_aligned(
     w_chunks: int = W_CHUNKS,
     max_plan_bytes: int = 1_500_000_000,
     gm: bool | None = None,
+    qp: int | None = None,
 ) -> AlignedPlan | None:
     """Build the target-aligned banded plan, or None when the problem
     shape defeats it (the caller falls back to another engine).
@@ -165,6 +173,13 @@ def plan_gather_aligned(
     """
     if gm is None:
         gm = os.environ.get("XUGRID_TPU_ALIGNED_GM", "0") == "1"
+    if qp is None:
+        try:
+            qp = int(os.environ.get("XUGRID_TPU_ALIGNED_QP", Q_PACK))
+        except ValueError:
+            qp = Q_PACK
+    if qp not in (1, 2, 4):
+        raise ValueError("aligned engine: qp must be 1, 2, or 4")
     n, _w = indices.shape
     if n == 0:
         return None
@@ -225,8 +240,8 @@ def plan_gather_aligned(
     newt[0] = True
     np.not_equal(key[1:], key[:-1], out=newt[1:])
     rank = pos - np.maximum.accumulate(np.where(newt, pos, 0))
-    s_sub = rank % Q_PACK
-    spill = rank // Q_PACK
+    s_sub = rank % qp
+    spill = rank // qp
     n_spill = int(spill.max()) + 1
     if n_spill > 1:
         # Entry order interleaves spill levels within a row's lanes
@@ -400,7 +415,7 @@ def plan_gather_aligned(
     n_real = n_filled + len(missing)
     gran = 1 << max(4, n_real.bit_length() - 5)
     nsteps = -(-n_real // gran) * gran
-    if nsteps * r_step * (1 + Q_PACK) * 128 * 4 > max_plan_bytes:
+    if nsteps * r_step * (1 + qp) * 128 * 4 > max_plan_bytes:
         return None
     if (3 * nsteps + nsteps * r_step // 2) * 4 + 64 > 900_000:
         # SMEM scalar-prefetch budget (~1 MB per core): retry with
@@ -408,7 +423,7 @@ def plan_gather_aligned(
         if block < 2048:
             return plan_gather_aligned(
                 indices, weights, block * 2, r_step, w_chunks,
-                max_plan_bytes, gm=gm,
+                max_plan_bytes, gm=gm, qp=qp,
             )
         return None
 
@@ -476,8 +491,8 @@ def plan_gather_aligned(
     np.bitwise_or.at(itab64, (erow, elane), (idx7 | 128) << (8 * s_sub))
     itab = (itab64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     del itab64
-    wtab = np.zeros((nsteps * r_step * Q_PACK, 128), np.float32)
-    wtab[erow * Q_PACK + s_sub, elane] = ew
+    wtab = np.zeros((nsteps * r_step * qp, 128), np.float32)
+    wtab[erow * qp + s_sub, elane] = ew
 
     rwsum = np.zeros(n_pad, np.float32)
     rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
@@ -495,6 +510,7 @@ def plan_gather_aligned(
         r_step=r_step,
         w_chunks=w_chunks,
         gm=bool(gm),
+        qp=qp,
     )
 
 
@@ -1077,14 +1093,15 @@ def plan_triplets(plan: AlignedPlan):
     blk = plan.blkid.astype(np.int64)[step]
 
     idxw = plan.itab.view(np.uint32).astype(np.int64)
+    qp = getattr(plan, "qp", Q_PACK)
     tis, sis, ws = [], [], []
-    for k in range(Q_PACK):
+    for k in range(qp):
         byte = (idxw >> (8 * k)) & 255
         ok = byte >= 128
         r, lane = np.nonzero(ok)
         src = (c0[r] + cid[r]) * CHUNK + (byte[r, lane] & 127)
         tgt = blk[r] * plan.block + grp[r] * GROUP + lane
-        w = plan.wtab[r * Q_PACK + k, lane]
+        w = plan.wtab[r * qp + k, lane]
         tis.append(tgt)
         sis.append(src)
         ws.append(w)
@@ -1120,6 +1137,7 @@ def _make_aligned_kernel(
     interpret: bool,
     qs: int = 0,
     sq: int = 0,
+    qp: int = Q_PACK,
 ):
     chains = _chains(method, has_nan)
     nc = len(chains)
@@ -1139,7 +1157,7 @@ def _make_aligned_kernel(
     # itab int32 words / wtab f32 planes per plan row (packed rows
     # carry per-sublane tables; standard rows broadcast one word).
     IW = qs * 2 if qs else (sq * 2 if sq else 1)
-    WP = qs * 8 if qs else (sq * 8 if sq else Q_PACK)
+    WP = qs * 8 if qs else (sq * 8 if sq else qp)
 
     def kernel(
         blkid_ref, wmeta_ref, winc0_ref, meta_ref,  # SMEM prefetch
@@ -1297,14 +1315,14 @@ def _make_aligned_kernel(
 
         sbase = slot * w_chunks
         mbase = i * (r_step // 2)
-        # Shift table for rb rows x Q_PACK sub-slots (row-major: the
-        # j-th batched row's four sub-slot bytes sit at rows
-        # j*Q_PACK..j*Q_PACK+3).
+        # Shift table for rb rows x qp sub-slots (row-major: the
+        # j-th batched row's sub-slot bytes sit at rows
+        # j*qp..j*qp+qp-1).
         bshift = (
             jax.lax.broadcasted_iota(
-                jnp.int32, (rb * Q_PACK, 128), 0
+                jnp.int32, (rb * qp, 128), 0
             )
-            % Q_PACK
+            % qp
         ) * 8
         if len(set(kinds)) > 1:
             # Mixed combine kinds (min rides a (min, max) chain pair):
@@ -1489,8 +1507,8 @@ def _make_aligned_kernel(
                         slabs[pl.ds(sbase + cids[j], 1)].reshape(
                             1, e_sub, 128
                         ),
-                        (Q_PACK, e_sub, 128),
-                    ).reshape(Q_PACK * e_sub, 128)
+                        (qp, e_sub, 128),
+                    ).reshape(qp * e_sub, 128)
                     for j in range(rb)
                 ],
                 axis=0,
@@ -1498,14 +1516,14 @@ def _make_aligned_kernel(
             if span_steps:
                 idxw = itab_s[sslot, pl.ds(soff + r0, rb), :]
                 wrows = wtab_s[
-                    sslot, pl.ds((soff + r0) * Q_PACK, rb * Q_PACK), :
+                    sslot, pl.ds((soff + r0) * qp, rb * qp), :
                 ]
             else:
                 idxw = itab_ref[r0:r0 + rb, :]        # (rb, 128)
-                wrows = wtab_ref[r0 * Q_PACK:(r0 + rb) * Q_PACK, :]
+                wrows = wtab_ref[r0 * qp:(r0 + rb) * qp, :]
             idxR = jnp.broadcast_to(
-                idxw[:, None, :], (rb, Q_PACK, 128)
-            ).reshape(rb * Q_PACK, 128)
+                idxw[:, None, :], (rb, qp, 128)
+            ).reshape(rb * qp, 128)
             byte4 = jnp.right_shift(idxR, bshift) & 255
             idxQ = expand(byte4 & 127)
             val = jnp.take_along_axis(rowQ, idxQ, axis=1)
@@ -1518,19 +1536,16 @@ def _make_aligned_kernel(
                     for q, kind in zip(quants, kinds)
                 ]
             for j in range(rb):
-                # Band-reduce row j's four sub-slots, stack chains.
+                # Band-reduce row j's qp sub-slots, stack chains.
                 parts = []
                 for q, kind in zip(quants, kinds):
                     x = q[
-                        j * Q_PACK * e_sub:(j + 1) * Q_PACK * e_sub
-                    ].reshape(Q_PACK, e_sub, 128)
-                    parts.append(
-                        _combine(
-                            kind,
-                            _combine(kind, x[0], x[1]),
-                            _combine(kind, x[2], x[3]),
-                        )
-                    )
+                        j * qp * e_sub:(j + 1) * qp * e_sub
+                    ].reshape(qp, e_sub, 128)
+                    while x.shape[0] > 1:
+                        h = x.shape[0] // 2
+                        x = _combine(kind, x[:h], x[h:])
+                    parts.append(x.reshape(e_sub, 128))
                 tot = (
                     jnp.concatenate(parts, axis=0)
                     if nc > 1
@@ -1622,7 +1637,8 @@ def _make_aligned_kernel(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "block", "r_step", "w_chunks",
-        "n_blocks", "rb", "gm", "span_steps", "qs", "sq", "interpret",
+        "n_blocks", "rb", "gm", "span_steps", "qs", "sq", "qp",
+        "interpret",
     ),
 )
 def gather_aligned_apply(
@@ -1638,6 +1654,7 @@ def gather_aligned_apply(
     span_steps: int = 0,
     qs: int = 0,
     sq: int = 0,
+    qp: int = Q_PACK,
     interpret: bool = False,
 ):
     """Target-aligned banded apply: plan arrays from
@@ -1671,7 +1688,7 @@ def gather_aligned_apply(
     if span_steps and nsteps % span_steps:
         span_steps = 0
     IW = qs * 2 if qs else (sq * 2 if sq else 1)
-    WP = qs * 8 if qs else (sq * 8 if sq else Q_PACK)
+    WP = qs * 8 if qs else (sq * 8 if sq else qp)
 
     if span_steps:
         tab_specs = [
@@ -1728,7 +1745,7 @@ def gather_aligned_apply(
 
     kernel = _make_aligned_kernel(
         method, has_nan, e_sub, block, r_step, w_chunks, rb, gm,
-        span_steps, interpret, qs=qs, sq=sq,
+        span_steps, interpret, qs=qs, sq=sq, qp=qp,
     )
 
     return pl.pallas_call(
@@ -1769,12 +1786,19 @@ def aligned_apply(
 ) -> np.ndarray:
     """Stage + run the aligned kernel; returns (n_target, n_extra)."""
     if has_nan is None:
-        has_nan = bool(np.isnan(source2d).any())
+        # Non-finite (inf as well as NaN) rides the NaN chains: the
+        # has_nan=False fast paths assume 0 * v == 0 on pad slots.
+        has_nan = not bool(np.isfinite(source2d).all())
     sq = getattr(plan, "sq", 0)
+    qp = getattr(plan, "qp", Q_PACK)
     srcE = stage_source_aligned(source2d, plan)
     # Superchunk rows batch rb so one fused gather stays near the
-    # standard path's (rb * Q_PACK * e_sub, 128) working shape.
-    rb = max(1, (Q_PACK * R_BATCH) // (sq * 8)) if sq else R_BATCH
+    # standard path's (rb * Q_PACK * e_sub, 128) working shape;
+    # narrow-pack standard plans batch more rows for the same reason.
+    if sq:
+        rb = max(1, (Q_PACK * R_BATCH) // (sq * 8))
+    else:
+        rb = min(plan.r_step, R_BATCH * (Q_PACK // qp))
     while plan.r_step % rb:
         rb -= 1
     out = gather_aligned_apply(
@@ -1796,6 +1820,7 @@ def aligned_apply(
         gm=plan.gm,
         span_steps=default_span_steps(),
         sq=sq,
+        qp=qp,
         interpret=interpret,
     )
     return np.asarray(out)[: source2d.shape[0], : plan.n].T

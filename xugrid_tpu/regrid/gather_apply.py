@@ -1278,12 +1278,20 @@ def _make_kernel(
 def _lane_quantities(method, has_nan, val, w_row):
     """Per-lane chain inputs from gathered values and weights.
 
-    Padding/dummy lanes carry weight 0; ``where(w == 0, neutral, ...)``
+    Padding/dummy lanes carry weight 0; on NaN paths ``where(ok, ...)``
     also kills 0*NaN poisoning from garbage gathers on those lanes.
+
+    ``has_nan=False`` asserts the staged source is FINITE (no NaN and
+    no +-inf): the linear fast paths then rely on ``0 * v == 0`` for
+    pad slots and skip the zero-weight guard entirely (~25% of the
+    aligned kernel's measured chain ops).  Entry points map any
+    non-finite source to ``has_nan=True`` (the dispatch in
+    regrid/apply.py rejects inf outright), whose ``w != 0`` gates stay
+    inf-safe.
     """
     w = jnp.broadcast_to(w_row, val.shape)
     if method == "matvec":
-        return (jnp.where(w != 0.0, w * val, 0.0),)
+        return (w * val,)
     if method in ("mean", "first_order_conservative", "conductance"):
         if has_nan:
             ok = jnp.logical_and(w != 0.0, ~jnp.isnan(val))
@@ -1291,7 +1299,7 @@ def _lane_quantities(method, has_nan, val, w_row):
                 jnp.where(ok, w * val, 0.0),
                 jnp.where(ok, w, 0.0),
             )
-        return (jnp.where(w != 0.0, w * val, 0.0),)
+        return (w * val,)
     if method == "sum":
         # UNWEIGHTED value sum over valid slots (w=0 slots included —
         # reference semantics); weights only gate NaN/empty targets.
@@ -2010,7 +2018,9 @@ def apply_windowed_gather(
     elif engine is None:
         engine = os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE)
     if has_nan is None:
-        has_nan = bool(np.isnan(source2d).any())
+        # inf maps to the NaN chains too: has_nan=False fast paths
+        # assume a finite staged source (see _lane_quantities).
+        has_nan = not bool(np.isfinite(source2d).all())
     if engine == "pdot" and not _pdot_supported(method, bool(has_nan)):
         # min/max chains need the scan engines; replan there.
         engine = "stream"
@@ -2092,7 +2102,7 @@ def apply_windowed_gather(
         if plan is None:
             return None
         if has_nan is None:
-            has_nan = bool(np.isnan(source2d).any())
+            has_nan = not bool(np.isfinite(source2d).all())
         srcE = stage_source(source2d, plan)
         out = gather_span_apply(
             jnp.asarray(srcE),
@@ -2115,7 +2125,9 @@ def apply_windowed_gather(
     if plan is None:
         return None
     if has_nan is None:
-        has_nan = bool(np.isnan(source2d).any())
+        # inf maps to the NaN chains too: has_nan=False fast paths
+        # assume a finite staged source (see _lane_quantities).
+        has_nan = not bool(np.isfinite(source2d).all())
     srcE = stage_source(source2d, plan)
     e_sub = srcE.shape[0]
     mxu = _use_mxu(method, bool(has_nan), e_sub)
