@@ -804,6 +804,65 @@ int64_t unique_rows_hash(const char* rows, int64_t n, int64_t row_bytes,
     return count;
 }
 
+// Orientation-insensitive connectivity dedup (merge_partitions): rows
+// of ``width`` int64 node ids canonicalize by an in-register insertion
+// sort (width <= ~8: faces/edges), then dedupe bytewise in first-seen
+// order — one pass replaces the numpy np.sort(axis=1) + hash-join
+// two-pass (the sort alone copied + wrote the whole table).
+// out_rep[g] = first ORIGINAL row index of group g.
+int64_t unique_sorted_rows_hash(const int64_t* rows, int64_t n,
+                                int64_t width, int64_t* out_rep,
+                                int64_t* out_inverse) {
+    if (n == 0) return 0;
+    if (width < 1 || width > 64) return -1;
+    int64_t cap = 1;
+    while (cap < 2 * n) cap <<= 1;
+    const int64_t mask = cap - 1;
+    std::vector<int64_t> table((size_t)cap, -1);  // group id or -1
+    // Canonical (sorted) forms of the group representatives: compares
+    // must not re-sort the rep row per probe.
+    std::vector<int64_t> canon;
+    canon.reserve((size_t)std::min<int64_t>(n, 1 << 20) * (size_t)width);
+
+    int64_t buf[64];
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t* row = rows + i * width;
+        for (int64_t k = 0; k < width; ++k) buf[k] = row[k];
+        for (int64_t k = 1; k < width; ++k) {  // insertion sort
+            const int64_t v = buf[k];
+            int64_t j = k - 1;
+            for (; j >= 0 && buf[j] > v; --j) buf[j + 1] = buf[j];
+            buf[j + 1] = v;
+        }
+        uint64_t h = 1469598103934665603ull;
+        for (int64_t k = 0; k < width; ++k) {
+            h = (h ^ (uint64_t)buf[k]) * 1099511628211ull;
+            h ^= h >> 29;
+        }
+        h ^= h >> 32;
+        int64_t slot = (int64_t)(h & (uint64_t)mask);
+        for (;;) {
+            const int64_t g = table[slot];
+            if (g == -1) {
+                table[slot] = count;
+                out_rep[count] = i;
+                out_inverse[i] = count;
+                canon.insert(canon.end(), buf, buf + width);
+                ++count;
+                break;
+            }
+            if (std::memcmp(canon.data() + g * width, buf,
+                            (size_t)width * 8) == 0) {
+                out_inverse[i] = g;
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+    }
+    return count;
+}
+
 }  // extern "C"
 
 // --- sequential graph kernels (network/DAG ops) ------------------------

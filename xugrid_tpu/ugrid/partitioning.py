@@ -182,8 +182,17 @@ def merge_nodes(grids):
 
 def _merge_connectivity(gathered, slices):
     """Sort rows so [0,1]==[1,0]; keep first occurrence, original order."""
-    sorted_rows = np.sort(gathered, axis=1)
-    index, _ = unique_rows(sorted_rows)
+    from xugrid_tpu.utils.native import unique_sorted_rows_native
+
+    native = unique_sorted_rows_native(gathered)
+    if native is not None:
+        # One native pass: per-row insertion sort + first-seen hash
+        # join (no np.sort(axis=1) materialization — it copied and
+        # wrote the whole stacked table before the join).
+        index = native[0]
+    else:
+        sorted_rows = np.sort(gathered, axis=1)
+        index, _ = unique_rows(sorted_rows)
     merged = gathered[index]
     sections = np.searchsorted(index, slices[1:-1])
     indexes = np.split(index, sections)

@@ -243,6 +243,14 @@ def get_lib():
         _c_int64_p,
     ]
     lib.unique_rows_hash.restype = ctypes.c_int64
+    lib.unique_sorted_rows_hash.argtypes = [
+        _c_int64_p,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        _c_int64_p,
+        _c_int64_p,
+    ]
+    lib.unique_sorted_rows_hash.restype = ctypes.c_int64
     lib.topo_sort_dfs.argtypes = [
         _c_int64_p,
         _c_int64_p,
@@ -734,6 +742,36 @@ def unique_rows_hash_native(rows: np.ndarray):
         rep.ctypes.data_as(_ip),
         inverse.ctypes.data_as(_ip),
     )
+    return rep[:count], inverse, int(count)
+
+
+def unique_sorted_rows_native(rows: np.ndarray):
+    """
+    Orientation-insensitive row dedup: rows of int64 node ids are
+    canonicalized by sorting WITHIN each row, then deduplicated
+    bytewise in first-seen order — all in one native pass (no
+    np.sort(axis=1) materialization).  Returns (rep, inverse, count),
+    or None when the library is unavailable or the width exceeds 64.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    n, width = rows.shape
+    if width > 64:
+        return None
+    rep = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int64)
+    _ip = ctypes.POINTER(ctypes.c_int64)
+    count = lib.unique_sorted_rows_hash(
+        rows.ctypes.data_as(_ip),
+        n,
+        width,
+        rep.ctypes.data_as(_ip),
+        inverse.ctypes.data_as(_ip),
+    )
+    if count < 0:
+        return None
     return rep[:count], inverse, int(count)
 
 
