@@ -408,102 +408,6 @@ def main():
     except Exception as exc:  # pragma: no cover - perf fallback only
         print(f"aligned path unavailable: {exc!r}", file=sys.stderr)
 
-    # --- Pallas packed-superchunk apply (round-5 DMA-waste attack) ------
-    super_apply_s = None
-    super_min_s = None
-    super_e128_s = None
-    super_dma_bytes = None
-    try:
-        from xugrid_tpu.regrid.aligned_apply import (
-            Q_PACK as _QPS,
-            R_BATCH as _RBS,
-            gather_aligned_apply as _super_call,
-            plan_gather_super,
-            stage_source_aligned as _stage_super,
-        )
-        from xugrid_tpu.regrid.gather_apply import (
-            pad_sublanes as _pad_sub_q,
-        )
-
-        qplan = plan_gather_super(padded.indices, padded.weights)
-        if qplan is not None and jax.default_backend() == "tpu":
-            e_sub_q = _pad_sub_q(n_extra)
-            n_runs_q = int((np.diff(qplan.winc0) != 0).sum()) + 1
-            super_dma_bytes = int(
-                n_runs_q * qplan.w_chunks * e_sub_q * 128 * 4  # slabs
-                + (qplan.itab.size + qplan.wtab.size) * 4      # tables
-                + len(qplan.rwsum) * e_sub_q * 4               # output
-                + len(qplan.rwsum) * 4                         # rwsum
-            )
-            rb_q = max(1, (_QPS * _RBS) // (qplan.sq * 8))
-            while qplan.r_step % rb_q:
-                rb_q -= 1
-
-            def time_super(src2d, method):
-                srcE = _stage_super(src2d, qplan)
-
-                @partial(
-                    jax.jit,
-                    static_argnames=(
-                        "method", "block", "r_step", "w_chunks",
-                        "n_blocks", "rb", "sq",
-                    ),
-                )
-                def reps_fn(srcE, blkid, wmeta, winc0, meta, itab,
-                            wtab, rw, n_reps, method, block, r_step,
-                            w_chunks, n_blocks, rb, sq):
-                    def body(i, carry):
-                        src, acc = carry
-                        out = _super_call(
-                            src, blkid, wmeta, winc0, meta, itab,
-                            wtab, rw, method=method, has_nan=False,
-                            block=block, r_step=r_step,
-                            w_chunks=w_chunks, n_blocks=n_blocks,
-                            rb=rb, sq=sq,
-                        )
-                        acc = acc + jnp.nansum(out)
-                        src = src.at[0, 0].add(src.dtype.type(1e-12))
-                        return (src, acc)
-
-                    _, acc = jax.lax.fori_loop(
-                        0, n_reps, body, (srcE, jnp.float32(0.0))
-                    )
-                    return acc
-
-                qargs = (
-                    jnp.asarray(srcE), jnp.asarray(qplan.blkid),
-                    jnp.asarray(qplan.wmeta), jnp.asarray(qplan.winc0),
-                    jnp.asarray(qplan.meta), jnp.asarray(qplan.itab),
-                    jnp.asarray(qplan.wtab), jnp.asarray(qplan.rwsum),
-                )
-                statics = (
-                    method, qplan.block, qplan.r_step, qplan.w_chunks,
-                    len(qplan.rwsum) // qplan.block, rb_q, qplan.sq,
-                )
-                p, _f = slope_time(
-                    lambda r: float(
-                        reps_fn(*qargs, jnp.int32(r), *statics)
-                    )
-                )
-                return p
-
-            super_apply_s = time_super(source, "mean")
-            super_min_s = time_super(source, "min")
-            if grid.n_face * 128 * 4 * 3 < 8e9:
-                try:
-                    src128q = rng.normal(
-                        size=(128, grid.n_face)
-                    ).astype(np.float32)
-                    super_e128_s = time_super(src128q, "mean")
-                    del src128q
-                except Exception as exc:  # pragma: no cover
-                    print(
-                        f"super e128 variant unavailable: {exc!r}",
-                        file=sys.stderr,
-                    )
-    except Exception as exc:  # pragma: no cover - perf fallback only
-        print(f"super path unavailable: {exc!r}", file=sys.stderr)
-
     # --- Pallas selection kernel (median: order-statistic family) -------
     select_median_s = None
     try:
@@ -582,13 +486,11 @@ def main():
         print(f"select path unavailable: {exc!r}", file=sys.stderr)
 
     best_apply_s = xla_apply_s
-    for cand in (gather_apply_s, aligned_apply_s, super_apply_s):
+    for cand in (gather_apply_s, aligned_apply_s):
         if cand is not None and cand < best_apply_s:
             best_apply_s = cand
     if aligned_apply_s is not None and aligned_apply_s == best_apply_s:
         dma_bytes = aligned_dma_bytes
-    if super_apply_s is not None and super_apply_s == best_apply_s:
-        dma_bytes = super_dma_bytes
     apply_gbps = true_bytes / best_apply_s / 1e9
 
     # --- celltree locate throughput -------------------------------------
@@ -701,29 +603,6 @@ def main():
                 / aligned_e128_s / 1e9, 1,
             )
             if aligned_e128_s is not None
-            else None
-        ),
-        "super_apply_s_per_pass": (
-            round(super_apply_s, 4)
-            if super_apply_s is not None
-            else None
-        ),
-        "super_min_s_per_pass": (
-            round(super_min_s, 4)
-            if super_min_s is not None
-            else None
-        ),
-        "super_e128_s_per_pass": (
-            round(super_e128_s, 4)
-            if super_e128_s is not None
-            else None
-        ),
-        "super_e128_gbps_true": (
-            round(
-                (csr.nnz * 8 + (grid.n_face + target.n_face) * 128 * 4)
-                / super_e128_s / 1e9, 1,
-            )
-            if super_e128_s is not None
             else None
         ),
         "select_median_s_per_pass": (

@@ -66,8 +66,7 @@ def oracle_apply(method, indices, weights, source):
 
 
 @pytest.mark.parametrize(
-    "engine",
-    ["packet", "span", "pdot", "stream", "dense", "aligned", "super"],
+    "engine", ["packet", "span", "pdot", "stream", "dense", "aligned"]
 )
 @pytest.mark.parametrize("method", GATHER_METHODS)
 @pytest.mark.parametrize("nan_frac", [0.0, 0.15])
@@ -85,9 +84,7 @@ def test_gather_kernel_matches_oracle(method, nan_frac, engine):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize(
-    "engine", ["stream", "dense", "aligned", "super"]
-)
+@pytest.mark.parametrize("engine", ["stream", "dense", "aligned"])
 @pytest.mark.parametrize("method", ["mean", "min"])
 def test_engine_empty_blocks(method, engine):
     """Whole 512-target blocks without any window entry ride dummy
@@ -685,98 +682,3 @@ def test_cg_gather_handles_packed_plan(monkeypatch):
     assert np.linalg.norm(A @ x2[0] - b2[0]) <= 1e-3 * np.linalg.norm(
         b2[0]
     )
-
-
-@pytest.mark.parametrize(
-    "shape", ["sparse_random", "deep_spill", "wide_window"]
-)
-def test_super_engine_adversarial_shapes(shape):
-    """Superchunk-apply parity on hard structural paths: scattered
-    targets, (lane, sublane) cells deeper than sq (spill rows), and
-    windows spanning more superchunks than one resident slab."""
-    from xugrid_tpu.regrid.aligned_apply import (
-        aligned_apply,
-        plan_gather_super,
-    )
-
-    rng = np.random.default_rng(hash(shape) % 999)
-    if shape == "sparse_random":
-        n, m, w = 700, 9000, 5
-        indices = rng.integers(0, m, size=(n, w)).astype(np.int32)
-    elif shape == "deep_spill":
-        # Many entries of one target hitting ONE source sublane: the
-        # (lane, sublane) cell overflows sq repeatedly.
-        n, m, w = 300, 2000, 24
-        base = rng.integers(0, m // 128, size=n) * 128
-        indices = (
-            base[:, None] + rng.integers(0, 16, size=(n, w))
-        ).astype(np.int32)
-    else:  # wide_window
-        n, m, w = 513, 60000, 30
-        base = (np.arange(n) * m) // n
-        indices = np.clip(
-            base[:, None] + rng.integers(-6000, 6000, size=(n, w)),
-            0, m - 1,
-        ).astype(np.int32)
-    keep = rng.integers(1, w + 1, size=n)
-    indices = np.where(
-        np.arange(w)[None] < keep[:, None], indices, -1
-    )
-    weights = np.where(
-        indices >= 0, rng.uniform(0.1, 2.0, (n, w)), 0.0
-    ).astype(np.float32)
-    src = rng.normal(size=(3, m)).astype(np.float32)
-    src[rng.random(src.shape) < 0.1] = np.nan
-    plan = plan_gather_super(indices, weights)
-    assert plan is not None and plan.sq > 0
-    got = aligned_apply(src, plan, "mean", has_nan=True, interpret=True)
-    want = oracle_apply("mean", indices, weights, src)
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
-
-
-def test_super_plan_roundtrip():
-    """plan_gather_super must encode exactly the input triplets."""
-    from xugrid_tpu.regrid.aligned_apply import (
-        plan_gather_super,
-        super_triplets,
-    )
-
-    indices, weights, _ = make_case(seed=29, n=1200, m=3000, w=8)
-    plan = plan_gather_super(indices, weights)
-    assert plan is not None
-    ti, si, ws = super_triplets(plan)
-    valid = indices >= 0
-    want = sorted(
-        zip(
-            np.nonzero(valid)[0].tolist(),
-            indices[valid].tolist(),
-            np.round(weights[valid], 6).tolist(),
-        )
-    )
-    got = sorted(
-        zip(ti.tolist(), si.tolist(), np.round(ws, 6).tolist())
-    )
-    assert got == want
-
-
-def test_super_rows_beat_aligned_on_banded():
-    """The superchunk keying's whole point: on a banded matrix it
-    plans materially fewer rows than the per-chunk keying."""
-    from xugrid_tpu.regrid.aligned_apply import (
-        plan_gather_aligned,
-        plan_gather_super,
-    )
-
-    rng = np.random.default_rng(7)
-    n, m, w = 4096, 32768, 9
-    base = (np.arange(n) * m) // n
-    indices = np.clip(
-        base[:, None] + rng.integers(-900, 900, size=(n, w)),
-        0, m - 1,
-    ).astype(np.int32)
-    weights = rng.uniform(0.1, 1.0, (n, w)).astype(np.float32)
-    sup = plan_gather_super(indices, weights)
-    ali = plan_gather_aligned(indices, weights, block=sup.block)
-    rows_sup = sup.itab.shape[0] // (sup.sq * 2)
-    rows_ali = ali.itab.shape[0]
-    assert rows_sup * 2 < rows_ali, (rows_sup, rows_ali)

@@ -111,12 +111,6 @@ class AlignedPlan(NamedTuple):
     #                      plan_gather_matvec); winc0/w_chunks are in
     #                      1024-value superchunk units and itab/wtab
     #                      carry qs*2 words / qs*8 planes per row
-    sq: int = 0          # >0: packed-superchunk GENERAL apply plan
-    #                      (plan_gather_super): rows cover (group,
-    #                      superchunk) pairs, winc0/w_chunks in CHUNK
-    #                      units (multiples of 8), cid in superchunk
-    #                      units, itab/wtab carry sq*2 words / sq*8
-    #                      planes per row; all methods + sublanes
     qp: int = Q_PACK     # standard-plan sub-slot pack width (1/2/4):
     #                      entries per (row, lane) cell before spilling
     #                      to an extra row.  The kernel's gather/chain
@@ -796,287 +790,6 @@ def matvec_triplets(plan: AlignedPlan):
     )
 
 
-def plan_gather_super(
-    indices: np.ndarray,
-    weights: np.ndarray | None = None,
-    qs: int = 2,
-    block: int = 1024,
-    r_step: int = R_STEP,
-    w_sups: int = 8,
-    max_plan_bytes: int = 1_500_000_000,
-) -> AlignedPlan | None:
-    """Packed-superchunk plan for the GENERAL apply (round-5 DMA-waste
-    attack): the single-RHS matvec trick of ``plan_gather_matvec``
-    generalized to every aligned-engine method and any sublane stack.
-
-    A row covers one (128-target group, 1024-source superchunk) pair
-    instead of one (group, 128-value chunk): banded matrices whose
-    groups span ~10 consecutive chunks retire in ~2-3 superchunk rows,
-    cutting the serialized per-row slab reads and accumulator RMWs —
-    the aligned engine's measured latency floor — about 4x.  Each
-    (target-lane, source-sublane) cell packs up to ``qs`` entries; the
-    kernel resolves all ``qs*8`` sub-slots per row with ONE
-    ``take_along_axis`` (per-sublane lane gathers) and reduces over the
-    slot axis in-row, so the accumulator layout, chain machinery, and
-    flush are the standard path's unchanged.
-
-    Window bookkeeping stays in CHUNK units (winc0 / w_chunks are
-    multiples of 8) so the slab DMA code is shared; the per-row ``cid``
-    meta field is in superchunk units.  Reference hot loop parity:
-    /root/reference/xugrid/regrid/regridder.py:41-69.
-    """
-    n, _w = indices.shape
-    if n == 0 or qs < 1 or qs & (qs - 1):
-        return None  # pow2 qs: the kernel tree-reduces the slot axis
-    if block & (block - 1) or not GROUP <= block <= 2048:
-        raise ValueError("super engine: block must be 128..2048 pow2")
-    iw = qs * 2
-    wp = qs * 8
-    if weights is None:
-        weights = np.zeros(indices.shape, np.float32)
-    indices = np.ascontiguousarray(indices, dtype=np.int64)
-    weights = np.ascontiguousarray(weights, dtype=np.float32)
-    while block < 2048 and (
-        (3 + r_step // 2) * 4 * (-(-n // block)) + 64 > 900_000
-    ):
-        block *= 2
-    n_blocks = -(-n // block)
-    n_pad = n_blocks * block
-    n_groups = block // GROUP
-    gbits = max(2, int(max(n_groups - 1, 1)).bit_length())
-    if 6 + gbits > 16:
-        return None
-
-    valid = indices >= 0
-    ti, _sl = np.nonzero(valid)
-    if len(ti) == 0:
-        return None
-    src = indices[valid]
-    wts = weights[valid]
-    if src.max() >= (1 << 24) * CHUNK:
-        return None
-
-    B = (ti // block).astype(np.int64)
-    g = ((ti % block) // GROUP).astype(np.int64)
-    lane = (ti % GROUP).astype(np.int64)
-    sup = src >> 10
-    sub = (src >> 7) & 7
-    idx7 = (src & 127).astype(np.int64)
-    smax = int(sup.max()) + 1
-    # Sort (block, superchunk, group, lane, sublane): ranks within a
-    # (row, lane, sublane) cell become the packed slot index.
-    key = ((((B * smax + sup) * n_groups + g) << 10)
-           | (lane << 3) | sub)
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    ew = wts[order]
-    idx7 = idx7[order]
-    del order, src, wts, B, g, lane
-    nnz = len(key)
-    pos = np.arange(nnz, dtype=np.int64)
-    newc = np.empty(nnz, bool)
-    newc[0] = True
-    np.not_equal(key[1:], key[:-1], out=newc[1:])
-    rank = pos - np.maximum.accumulate(np.where(newc, pos, 0))
-    slot_q = rank % qs
-    spill = rank // qs
-    n_spill = int(spill.max()) + 1
-    if n_spill > 1:
-        order2 = np.argsort(
-            (((key >> 10) * n_spill + spill) << 10) | (key & 1023),
-            kind="stable",
-        )
-        key = key[order2]
-        ew = ew[order2]
-        idx7 = idx7[order2]
-        slot_q = slot_q[order2]
-        spill = spill[order2]
-        del order2
-    sub_e = key & 7
-    lane_e = (key >> 3) & 127
-
-    rowkey = (key >> 10) * n_spill + spill
-    newr = np.empty(nnz, bool)
-    newr[0] = True
-    np.not_equal(rowkey[1:], rowkey[:-1], out=newr[1:])
-    rid = np.cumsum(newr) - 1
-    n_rows = int(rid[-1]) + 1
-    bsg = (key >> 10)[newr]
-    B_r = bsg // (smax * n_groups)
-    c_r = (bsg // n_groups) % smax
-    g_r = bsg % n_groups
-
-    firstB = np.empty(n_rows, bool)
-    firstB[0] = True
-    np.not_equal(B_r[1:], B_r[:-1], out=firstB[1:])
-
-    def _cover(w):
-        start = firstB.copy()
-        while True:
-            c0 = _seg_propagate(c_r, start)
-            over = (c_r - c0) >= w
-            if not over.any():
-                break
-            cand = over & ~start
-            prev_over = np.empty(n_rows, bool)
-            prev_over[0] = False
-            prev_over[1:] = over[:-1] & ~start[1:]
-            newstart = cand & ~prev_over
-            start |= newstart
-        return start
-
-    def _steps_of(start):
-        bucket_start = start | firstB
-        bid = np.cumsum(bucket_start) - 1
-        rows_b = np.bincount(bid, minlength=int(bid[-1]) + 1)
-        return bucket_start, bid, rows_b, int(
-            (-(-rows_b // r_step)).sum()
-        )
-
-    cands = {}
-    for w in (w_sups, w_sups * 2):
-        if w > 8:  # w_chunks = 8 * w_sups must stay <= 64 (slab meta)
-            continue
-        start_w = _cover(w)
-        cands[w] = (start_w, *_steps_of(start_w))
-
-    def _cost(item):
-        w, (start_w, _, _, _, st) = item
-        return st + int(start_w.sum())
-
-    w_sups = min(cands.items(), key=_cost)[0]
-    start, bucket_start, bid_r, rows_b, _ = cands[w_sups]
-    winc0_r = _seg_propagate(c_r, start)
-    cid_r = c_r - winc0_r
-
-    steps_b = -(-rows_b // r_step)
-    B_b = B_r[bucket_start]
-    w_b = winc0_r[bucket_start]
-
-    present = np.zeros(n_blocks, bool)
-    present[B_b] = True
-    missing = np.flatnonzero(~present)
-    n_filled = int(steps_b.sum())
-    n_real = n_filled + len(missing)
-    gran = 1 << max(4, n_real.bit_length() - 5)
-    nsteps = -(-n_real // gran) * gran
-    if nsteps * r_step * (iw + wp) * 128 * 4 > max_plan_bytes:
-        return None
-    if (3 * nsteps + nsteps * r_step // 2) * 4 + 64 > 900_000:
-        if block < 2048:
-            return plan_gather_super(
-                indices, weights, qs, block * 2, r_step, w_sups,
-                max_plan_bytes,
-            )
-        return None
-
-    blkid = np.empty(nsteps, np.int32)
-    winc0 = np.empty(nsteps, np.int32)
-    blkid[:n_filled] = np.repeat(B_b, steps_b)
-    # Chunk units: the slab DMA machinery is shared with the standard
-    # plan (one superchunk = 8 chunk rows of the staged source).
-    winc0[:n_filled] = np.repeat(w_b * 8, steps_b)
-    blkid[n_filled:n_real] = missing.astype(np.int32)
-    winc0[n_filled:n_real] = winc0[n_filled - 1] if n_filled else 0
-    blkid[n_real:] = blkid[n_real - 1]
-    winc0[n_real:] = winc0[n_real - 1]
-
-    wchg = np.empty(nsteps, bool)
-    wchg[0] = True
-    np.not_equal(winc0[1:], winc0[:-1], out=wchg[1:])
-    runid = np.cumsum(wchg) - 1
-    run_c0 = winc0[wchg].astype(np.int64)
-    nxt = np.full(len(run_c0), -1, np.int64)
-    nxt[:-1] = run_c0[1:]
-    slot = np.arange(len(run_c0), dtype=np.int64) & 1
-    wmeta = (
-        slot[runid]
-        | (wchg.astype(np.int64) << 1)
-        | ((nxt[runid] + 1) << 2)
-    ).astype(np.int32)
-
-    step_b0 = np.cumsum(steps_b) - steps_b
-    row_in_b = np.arange(n_rows) - _seg_propagate(
-        np.arange(n_rows, dtype=np.int64), bucket_start
-    )
-    rslot = step_b0[bid_r] * r_step + row_in_b
-
-    mrow = cid_r | (g_r << 6)
-    meta_arr = np.zeros(nsteps * r_step, np.int64)
-    meta_arr[rslot] = mrow
-    meta = (meta_arr[0::2] | (meta_arr[1::2] << 16)).astype(np.int32)
-
-    erow = rslot[rid]
-    kpos = slot_q * 8 + sub_e
-    itab64 = np.zeros((nsteps * r_step * iw, 128), np.int64)
-    np.bitwise_or.at(
-        itab64,
-        (erow * iw + (kpos >> 2), lane_e),
-        (idx7 | 128) << (8 * (kpos & 3)),
-    )
-    itab = (itab64 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
-    del itab64
-    wtab = np.zeros((nsteps * r_step * wp, 128), np.float32)
-    wtab[erow * wp + kpos, lane_e] = ew
-
-    rwsum = np.zeros(n_pad, np.float32)
-    rwsum[:n] = np.where(valid, weights, 0.0).sum(axis=1)
-
-    return AlignedPlan(
-        blkid=blkid,
-        winc0=winc0,
-        wmeta=wmeta,
-        meta=meta,
-        itab=itab,
-        wtab=wtab,
-        rwsum=rwsum,
-        n=n,
-        block=block,
-        r_step=r_step,
-        w_chunks=w_sups * 8,
-        gm=False,
-        qs=0,
-        sq=qs,
-    )
-
-
-def super_triplets(plan: AlignedPlan):
-    """Decode a superchunk apply plan back into (target, source,
-    weight) triplets — the round-trip oracle for plan tests."""
-    sq = plan.sq
-    iw, wp = sq * 2, sq * 8
-    r_step = plan.r_step
-    nrows = plan.itab.shape[0] // iw
-    meta16 = np.empty(nrows, np.int64)
-    meta = plan.meta.astype(np.int64) & 0xFFFFFFFF
-    meta16[0::2] = meta & 0xFFFF
-    meta16[1::2] = meta >> 16
-    cid = meta16 & 63
-    grp = (meta16 >> 6) & (plan.block // GROUP - 1)
-    step = np.arange(nrows) // r_step
-    c0 = plan.winc0.astype(np.int64)[step]  # chunk units
-    blk = plan.blkid.astype(np.int64)[step]
-
-    idxw = plan.itab.view(np.uint32).astype(np.int64)
-    tis, sis, ws = [], [], []
-    for k in range(sq * 8):
-        q, s = k // 8, k % 8
-        byte = (idxw[(k >> 2)::iw] >> (8 * (k & 3))) & 255
-        ok = byte >= 128
-        r, lane = np.nonzero(ok)
-        srcv = (c0[r] + cid[r] * 8 + s) * 128 + (byte[r, lane] & 127)
-        tgt = blk[r] * plan.block + grp[r] * GROUP + lane
-        w = plan.wtab[r * wp + k, lane]
-        tis.append(tgt)
-        sis.append(srcv)
-        ws.append(w)
-    return (
-        np.concatenate(tis),
-        np.concatenate(sis),
-        np.concatenate(ws),
-    )
-
-
 def plan_triplets(plan: AlignedPlan):
     """Decode the plan back into (target, source, weight) triplets —
     the round-trip oracle for plan-correctness tests."""
@@ -1136,7 +849,6 @@ def _make_aligned_kernel(
     span_steps: int,
     interpret: bool,
     qs: int = 0,
-    sq: int = 0,
     qp: int = Q_PACK,
 ):
     chains = _chains(method, has_nan)
@@ -1152,12 +864,10 @@ def _make_aligned_kernel(
             "packed matvec kernel: method='matvec', has_nan=False, "
             "gm=False, e_sub=8 required"
         )
-    if sq and (qs or gm):
-        raise ValueError("super kernel: gm/qs are mutually exclusive")
     # itab int32 words / wtab f32 planes per plan row (packed rows
     # carry per-sublane tables; standard rows broadcast one word).
-    IW = qs * 2 if qs else (sq * 2 if sq else 1)
-    WP = qs * 8 if qs else (sq * 8 if sq else qp)
+    IW = qs * 2 if qs else 1
+    WP = qs * 8 if qs else qp
 
     def kernel(
         blkid_ref, wmeta_ref, winc0_ref, meta_ref,  # SMEM prefetch
@@ -1418,89 +1128,6 @@ def _make_aligned_kernel(
                     )
                 continue
 
-            if sq:
-                # Packed-superchunk apply rows: the slab read exposes a
-                # whole (8 chunks, e_sub, 128) superchunk; byte
-                # k = slot*8 + sublane of a row's ``IW`` itab words
-                # indexes lane-locally within source sublane k%8.  One
-                # gather resolves all rb*sq*8 sub-slots across every
-                # extra slice; the slot axis reduces in-row so the
-                # accumulator layout stays the standard path's.
-                SL = sq * 8
-                rowQ = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(
-                            slabs[
-                                pl.ds(sbase + cids[j] * 8, 8)
-                            ].reshape(1, 8, e_sub, 128),
-                            (sq, 8, e_sub, 128),
-                        ).reshape(SL * e_sub, 128)
-                        for j in range(rb)
-                    ],
-                    axis=0,
-                )
-                if span_steps:
-                    idxw = itab_s[
-                        sslot, pl.ds((soff + r0) * IW, rb * IW), :
-                    ]
-                    wrows = wtab_s[
-                        sslot, pl.ds((soff + r0) * WP, rb * WP), :
-                    ]
-                else:
-                    idxw = itab_ref[r0 * IW:(r0 + rb) * IW, :]
-                    wrows = wtab_ref[r0 * WP:(r0 + rb) * WP, :]
-                idxR = jnp.broadcast_to(
-                    idxw[:, None, :], (rb * IW, 4, 128)
-                ).reshape(rb * SL, 128)
-                bshq = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (rb * SL, 128), 0
-                    )
-                    % 4
-                ) * 8
-                byte4 = jnp.right_shift(idxR, bshq) & 255
-                idxQ = expand(byte4 & 127)
-                val = jnp.take_along_axis(rowQ, idxQ, axis=1)
-                wQ = expand(wrows)
-                quants = _lane_quantities(method, has_nan, val, wQ)
-                if need_mask:
-                    okQ = expand(byte4 >= 128)
-                    quants = [
-                        jnp.where(okQ, q, jnp.float32(_neutral(kind)))
-                        for q, kind in zip(quants, kinds)
-                    ]
-                for j in range(rb):
-                    parts = []
-                    for q, kind in zip(quants, kinds):
-                        x = q[
-                            j * SL * e_sub:(j + 1) * SL * e_sub
-                        ].reshape(SL, e_sub, 128)
-                        # Tree-reduce the slot axis (SL is even).
-                        while x.shape[0] > 1:
-                            h = x.shape[0] // 2
-                            x = _combine(kind, x[:h], x[h:])
-                        parts.append(x.reshape(e_sub, 128))
-                    tot = (
-                        jnp.concatenate(parts, axis=0)
-                        if nc > 1
-                        else parts[0]
-                    )
-                    cur = acc[pl.ds(grps[j], 1)].reshape(
-                        nc * e_sub, 128
-                    )
-                    if len(set(kinds)) == 1:
-                        new = _combine(kinds[0], cur, tot)
-                    else:
-                        new = jnp.where(
-                            minmask,
-                            jnp.minimum(cur, tot),
-                            jnp.maximum(cur, tot),
-                        )
-                    acc[pl.ds(grps[j], 1)] = new.reshape(
-                        1, nc * e_sub, 128
-                    )
-                continue
-
             rowQ = jnp.concatenate(
                 [
                     jnp.broadcast_to(
@@ -1637,7 +1264,7 @@ def _make_aligned_kernel(
     jax.jit,
     static_argnames=(
         "method", "has_nan", "block", "r_step", "w_chunks",
-        "n_blocks", "rb", "gm", "span_steps", "qs", "sq", "qp",
+        "n_blocks", "rb", "gm", "span_steps", "qs", "qp",
         "interpret",
     ),
 )
@@ -1653,17 +1280,11 @@ def gather_aligned_apply(
     gm: bool = False,
     span_steps: int = 0,
     qs: int = 0,
-    sq: int = 0,
     qp: int = Q_PACK,
     interpret: bool = False,
 ):
     """Target-aligned banded apply: plan arrays from
     ``plan_gather_aligned``; srcE staged by ``stage_source_aligned``.
-
-    ``sq`` > 0 runs the packed-superchunk GENERAL apply (plan from
-    ``plan_gather_super``): rows cover (group, superchunk) pairs;
-    staging and slab DMA are the standard path's (winc0/w_chunks in
-    chunk units).
 
     ``span_steps`` > 0 streams itab/wtab via one manual
     double-buffered DMA per span instead of two per-step BlockSpec
@@ -1687,8 +1308,8 @@ def gather_aligned_apply(
     nc = len(_chains(method, has_nan))
     if span_steps and nsteps % span_steps:
         span_steps = 0
-    IW = qs * 2 if qs else (sq * 2 if sq else 1)
-    WP = qs * 8 if qs else (sq * 8 if sq else qp)
+    IW = qs * 2 if qs else 1
+    WP = qs * 8 if qs else qp
 
     if span_steps:
         tab_specs = [
@@ -1745,7 +1366,7 @@ def gather_aligned_apply(
 
     kernel = _make_aligned_kernel(
         method, has_nan, e_sub, block, r_step, w_chunks, rb, gm,
-        span_steps, interpret, qs=qs, sq=sq, qp=qp,
+        span_steps, interpret, qs=qs, qp=qp,
     )
 
     return pl.pallas_call(
@@ -1789,16 +1410,11 @@ def aligned_apply(
         # Non-finite (inf as well as NaN) rides the NaN chains: the
         # has_nan=False fast paths assume 0 * v == 0 on pad slots.
         has_nan = not bool(np.isfinite(source2d).all())
-    sq = getattr(plan, "sq", 0)
     qp = getattr(plan, "qp", Q_PACK)
     srcE = stage_source_aligned(source2d, plan)
-    # Superchunk rows batch rb so one fused gather stays near the
-    # standard path's (rb * Q_PACK * e_sub, 128) working shape;
-    # narrow-pack standard plans batch more rows for the same reason.
-    if sq:
-        rb = max(1, (Q_PACK * R_BATCH) // (sq * 8))
-    else:
-        rb = min(plan.r_step, R_BATCH * (Q_PACK // qp))
+    # Narrow-pack plans batch more rows so one fused gather stays near
+    # the default (rb * Q_PACK * e_sub, 128) working shape.
+    rb = min(plan.r_step, R_BATCH * (Q_PACK // qp))
     while plan.r_step % rb:
         rb -= 1
     out = gather_aligned_apply(
@@ -1819,7 +1435,6 @@ def aligned_apply(
         rb=rb,
         gm=plan.gm,
         span_steps=default_span_steps(),
-        sq=sq,
         qp=qp,
         interpret=interpret,
     )

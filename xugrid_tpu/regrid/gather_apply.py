@@ -1952,13 +1952,6 @@ def plan_default(
         if plan is not None:
             return plan
         engine = "stream"
-    if engine == "super":
-        from xugrid_tpu.regrid.aligned_apply import plan_gather_super
-
-        plan = plan_gather_super(indices, weights)
-        if plan is not None:
-            return plan
-        engine = "aligned"
     if engine == "aligned":
         from xugrid_tpu.regrid.aligned_apply import plan_gather_aligned
 
@@ -2025,21 +2018,6 @@ def apply_windowed_gather(
         # min/max chains need the scan engines; replan there.
         engine = "stream"
         plan = None
-    if engine == "super":
-        if plan is None:
-            from xugrid_tpu.regrid.aligned_apply import plan_gather_super
-
-            plan = plan_gather_super(indices, weights)
-        if plan is None:
-            engine = "aligned"
-        else:
-            return aligned_apply(
-                source2d,
-                plan,
-                method=method,
-                has_nan=bool(has_nan),
-                interpret=interpret,
-            )
     if engine == "aligned":
         if plan is None:
             plan = plan_gather_aligned(indices, weights)

@@ -745,15 +745,6 @@ def cg_solve(
                 gather_plan = plan_gather_matvec(idx, w32)
             if gather_plan is None:
                 gather_plan = plan_default(idx, w32)
-            if getattr(gather_plan, "sq", 0):
-                # The fused-PCG matvec kernel speaks standard aligned
-                # and packed-matvec (qs) plans only; a superchunk
-                # APPLY plan (engine env pin) replans as standard.
-                from xugrid_tpu.regrid.aligned_apply import (
-                    plan_gather_aligned,
-                )
-
-                gather_plan = plan_gather_aligned(idx, w32)
             if len(_GATHER_PLANS) > 4:
                 _GATHER_PLANS.clear()
             _GATHER_PLANS[key] = gather_plan
