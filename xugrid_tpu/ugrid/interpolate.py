@@ -713,18 +713,16 @@ def cg_solve(
         h.update(np.ascontiguousarray(w32).tobytes())
         from xugrid_tpu.regrid.gather_apply import DEFAULT_ENGINE
 
-        # Single-RHS systems ride the packed-superchunk matvec plan:
-        # the standard aligned staging spends 8 identical sublane
-        # copies (8x slab DMA) on one RHS, and a row spans only one
-        # 128-value source chunk — the packed plan's rows span 1024
-        # (see regrid/aligned_apply.plan_gather_matvec).  Multi-RHS
-        # batches keep the standard plan (RHS amortize the sublanes).
-        # An explicit engine pin (XUGRID_TPU_GATHER_ENGINE /
-        # XUGRID_TPU_ALIGNED_GM) wins over the packed auto-dispatch:
-        # the env knobs exist precisely to exercise a chosen engine.
+        # The packed-superchunk matvec plan (rows span 1024-value
+        # superchunks, see regrid/aligned_apply.plan_gather_matvec) is
+        # OPT-IN only: despite 7.6x less slab DMA on paper, it measured
+        # 3.3x SLOWER on chip than the plain aligned plan on the 1M-node
+        # RCM Delaunay system (41.7 s vs 12.4 s at degree 4,
+        # 2026-08-20) — the broadcast-to-sublanes matvec layout
+        # serializes where the 8-sublane staging copy pipelines.
         packed_ok = (
             E == 1
-            and os.environ.get("XUGRID_TPU_CG_PACKED", "1") != "0"
+            and os.environ.get("XUGRID_TPU_CG_PACKED", "0") == "1"
             and os.environ.get("XUGRID_TPU_GATHER_ENGINE") is None
             and os.environ.get("XUGRID_TPU_ALIGNED_GM", "0") != "1"
         )
