@@ -31,7 +31,7 @@ jax.config.update(
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache"),
 )
 
-from super_sweep import build_weights, slope_time  # noqa: E402
+from _sweep_common import build_weights, slope_time  # noqa: E402
 
 E = int(os.environ.get("E", "20"))
 

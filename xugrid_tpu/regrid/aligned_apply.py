@@ -1128,18 +1128,6 @@ def _make_aligned_kernel(
                     )
                 continue
 
-            rowQ = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        slabs[pl.ds(sbase + cids[j], 1)].reshape(
-                            1, e_sub, 128
-                        ),
-                        (qp, e_sub, 128),
-                    ).reshape(qp * e_sub, 128)
-                    for j in range(rb)
-                ],
-                axis=0,
-            )
             if span_steps:
                 idxw = itab_s[sslot, pl.ds(soff + r0, rb), :]
                 wrows = wtab_s[
@@ -1152,6 +1140,18 @@ def _make_aligned_kernel(
                 idxw[:, None, :], (rb, qp, 128)
             ).reshape(rb * qp, 128)
             byte4 = jnp.right_shift(idxR, bshift) & 255
+            rowQ = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        slabs[pl.ds(sbase + cids[j], 1)].reshape(
+                            1, e_sub, 128
+                        ),
+                        (qp, e_sub, 128),
+                    ).reshape(qp * e_sub, 128)
+                    for j in range(rb)
+                ],
+                axis=0,
+            )
             idxQ = expand(byte4 & 127)
             val = jnp.take_along_axis(rowQ, idxQ, axis=1)
             wQ = expand(wrows)

@@ -804,6 +804,14 @@ def cg_solve(
             N = -(-max(n_pad, n512, c_needed) // unit) * unit
             if plan.qs:
                 e_sub = 1
+            elif E == 1:
+                # Single-RHS matvec: the kernel derives e_sub from the
+                # state shape, so a (1, N) state skips the 8-fold
+                # sublane broadcast of the staged vector — 8x less
+                # slab DMA per matvec (the 1M Delaunay solve's matvec
+                # window DMA was ~1.77 GB/pass at e_sub=8, ~48x the
+                # true vector bytes).
+                e_sub = 1
         elif isinstance(plan, StreamPlan):
             engine = "stream"
             mxu = False
