@@ -14,7 +14,18 @@ per step).  Stages nest cumulatively:
   full       + per-row dynamic acc RMW (the production loop)
 
 Run on the chip:  python scripts/aligned_probe.py
-Knobs: E (sublanes, default 24), RB, R_STEP, STEPS, REPS.
+Knobs: E (sublanes, default 24), RB, R_STEP, STEPS, REPS, PROBE_GROUPS.
+
+DCE HAZARD (round-5 lesson): stages that retire only a SLICE of the
+batch result (``acc[0] += x[:E]`` — rowq/gather/cmul) let Mosaic
+dead-code-eliminate most of the work they claim to measure; their
+ns/row reads low.  Only stages whose every row reaches an accumulator
+(chain/full/cself/cqmaj/sgfull) measure the true cost.  Round-5
+verdict from those: chain-structure variants (per-row reduce tree,
+q-major big adds, static-group single-RMW batches) are IDENTICAL at
+~59-60 ns/row on chip — the inner loop is issue-bound on the full
+(Q*E, 128) gather+multiply+combine data flow, not on how rows are
+reduced or retired.
 """
 
 from __future__ import annotations
@@ -44,10 +55,25 @@ REPS = int(os.environ.get("REPS", "200"))
 INTERPRET = os.environ.get("INTERPRET") == "1"   # CPU smoke only
 W = 64          # resident window chunks (single buffer half)
 Q = 4           # Q_PACK
-GROUPS = 4      # 512-target block / 128
+GROUPS = int(os.environ.get("PROBE_GROUPS", "4"))   # block / 128
 
 
-STAGES = ("null", "meta", "read", "rowq", "gather", "chain", "full")
+STAGES = (
+    "null", "meta", "read", "rowq", "gather", "chain", "full",
+    # chain decompositions (all build on the gather stage):
+    #   cmul   multiply by the expanded weights only, single final add
+    #   cself  same-shape multiply val*val (no weight expand) + reduce
+    #   cslot  slot-major: per-q (E,128) multiply-accumulate against a
+    #          sublane-broadcast weight row (no (Q*E,128) expand)
+    #   cqmaj  q-major batch layout: the Q-reduce becomes Q-1 big
+    #          (RB*E,128) adds (no per-row slice/reshape tree) and the
+    #          per-row RMW slices tot[j*E:(j+1)*E] as plain 2D slices
+    #   sgfull full pipeline with STATIC group slotting: batch position
+    #          j IS the group (requires GROUPS == RB), so the 8 per-row
+    #          dynamic acc RMWs collapse into ONE static full-acc
+    #          combine per batch — zero per-row ops after the gather
+    "cmul", "cself", "cslot", "cqmaj", "sgfull",
+)
 SPAN = int(os.environ.get("SPAN", "16"))   # steps per manual plan DMA
 SPAN_STAGES = ("snull", "sfull")
 
@@ -251,6 +277,83 @@ def make_kernel(stage: str):
                 mrow = (mw >> ((r & 1) * 16)) & 0xFFFF
                 cids.append(mrow & 63)
                 grps.append((mrow >> 6) & (GROUPS - 1))
+            if stage == "cqmaj":
+                # (q, j, e) layout: ONE j-concat of slabs broadcast Q
+                # times; per-q 2D slices feed Q multiply-accumulates —
+                # the per-row (Q,E,128) reshape/reduce tree disappears.
+                rowJ = jnp.concatenate(
+                    [
+                        slabs_ref[pl.ds(cids[j], 1)].reshape(E, 128)
+                        for j in range(RB)
+                    ],
+                    axis=0,
+                )                                        # (RB*E, 128)
+                rowQm = jnp.broadcast_to(
+                    rowJ[None], (Q, RB * E, 128)
+                ).reshape(Q * RB * E, 128)
+                idxw = itab_ref[r0:r0 + RB, :]           # (RB, 128)
+                idxR = jnp.broadcast_to(
+                    idxw[None, :, :], (Q, RB, 128)
+                ).reshape(Q * RB, 128)
+                bq = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (Q * RB, 128), 0
+                    )
+                    // RB
+                ) * 8
+                byteQ = jnp.right_shift(idxR, bq) & 255
+                idxQm = expand(byteQ & 127)
+                valm = jnp.take_along_axis(rowQm, idxQm, axis=1)
+                wrows = wtab_ref[r0 * Q:(r0 + RB) * Q, :]
+                tot = None
+                for q in range(Q):
+                    # production plans would store wtab q-major; the
+                    # probe's random weights just need SOME (RB,128)
+                    # row block per q.
+                    wq = expand(wrows[q * RB:(q + 1) * RB])
+                    p_ = valm[q * RB * E:(q + 1) * RB * E] * wq
+                    tot = p_ if tot is None else tot + p_
+                for j in range(RB):
+                    cur = acc[pl.ds(grps[j], 1)].reshape(E, 128)
+                    acc[pl.ds(grps[j], 1)] = (
+                        cur + tot[j * E:(j + 1) * E]
+                    ).reshape(1, E, 128)
+                continue
+            if stage == "sgfull":
+                # Static-group slotting: batch position j IS the group
+                # (plan guarantees it), so after the q-major combine the
+                # whole batch retires in ONE static acc RMW.
+                rowJ = jnp.concatenate(
+                    [
+                        slabs_ref[pl.ds(cids[j], 1)].reshape(E, 128)
+                        for j in range(RB)
+                    ],
+                    axis=0,
+                )                                        # (RB*E, 128)
+                rowQm = jnp.broadcast_to(
+                    rowJ[None], (Q, RB * E, 128)
+                ).reshape(Q * RB * E, 128)
+                idxw = itab_ref[r0:r0 + RB, :]           # (RB, 128)
+                idxR = jnp.broadcast_to(
+                    idxw[None, :, :], (Q, RB, 128)
+                ).reshape(Q * RB, 128)
+                bq = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (Q * RB, 128), 0
+                    )
+                    // RB
+                ) * 8
+                byteQ = jnp.right_shift(idxR, bq) & 255
+                idxQm = expand(byteQ & 127)
+                valm = jnp.take_along_axis(rowQm, idxQm, axis=1)
+                wrows = wtab_ref[r0 * Q:(r0 + RB) * Q, :]
+                tot = None
+                for q in range(Q):
+                    wq = expand(wrows[q * RB:(q + 1) * RB])
+                    p_ = valm[q * RB * E:(q + 1) * RB * E] * wq
+                    tot = p_ if tot is None else tot + p_
+                acc[...] = acc[...] + tot.reshape(RB, E, 128)
+                continue
             if lvl == 0:        # meta: touch addresses cheaply
                 acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + (
                     (cids[0] + grps[0]).astype(jnp.float32)
@@ -294,6 +397,47 @@ def make_kernel(stage: str):
                 acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + val[
                     : E
                 ].reshape(1, E, 128)
+                continue
+            if stage == "cmul":
+                # weight expand + multiply, NO per-row reduce tree
+                wm = val * expand(wtab_ref[r0 * Q:(r0 + RB) * Q, :])
+                acc[pl.ds(0, 1)] = acc[pl.ds(0, 1)] + wm[
+                    : E
+                ].reshape(1, E, 128)
+                continue
+            if stage == "cself":
+                # same-shape multiply (no broadcast read) + full reduce
+                qs2 = val * val
+                for j in range(RB):
+                    x = qs2[j * Q * E:(j + 1) * Q * E].reshape(
+                        Q, E, 128
+                    )
+                    tot = (x[0] + x[1]) + (x[2] + x[3])
+                    cur = acc[pl.ds(grps[j], 1)].reshape(E, 128)
+                    acc[pl.ds(grps[j], 1)] = (cur + tot).reshape(
+                        1, E, 128
+                    )
+                continue
+            if stage == "cslot":
+                # slot-major: per (j, q) multiply the (E, 128) value
+                # band by a (1, 128) weight row broadcast on sublanes —
+                # no (RB*Q*E, 128) weight materialization.
+                wrows = wtab_ref[r0 * Q:(r0 + RB) * Q, :]
+                for j in range(RB):
+                    tot = None
+                    for q in range(Q):
+                        band = val[
+                            (j * Q + q) * E:(j * Q + q + 1) * E
+                        ]
+                        wq = jnp.broadcast_to(
+                            wrows[j * Q + q:j * Q + q + 1], (E, 128)
+                        )
+                        p = band * wq
+                        tot = p if tot is None else tot + p
+                    cur = acc[pl.ds(grps[j], 1)].reshape(E, 128)
+                    acc[pl.ds(grps[j], 1)] = (cur + tot).reshape(
+                        1, E, 128
+                    )
                 continue
             wQ = expand(wtab_ref[r0 * Q:(r0 + RB) * Q, :])
             qs = val * wQ

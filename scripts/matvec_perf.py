@@ -93,6 +93,10 @@ def main():
 
     x = np.random.default_rng(0).normal(size=(1, nu)).astype(np.float32)
     srcE = stage_source_aligned(x, plan)
+    if os.environ.get("E_SUB", "8") == "1":
+        # The (1, N) single-RHS state cg_solve now feeds the kernel:
+        # no 8-fold sublane broadcast of the staged vector.
+        srcE = np.ascontiguousarray(srcE[:1])
     rb = int(os.environ.get("RB", "8"))
     span = int(os.environ.get("SPAN", "0"))
     n_blocks = len(plan.rwsum) // plan.block
