@@ -578,3 +578,51 @@ class TestDiaStencilSolve:
         data[10:40] = np.nan
         interpolate.laplace_interpolate(data, conn, direct_solve=False)
         assert called.get("result") is True
+
+
+def test_prep_and_device_caches_correct_across_data_changes(monkeypatch):
+    """The round-5 content-keyed caches (system extraction/RCM in
+    laplace_interpolate, padded-window packing + device plan tables in
+    cg_solve) must be transparent: a second solve with DIFFERENT data
+    on the SAME matrix/NaN pattern hits every cache and still matches
+    the direct solve, and changing the matrix must miss (no
+    collisions)."""
+    monkeypatch.setenv("XUGRID_TPU_CG", "windowed")
+    monkeypatch.setenv("XUGRID_TPU_CG_GATHER", "force")
+    monkeypatch.setenv("XUGRID_TPU_CG_DIA", "0")
+    monkeypatch.setenv("XUGRID_TPU_GATHER_ENGINE", "aligned")
+    interpolate._GATHER_PLANS.clear()
+    interpolate._LAPLACE_PREP.clear()
+
+    conn = _grid_adjacency(13, 13)
+    n = conn.shape[0]
+    rng = np.random.default_rng(17)
+    nanmask = rng.random(n) < 0.35
+    data1 = rng.normal(size=n)
+    data1[nanmask] = np.nan
+    out1 = interpolate.laplace_interpolate(data1, conn, atol=1e-10)
+    assert len(interpolate._LAPLACE_PREP) == 1
+    # Same matrix + pattern, different values: full cache-hit path.
+    data2 = rng.normal(size=n) * 3.0 + 1.0
+    data2[nanmask] = np.nan
+    out2 = interpolate.laplace_interpolate(data2, conn, atol=1e-10)
+    assert len(interpolate._LAPLACE_PREP) == 1          # prep hit
+    assert len(interpolate._GATHER_PLANS) == 1          # plan hit
+    ref2 = interpolate.laplace_interpolate(
+        data2, conn, direct_solve=True
+    )
+    np.testing.assert_allclose(out2, ref2, atol=1e-5)
+    np.testing.assert_allclose(out2[~nanmask], data2[~nanmask])
+
+    # Different matrix content: must MISS (a collision would silently
+    # solve the wrong system).
+    conn3 = conn.copy()
+    conn3.data = conn3.data * 2.0
+    out3 = interpolate.laplace_interpolate(data2, conn3, atol=1e-10)
+    assert len(interpolate._LAPLACE_PREP) == 2
+    ref3 = interpolate.laplace_interpolate(
+        data2, conn3, direct_solve=True
+    )
+    np.testing.assert_allclose(out3, ref3, atol=1e-5)
+    interpolate._GATHER_PLANS.clear()
+    interpolate._LAPLACE_PREP.clear()

@@ -584,6 +584,8 @@ _PCG_WINDOWED = None
 _PCG_GATHER = None
 _PCG_DIA = None
 _GATHER_PLANS: dict = {}
+#: laplace_interpolate's system-extraction/RCM cache (content-keyed).
+_LAPLACE_PREP: dict = {}
 
 #: diagnostics of the most recent iterative solve:
 #: {"iterations": int, "n_unknown": int, "degree": int}
@@ -669,20 +671,6 @@ def cg_solve(
 
     if _PCG_WINDOWED is None:
         _PCG_WINDOWED = _make_pcg_windowed()
-    # Pack COO rows into padded windows (idx/weights, -1/0 padded).
-    order = np.argsort(rows, kind="stable")
-    counts = np.bincount(rows, minlength=n_pad)
-    # Bucket the window width too: a NaN-pattern change that shifts the
-    # max row degree by one must not trigger a fresh Mosaic compile.
-    w_max = _next_pow2(max(int(counts.max()), 1))
-    starts = np.zeros(n_pad + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    offsets = np.arange(nnz) - starts[rows[order]]
-    idx = np.full((n_pad, w_max), -1, dtype=np.int32)
-    wvals = np.zeros((n_pad, w_max), dtype=vals.dtype)
-    idx[rows[order], offsets] = cols[order]
-    wvals[rows[order], offsets] = vals[order]
-
     diag_pad = np.concatenate([diag, np.ones(n_pad - n)])
     b2 = np.atleast_2d(b)
     x02 = np.atleast_2d(x0)
@@ -694,23 +682,25 @@ def cg_solve(
     # computes in f32; on CPU (x64 available) the f64 windowed path
     # keeps its extra digits unless "force" requests interpret-mode
     # coverage.
+    #
+    # Everything derived from the MATRIX alone is cached under one
+    # content hash of the COO triplets (interpolate_na re-solves the
+    # same Laplacian for every time slice): the padded-window packing,
+    # the gather plan, and — critically over the remote TPU tunnel —
+    # the DEVICE-RESIDENT plan tables.  Round-5 measurement: the
+    # isolated 1M-Delaunay matvec is 2.98 ms but the solve implied
+    # ~33 ms/matvec — ~10 s/solve was host repacking plus re-shipping
+    # ~280 MB of itab/wtab per call.  Collisions here would silently
+    # corrupt results, so hash the full bytes.
     gather_mode = os.environ.get("XUGRID_TPU_CG_GATHER", "auto")
-    gather_plan = None
-    if gather_mode == "force" or (
+    gather_eligible = gather_mode == "force" or (
         gather_mode == "auto" and jax.default_backend() == "tpu"
-    ):
-        from xugrid_tpu.regrid.gather_apply import plan_default
-
-        # Plan once per matrix: planning a 1M-node system costs
-        # seconds, and interpolate_na solves the same Laplacian for
-        # every time slice.  Keyed by a content hash (collisions here
-        # would silently corrupt results, so hash the full bytes).
+    )
+    gather_plan = None
+    centry = None
+    if gather_eligible:
         import hashlib
 
-        w32 = wvals.astype(np.float32)
-        h = hashlib.blake2b(digest_size=16)
-        h.update(np.ascontiguousarray(idx).tobytes())
-        h.update(np.ascontiguousarray(w32).tobytes())
         from xugrid_tpu.regrid.gather_apply import DEFAULT_ENGINE
 
         # The packed-superchunk matvec plan (rows span 1024-value
@@ -726,26 +716,52 @@ def cg_solve(
             and os.environ.get("XUGRID_TPU_GATHER_ENGINE") is None
             and os.environ.get("XUGRID_TPU_ALIGNED_GM", "0") != "1"
         )
+        h = hashlib.blake2b(digest_size=16)
+        h.update(np.ascontiguousarray(rows).tobytes())
+        h.update(np.ascontiguousarray(cols).tobytes())
+        h.update(np.ascontiguousarray(vals.astype(np.float32)).tobytes())
         key = (
-            idx.shape, h.hexdigest(),
+            n, nnz, h.hexdigest(),
             "packed" if packed_ok else
             os.environ.get("XUGRID_TPU_GATHER_ENGINE", DEFAULT_ENGINE),
         )
-        if key in _GATHER_PLANS:
-            gather_plan = _GATHER_PLANS[key]
-        else:
-            gather_plan = None
-            if packed_ok:
-                from xugrid_tpu.regrid.aligned_apply import (
-                    plan_gather_matvec,
-                )
+        centry = _GATHER_PLANS.get(key)
+        if centry is not None:
+            gather_plan = centry["plan"]
 
-                gather_plan = plan_gather_matvec(idx, w32)
-            if gather_plan is None:
-                gather_plan = plan_default(idx, w32)
+    idx = wvals = None
+    if centry is None:
+        # Pack COO rows into padded windows (idx/weights, -1/0 padded).
+        order = np.argsort(rows, kind="stable")
+        counts = np.bincount(rows, minlength=n_pad)
+        # Bucket the window width too: a NaN-pattern change that shifts
+        # the max row degree by one must not trigger a fresh Mosaic
+        # compile.
+        w_max = _next_pow2(max(int(counts.max()), 1))
+        starts = np.zeros(n_pad + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        offsets = np.arange(nnz) - starts[rows[order]]
+        idx = np.full((n_pad, w_max), -1, dtype=np.int32)
+        wvals = np.zeros((n_pad, w_max), dtype=vals.dtype)
+        idx[rows[order], offsets] = cols[order]
+        wvals[rows[order], offsets] = vals[order]
+
+    if gather_eligible and gather_plan is None:
+        from xugrid_tpu.regrid.gather_apply import plan_default
+
+        w32 = wvals.astype(np.float32)
+        if packed_ok:
+            from xugrid_tpu.regrid.aligned_apply import (
+                plan_gather_matvec,
+            )
+
+            gather_plan = plan_gather_matvec(idx, w32)
+        if gather_plan is None:
+            gather_plan = plan_default(idx, w32)
+        if gather_plan is not None:
             if len(_GATHER_PLANS) > 4:
                 _GATHER_PLANS.clear()
-            _GATHER_PLANS[key] = gather_plan
+            _GATHER_PLANS[key] = centry = {"plan": gather_plan}
     last_solve_info["matvec_plan"] = (
         type(gather_plan).__name__
         + (f"(qs={gather_plan.qs})"
@@ -871,11 +887,25 @@ def cg_solve(
         minv_row[0, :n_pad] = np.where(
             diag_pad != 0.0, 1.0 / np.where(diag_pad == 0.0, 1.0, diag_pad), 1.0
         )
+        # Ship the plan tables to the device ONCE per matrix: itab/wtab
+        # for a 1M-node system are ~280 MB, and re-uploading them over
+        # the remote tunnel dominated every repeat solve (~10x the
+        # actual device solve time).  Keyed by (engine, mxu) — the
+        # packet engine ships a dummy page when the MXU path is off.
+        dev = centry.get(("dev", engine, mxu)) if centry else None
+        if dev is None:
+            dev = (
+                jnp.asarray(first), jnp.asarray(count),
+                jnp.asarray(meta),
+                jnp.asarray(
+                    ptab_arr if ptab_arr is not None else plan.ptab
+                ),
+                jnp.asarray(page), jnp.asarray(wtab_arr),
+            )
+            if centry is not None:
+                centry[("dev", engine, mxu)] = dev
         x, k = _PCG_GATHER(
-            jnp.asarray(first), jnp.asarray(count),
-            jnp.asarray(meta),
-            jnp.asarray(ptab_arr if ptab_arr is not None else plan.ptab),
-            jnp.asarray(page), jnp.asarray(wtab_arr),
+            *dev,
             jnp.asarray(minv_row), jnp.asarray(bE), jnp.asarray(x0E),
             float(rtol), float(atol), lmax,
             maxiter=int(maxiter), degree=int(degree),
@@ -986,53 +1016,62 @@ def laplace_interpolate(
             out = matrix2d.copy()
             out[:, unknown] = solutions
             return out[0] if squeeze else out
-    # Global index -> position in the unknown set (-1 for known).
-    position = np.full(n, -1, dtype=np.int64)
-    position[unknown] = np.arange(len(unknown))
+    # System extraction + RCM relabeling depend only on (W, NaN
+    # pattern): cache them by content hash — interpolate_na re-solves
+    # the same Laplacian for every time slice, and at 1M nodes this
+    # block (CSR slice, COO splits, reverse-Cuthill-McKee) costs
+    # seconds per call (collisions would silently corrupt: full bytes).
+    prep = None
+    prep_key = None
+    if not direct_solve:
+        import hashlib
 
-    sub = W[unknown]  # (n_unknown, n)
-    coo = sub.tocoo()
-    is_unknown_col = solve_mask[coo.col]
-    rows_uu = coo.row[is_unknown_col]
-    cols_uu = position[coo.col[is_unknown_col]]
-    vals_uu = -coo.data[is_unknown_col]
-    diag = np.asarray(sub.sum(axis=1)).ravel()
+        h = hashlib.blake2b(digest_size=16)
+        for part in (W.indptr, W.indices, W.data, solve_mask, notnull):
+            h.update(np.ascontiguousarray(part).tobytes())
+        prep_key = (
+            W.shape, h.hexdigest(),
+            os.environ.get("XUGRID_TPU_CG_RCM", "1"),
+        )
+        prep = _LAPLACE_PREP.get(prep_key)
 
-    # Right-hand side: sum of weights to known neighbors times values.
-    is_known_col = notnull[coo.col]
-    rows_uk = coo.row[is_known_col]
-    cols_uk = coo.col[is_known_col]
-    w_uk = coo.data[is_known_col]
+    if prep is None:
+        # Global index -> position in the unknown set (-1 for known).
+        position = np.full(n, -1, dtype=np.int64)
+        position[unknown] = np.arange(len(unknown))
 
-    n_extra = matrix2d.shape[0]
-    b = np.zeros((n_extra, len(unknown)))
-    for k in range(n_extra):
-        np.add.at(b[k], rows_uk, w_uk * matrix2d[k, cols_uk])
+        sub = W[unknown]  # (n_unknown, n)
+        coo = sub.tocoo()
+        is_unknown_col = solve_mask[coo.col]
+        rows_uu = coo.row[is_unknown_col]
+        cols_uu = position[coo.col[is_unknown_col]]
+        vals_uu = -coo.data[is_unknown_col]
+        diag = np.asarray(sub.sum(axis=1)).ravel()
 
-    # Assemble A = diag + offdiag(uu) in COO, with the diagonal entries
-    # appended so the matvec covers both.
-    rows = np.concatenate([rows_uu, np.arange(len(unknown))])
-    cols = np.concatenate([cols_uu, np.arange(len(unknown))])
-    vals = np.concatenate([vals_uu, diag])
+        # Right-hand side terms: weights to known neighbors.
+        is_known_col = notnull[coo.col]
+        rows_uk = coo.row[is_known_col]
+        cols_uk = coo.col[is_known_col]
+        w_uk = coo.data[is_known_col]
 
-    if direct_solve:
-        A = scipy.sparse.coo_matrix(
-            (vals, (rows, cols)), shape=(len(unknown), len(unknown))
-        ).tocsr()
-        solutions = np.stack([spsolve(A, b[k]) for k in range(n_extra)])
-    else:
-        x0 = np.zeros_like(b)
-        # Initial guess: mean of known values per row.
-        means = np.nanmean(matrix2d, axis=1)
-        x0 += means[:, None]
+        # Assemble A = diag + offdiag(uu) in COO, with the diagonal
+        # entries appended so the matvec covers both.
+        rows = np.concatenate([rows_uu, np.arange(len(unknown))])
+        cols = np.concatenate([cols_uu, np.arange(len(unknown))])
+        vals = np.concatenate([vals_uu, diag])
+
         # RCM-relabel large unknown systems before planning: the TPU
         # gather SpMV keys its plan rows on (128-target group, source
         # chunk) pairs, so bandwidth = locality = fewer rows.  A
         # shuffled Delaunay graph plans ~10x more rows unpermuted; the
         # permutation is a similarity transform (iterations unchanged).
         nu = len(unknown)
-        perm_cg = None
-        if nu > 4096 and os.environ.get("XUGRID_TPU_CG_RCM", "1") != "0":
+        perm_cg = pinv = None
+        if (
+            not direct_solve
+            and nu > 4096
+            and os.environ.get("XUGRID_TPU_CG_RCM", "1") != "0"
+        ):
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             A_uu = scipy.sparse.coo_matrix(
@@ -1049,6 +1088,33 @@ def laplace_interpolate(
             cols = np.concatenate([pinv[cols[:m_off]], np.arange(nu)])
             vals = np.concatenate([vals[:m_off], diag[perm_cg]])
             diag = diag[perm_cg]
+        if prep_key is not None:
+            if len(_LAPLACE_PREP) > 2:
+                _LAPLACE_PREP.clear()
+            _LAPLACE_PREP[prep_key] = (
+                rows, cols, vals, diag, rows_uk, cols_uk, w_uk,
+                perm_cg, pinv,
+            )
+    else:
+        (rows, cols, vals, diag, rows_uk, cols_uk, w_uk,
+         perm_cg, pinv) = prep
+
+    n_extra = matrix2d.shape[0]
+    b = np.zeros((n_extra, len(unknown)))
+    for k in range(n_extra):
+        np.add.at(b[k], rows_uk, w_uk * matrix2d[k, cols_uk])
+
+    if direct_solve:
+        A = scipy.sparse.coo_matrix(
+            (vals, (rows, cols)), shape=(len(unknown), len(unknown))
+        ).tocsr()
+        solutions = np.stack([spsolve(A, b[k]) for k in range(n_extra)])
+    else:
+        x0 = np.zeros_like(b)
+        # Initial guess: mean of known values per row.
+        means = np.nanmean(matrix2d, axis=1)
+        x0 += means[:, None]
+        if perm_cg is not None:
             b = b[:, perm_cg]
             x0 = x0[:, perm_cg]
         solutions, iters = cg_solve(
