@@ -1398,6 +1398,31 @@ def stage_source_aligned(
     return out
 
 
+#: pinned device copies of plan tables, keyed by plan identity: repeat
+#: applies of one plan (regridders over time slices, chunked applies)
+#: must not re-upload itab/wtab over the remote tunnel every call —
+#: measured as the dominant per-call cost on repeat 1M-system solves.
+#: Entries pin the plan object, so an id() can never be reused while
+#: its entry lives; the cache is bounded like the plan caches.
+_PLAN_DEV_CACHE: dict = {}
+
+
+def _plan_device_arrays(plan: AlignedPlan):
+    ent = _PLAN_DEV_CACHE.get(id(plan))
+    if ent is not None and ent[0] is plan:
+        return ent[1]
+    dev = (
+        jnp.asarray(plan.blkid), jnp.asarray(plan.wmeta),
+        jnp.asarray(plan.winc0), jnp.asarray(plan.meta),
+        jnp.asarray(plan.itab), jnp.asarray(plan.wtab),
+        jnp.asarray(plan.rwsum),
+    )
+    if len(_PLAN_DEV_CACHE) > 4:
+        _PLAN_DEV_CACHE.clear()
+    _PLAN_DEV_CACHE[id(plan)] = (plan, dev)
+    return dev
+
+
 def aligned_apply(
     source2d: np.ndarray,
     plan: AlignedPlan,
@@ -1419,13 +1444,7 @@ def aligned_apply(
         rb -= 1
     out = gather_aligned_apply(
         jnp.asarray(srcE),
-        jnp.asarray(plan.blkid),
-        jnp.asarray(plan.wmeta),
-        jnp.asarray(plan.winc0),
-        jnp.asarray(plan.meta),
-        jnp.asarray(plan.itab),
-        jnp.asarray(plan.wtab),
-        jnp.asarray(plan.rwsum),
+        *_plan_device_arrays(plan),
         method=method,
         has_nan=bool(has_nan),
         block=plan.block,

@@ -78,6 +78,10 @@ SELECT_METHODS = ("mode", "median") + tuple(
     f"p{p}" for p in (5, 10, 25, 50, 75, 90, 95)
 )
 
+#: pinned device copies of plan tables keyed by (plan identity, gate
+#: kind); entries pin the plan so ids cannot be reused while cached.
+_PLAN_DEV_CACHE: dict = {}
+
 
 def _method_p(method: str) -> float | None:
     if method == "median":
@@ -922,13 +926,25 @@ def apply_windowed_select(
 
     # Gate choice pins reduce.py: mode gates on the valid-masked max
     # weight, percentiles on the raw max (invalid slots included).
-    gate = plan.rwsum if method == "mode" else plan.rwraw
+    # Plan tables ship to the device once per (plan, gate kind):
+    # repeat applies over time slices must not re-upload ptab over the
+    # remote tunnel every call (see aligned_apply._PLAN_DEV_CACHE).
+    kind = "mode" if method == "mode" else "pct"
+    ent = _PLAN_DEV_CACHE.get((id(plan), kind))
+    if ent is not None and ent[0] is plan:
+        dev = ent[1]
+    else:
+        gate = plan.rwsum if method == "mode" else plan.rwraw
+        dev = (
+            jnp.asarray(plan.blkid), jnp.asarray(plan.bases),
+            jnp.asarray(plan.ptab), jnp.asarray(gate),
+        )
+        if len(_PLAN_DEV_CACHE) > 8:
+            _PLAN_DEV_CACHE.clear()
+        _PLAN_DEV_CACHE[(id(plan), kind)] = (plan, dev)
     out = gather_select_apply(
         jnp.asarray(srcE),
-        jnp.asarray(plan.blkid),
-        jnp.asarray(plan.bases),
-        jnp.asarray(plan.ptab),
-        jnp.asarray(gate),
+        *dev,
         method=method,
         has_nan=bool(has_nan),
         dmax=plan.dmax,
